@@ -1,0 +1,4 @@
+"""The URL-frontier + fetch scheduler (the north_rule's engine proper)."""
+
+from httrack2warc_spark.frontier.scheduler import CrawlConfig, FrontierScheduler  # noqa: F401
+from httrack2warc_spark.frontier.synth import SyntheticWeb, fixture_web, generate_web  # noqa: F401

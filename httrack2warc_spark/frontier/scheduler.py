@@ -1,0 +1,412 @@
+"""Iterative URL-frontier / fetch scheduler.
+
+This is the engine the north_rule asks for: the reference *replays* an
+HTTrack crawl's visit order out of ``hts-cache/new.txt`` (single-threaded,
+``HttrackCrawl.java:117-147``); this scheduler *produces* that order from a
+seed list + link graph + politeness budget, as a driver-side loop of pure
+DataFrame rounds:
+
+  round r:
+    1. eligible  = frontier rows allowed by robots rules
+    2. selected  = per-host top-k (politeness budget; salted variant when the
+                   frontier is host-skewed) — O3/O4
+    3. seq       = global visit order: row_number over the round's selected
+                   rows by the total key (priority, parent_seq, link_idx, url)
+                   — reproduces HTTrack's BFS-in-discovery-order; a synthetic
+                   robots.txt fetch is injected before a host's first fetch
+                   (HTTrack behavior, visible as row 1 of the fixture new.txt)
+    4. fetch     = join against the web (payload source) → crawl_log rows
+    5. discover  = outlinks of fetched pages → canonicalize (the reference's
+                   fixupUrl, P1) → exclusion regexes (F2) → robots → dedup
+                   within batch (first-occurrence, A1/A2) → Bloom/cuckoo-gated
+                   anti-join vs url_seen (J6) → new frontier rows
+    6. commit    = url_seen ∪ new keys; summaries merged; crawl_log/metrics
+                   appended; catalog snapshot tagged round-r (resume point)
+
+Every round's state lives in catalog tables (Iceberg in production, versioned
+parquet here), so the loop is checkpoint-resumable: ``FrontierScheduler.resume``
+re-opens the latest round-r snapshot and continues. Per-partition lineage
+metrics (fetched/new/dup counts per MurmurHash3 partition) are appended with
+every snapshot.
+
+Visit-order determinism: every ordering is over the total key
+``(priority, parent_seq, link_idx, url, robots-first flag)`` — no reliance on
+partition order, no uuid()/now() nondeterminism anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from httrack2warc_spark.functions.urls import (
+    canonicalize_urls_udf,
+    strip_protocol_col,
+    url_host_col,
+)
+from httrack2warc_spark.operators.seen import (
+    SUMMARY_SCHEMA,
+    add_partition_and_hashes,
+    filter_new_urls,
+    merge_summaries,
+)
+from httrack2warc_spark.operators.topk import per_key_topk, salted_per_key_topk
+from httrack2warc_spark.operators.dedup import first_occurrence
+from httrack2warc_spark.sinks.tables import TableCatalog
+
+__all__ = ["CrawlConfig", "FrontierScheduler"]
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_key", StringType(), False),
+        StructField("host", StringType(), False),
+        StructField("depth", IntegerType(), False),
+        StructField("priority", IntegerType(), False),
+        StructField("parent_seq", LongType(), False),
+        StructField("link_idx", IntegerType(), False),
+        StructField("referrer", StringType(), True),
+    ]
+)
+
+SEEN_SCHEMA = StructType(
+    [
+        StructField("url_key", StringType(), False),
+        StructField("url", StringType(), False),
+        StructField("enqueued_round", IntegerType(), False),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    num_parts: int = 32                    # MurmurHash3 url_key partitions
+    default_host_budget: int = 1_000_000   # per-host fetches per round
+    max_rounds: int = 100
+    max_depth: int | None = None
+    exclusions: list[str] = field(default_factory=list)  # full-match regexes (F2)
+    fetch_robots: bool = True
+    salted_topk: bool = False              # skew-aware politeness variant
+    salt_buckets: int = 16
+    summary_kind: str = "bloom"            # or "cuckoo"
+    summary_capacity_per_part: int = 1_000_000
+    summary_fpp: float = 0.01
+    use_summaries: bool = True
+
+
+class FrontierScheduler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: TableCatalog,
+        web,
+        config: CrawlConfig | None = None,
+        host_budget: DataFrame | None = None,
+        robots: DataFrame | None = None,
+    ):
+        """``web`` provides ``fetch(selected) -> DataFrame`` (adds status, mime,
+        size, localfile, image_id) and ``outlinks(fetched) -> DataFrame``
+        (parent_seq, link_idx, dst_url, referrer) — see frontier.synth.
+        ``host_budget``: (host, budget); ``robots``: (host, disallow array<string>).
+        """
+        self.spark = spark
+        self.catalog = catalog
+        self.web = web
+        self.cfg = config or CrawlConfig()
+        self.host_budget = host_budget
+        self.robots = robots
+
+    # ------------------------------------------------------------------ utils
+    def _canonicalize(self, df: DataFrame, url_col: str) -> DataFrame:
+        return (
+            df.withColumn("url", canonicalize_urls_udf(F.col(url_col)))
+            .withColumn("url_key", strip_protocol_col(F.col("url")))
+            .withColumn("host", url_host_col(F.col("url")))
+        )
+
+    def _apply_exclusions(self, df: DataFrame) -> DataFrame:
+        # reference F2: Pattern.matches == full match (Httrack2Warc.java:288-290)
+        out = df
+        for rx in self.cfg.exclusions:
+            out = out.where(~F.col("url").rlike(f"^(?:{rx})$"))
+        return out
+
+    def _apply_robots(self, df: DataFrame) -> DataFrame:
+        if self.robots is None:
+            return df
+        path = F.regexp_extract(F.col("url_key"), r"^[^/]*(/.*)?$", 1)
+        joined = df.join(F.broadcast(self.robots), "host", "left")
+        blocked = F.exists(
+            F.coalesce(F.col("disallow"), F.array()),
+            lambda p: path.startswith(p),
+        )
+        return joined.where(~blocked).drop("disallow")
+
+    # ------------------------------------------------------------- lifecycle
+    def start(self, seeds: list[str]) -> None:
+        """Initialize catalog state from a seed URL list (round -1 snapshot)."""
+        spark = self.spark
+        cfg = self.cfg
+        seed_df = spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], ["raw_url", "seed_idx"]
+        )
+        frontier = (
+            self._canonicalize(seed_df, "raw_url")
+            .withColumn("depth", F.lit(0))
+            .withColumn("priority", F.lit(0))
+            .withColumn("parent_seq", F.lit(-1).cast("long"))
+            .withColumn("link_idx", F.col("seed_idx").cast("int"))
+            .withColumn("referrer", F.lit(None).cast("string"))
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
+        frontier = self._apply_exclusions(frontier)
+        frontier = first_occurrence(frontier, "url_key", ["link_idx"])
+
+        self.catalog.write("frontier", frontier)
+        seen = frontier.select(
+            "url_key", "url", F.lit(0).alias("enqueued_round")
+        )
+        self.catalog.write("url_seen", seen)
+        if cfg.use_summaries:
+            hashed = add_partition_and_hashes(seen, "url_key", cfg.num_parts)
+            summ = merge_summaries(
+                self.spark.createDataFrame([], SUMMARY_SCHEMA),
+                hashed,
+                cfg.num_parts,
+                cfg.summary_kind,
+                cfg.summary_capacity_per_part,
+                cfg.summary_fpp,
+            )
+            self.catalog.write("seen_summary", summ)
+        self.catalog.write(
+            "crawl_log",
+            spark.createDataFrame(
+                [],
+                "seq long, round int, url string, url_key string, host string, "
+                "depth int, referrer string, status int, mime string, size long, "
+                "localfile string, image_id string, is_robots boolean",
+            ),
+        )
+        self.catalog.write(
+            "metrics",
+            spark.createDataFrame(
+                [], "round int, part int, fetched long, new_urls long, bytes long"
+            ),
+        )
+        self.catalog.write("hosts_crawled", spark.createDataFrame([], "host string"))
+        self.catalog.snapshot("round--1", {"round": -1, "next_seq": 0})
+
+    # ----------------------------------------------------------------- round
+    def run_round(self, round_no: int, next_seq: int) -> tuple[int, int]:
+        """Execute one round; returns (fetched_count, next_seq)."""
+        cfg = self.cfg
+        frontier = self.catalog.read("frontier")
+        if frontier.isEmpty():
+            return 0, next_seq
+
+        eligible = self._apply_robots(frontier)
+        if cfg.max_depth is not None:
+            eligible = eligible.where(F.col("depth") <= cfg.max_depth)
+
+        order = [F.col("priority"), F.col("parent_seq"), F.col("link_idx"), F.col("url")]
+        if self.host_budget is not None:
+            eligible = eligible.join(F.broadcast(self.host_budget), "host", "left")
+            budget = F.coalesce(F.col("budget"), F.lit(cfg.default_host_budget))
+        else:
+            budget = F.lit(cfg.default_host_budget)
+        topk = salted_per_key_topk if cfg.salted_topk else per_key_topk
+        kwargs = (
+            {"salt_buckets": cfg.salt_buckets, "salt_on": "url"}
+            if cfg.salted_topk
+            else {}
+        )
+        selected = topk(eligible, "host", order, budget, **kwargs)
+        if "budget" in selected.columns:
+            selected = selected.drop("budget")
+
+        # synthetic robots.txt fetch before a host's first-ever fetch (HTTrack
+        # behavior: fixture new.txt row 1). The robots row clones its trigger
+        # row's ordering tuple and sorts before it via the __robots flag.
+        selected = selected.withColumn("__robots", F.lit(1))
+        if cfg.fetch_robots:
+            crawled_hosts = self.catalog.read("hosts_crawled")
+            first_per_host = first_occurrence(
+                selected.join(crawled_hosts, "host", "left_anti"),
+                "host",
+                ["priority", "parent_seq", "link_idx", "url"],
+            )
+            robots_rows = (
+                first_per_host.withColumn(
+                    "url", F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
+                )
+                .withColumn("url_key", strip_protocol_col(F.col("url")))
+                .withColumn("referrer", F.lit(None).cast("string"))
+                .withColumn("__robots", F.lit(0))
+            )
+            selected = selected.unionByName(robots_rows)
+
+        # total order: ordering tuple, then robots-before-page, then url
+        w = Window.partitionBy(F.lit(0)).orderBy(
+            "priority", "parent_seq", "link_idx", "__robots", "url"
+        )
+        sequenced = selected.withColumn(
+            "seq", F.row_number().over(w) + F.lit(next_seq - 1)
+        )
+
+        # materialized once: reused by log append, seen update, leftover
+        # anti-join and host bookkeeping without recomputing topk+fetch
+        fetched = self.web.fetch(sequenced).persist()
+
+        log_rows = fetched.select(
+            "seq",
+            F.lit(round_no).alias("round"),
+            "url",
+            "url_key",
+            "host",
+            "depth",
+            "referrer",
+            "status",
+            "mime",
+            "size",
+            "localfile",
+            "image_id",
+            (F.col("__robots") == 0).alias("is_robots"),
+        )
+        self.catalog.append("crawl_log", log_rows)
+
+        n_fetched = fetched.count()
+        next_seq += n_fetched
+
+        # ---- discovery --------------------------------------------------
+        raw_links = self.web.outlinks(fetched.where(F.col("__robots") == 1))
+        candidates = (
+            self._canonicalize(raw_links, "dst_url")
+            .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
+            .withColumn("priority", (F.col("parent_depth") + 1).cast("int"))
+            .select(
+                "url", "url_key", "host", "depth", "priority",
+                "parent_seq", "link_idx", "referrer",
+            )
+        )
+        candidates = self._apply_exclusions(candidates)
+        candidates = first_occurrence(
+            candidates, "url_key", ["parent_seq", "link_idx"], tiebreak=["url"]
+        )
+
+        seen = self.catalog.read("url_seen")
+        summaries = (
+            self.catalog.read("seen_summary") if cfg.use_summaries else None
+        )
+        # robots fetches are logged but their url_keys must also be marked seen
+        robots_seen = (
+            fetched.where(F.col("__robots") == 0)
+            .select("url_key", "url")
+            .withColumn("enqueued_round", F.lit(round_no))
+        )
+        new_frontier = filter_new_urls(
+            candidates, seen, summaries, "url_key",
+            cfg.num_parts, cfg.summary_fpp,
+        )
+        # also exclude robots keys fetched this round
+        new_frontier = new_frontier.join(
+            robots_seen.select("url_key"), "url_key", "left_anti"
+        )
+
+        robots_new = robots_seen.join(seen.select("url_key"), "url_key", "left_anti")
+        new_seen_rows = first_occurrence(
+            new_frontier.select(
+                "url_key", "url", F.lit(round_no + 1).alias("enqueued_round")
+            ).unionByName(robots_new),
+            "url_key",
+            ["enqueued_round"],
+            tiebreak=["url"],
+        )
+
+        # leftover = eligible-but-over-budget rows stay queued
+        leftover = frontier.join(
+            fetched.where(F.col("__robots") == 1).select("url_key"),
+            "url_key",
+            "left_anti",
+        )
+        next_frontier = leftover.unionByName(
+            new_frontier.select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
+
+        # ---- commit ------------------------------------------------------
+        self.catalog.write("frontier", next_frontier)
+        self.catalog.write("url_seen", seen.unionByName(new_seen_rows))
+        self.catalog.write(
+            "hosts_crawled",
+            self.catalog.read("hosts_crawled")
+            .unionByName(fetched.select("host"))
+            .distinct(),
+        )
+        if cfg.use_summaries:
+            hashed_new = add_partition_and_hashes(
+                new_seen_rows, "url_key", cfg.num_parts
+            )
+            merged = merge_summaries(
+                summaries, hashed_new, cfg.num_parts,
+                cfg.summary_kind, cfg.summary_capacity_per_part, cfg.summary_fpp,
+            )
+            self.catalog.write("seen_summary", merged)
+
+        metrics = (
+            add_partition_and_hashes(log_rows, "url_key", cfg.num_parts)
+            .groupBy("part")
+            .agg(
+                F.count("*").alias("fetched"),
+                F.coalesce(F.sum("size"), F.lit(0)).alias("bytes"),
+            )
+            .join(
+                add_partition_and_hashes(new_frontier, "url_key", cfg.num_parts)
+                .groupBy("part")
+                .agg(F.count("*").alias("new_urls")),
+                "part",
+                "outer",
+            )
+            .select(
+                F.lit(round_no).alias("round"),
+                "part",
+                F.coalesce("fetched", F.lit(0)).alias("fetched"),
+                F.coalesce("new_urls", F.lit(0)).alias("new_urls"),
+                F.coalesce("bytes", F.lit(0)).alias("bytes"),
+            )
+        )
+        self.catalog.append("metrics", metrics)
+        self.catalog.snapshot(f"round-{round_no}", {"round": round_no, "next_seq": next_seq})
+        fetched.unpersist()
+        return n_fetched, next_seq
+
+    # ------------------------------------------------------------------ run
+    def run(self, seeds: list[str] | None = None, resume: bool = False) -> DataFrame:
+        """Run to frontier exhaustion; returns the final crawl_log."""
+        if resume:
+            tags = [t for t in self.catalog.list_snapshots() if t.startswith("round-")]
+            if not tags:
+                raise RuntimeError("nothing to resume")
+            last = max(tags, key=lambda t: int(t[len("round-"):]))
+            payload = self.catalog.rollback_to_snapshot(last)
+            round_no = payload["round"] + 1
+            next_seq = payload["next_seq"]
+        else:
+            assert seeds is not None
+            self.start(seeds)
+            round_no, next_seq = 0, 0
+
+        while round_no < self.cfg.max_rounds:
+            fetched, next_seq = self.run_round(round_no, next_seq)
+            if fetched == 0:
+                break
+            round_no += 1
+        return self.catalog.read("crawl_log").orderBy("seq")

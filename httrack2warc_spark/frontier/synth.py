@@ -1,0 +1,237 @@
+"""Synthetic web + image tables (deterministic, no external data).
+
+``SyntheticWeb`` implements the scheduler's fetch contract against two
+DataFrames — ``pages(url_key, status, mime, size, localfile, image_id)`` and
+``links(src_key, link_idx, dst_url)`` — standing in for real fetch I/O. Both
+joins hash-partition on ``url_key``; the pages side of ``fetch`` is the
+payload path (at 100 TB it's the Iceberg image table; the join strategy is
+sort-merge there, broadcast here where the fixture is tiny).
+
+``fixture_web`` reproduces the reference's golden crawl
+(``test-resources/.../testcrawl-3.49-2.zip::hts-cache/new.txt`` — 9 rows over
+``test.example.org``) so the scheduler's output can be asserted against the
+reference's visit order (``Httrack2WarcTest.java:73-102``).
+
+``generate_web`` builds an arbitrarily large deterministic crawl graph
+entirely JVM-side (``spark.range`` + hash projections — generation itself is
+distributed and O(rows/partition) per executor): a k-ary page tree per host
+(page p links to pages pk+1..pk+k — BFS from page 0 reaches every page),
+optional cross-host edges, and every Nth page an image with a deterministic
+payload from ``functions.images``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from httrack2warc_spark.functions.images import (
+    decode_image,
+    encode_image,
+    phash64,
+    synth_caption,
+    synth_pixels,
+)
+from httrack2warc_spark.functions.urls import strip_protocol_col
+
+__all__ = ["SyntheticWeb", "fixture_web", "generate_web", "generate_images"]
+
+
+class SyntheticWeb:
+    def __init__(self, pages: DataFrame, links: DataFrame, broadcast_pages: bool = False):
+        self.pages = pages
+        self.links = links
+        self.broadcast_pages = broadcast_pages
+
+    def fetch(self, selected: DataFrame) -> DataFrame:
+        pages = F.broadcast(self.pages) if self.broadcast_pages else self.pages
+        return selected.join(pages, "url_key", "left").select(
+            selected["*"],
+            F.coalesce(pages["status"], F.lit(404)).alias("status"),
+            pages["mime"].alias("mime"),
+            F.coalesce(pages["size"], F.lit(0)).alias("size"),
+            pages["localfile"].alias("localfile"),
+            pages["image_id"].alias("image_id"),
+        )
+
+    def outlinks(self, fetched: DataFrame) -> DataFrame:
+        src = fetched.select(
+            F.col("url_key").alias("src_key"),
+            F.col("url").alias("referrer"),
+            F.col("seq").alias("parent_seq"),
+            F.col("depth").alias("parent_depth"),
+        )
+        return src.join(self.links, "src_key").select(
+            "parent_seq", "parent_depth", "link_idx", "dst_url", "referrer"
+        )
+
+
+# ---------------------------------------------------------------------------
+# golden fixture graph (reference testcrawl-3.49-2)
+# ---------------------------------------------------------------------------
+
+_FIXTURE_PAGES = [
+    # url_key, status, mime, size, localfile (new.txt columns; empty localfile = the F1 drop)
+    ("test.example.org/robots.txt", 404, "text/html", 169, ""),
+    ("test.example.org/", 200, "text/html", 353, "test.example.org/index.html"),
+    ("test.example.org/style.css", 200, "text/css", 30, "test.example.org/style.css"),
+    (
+        "test.example.org/query.html?page=1&query=2&FOO=3&&BaR=4&&#anchor",
+        200, "text/html", 34, "test.example.org/query3b6f.html",
+    ),
+    ("test.example.org/another", 200, "text/html", 37, "test.example.org/another.html"),
+    ("test.example.org/redirect", 301, "text/html", 185, "test.example.org/redirect"),
+    (
+        "test.example.org/page%20WITH%20%22special%22%20chars.html",
+        200, "text/html", 13, "test.example.org/page%20WITH%20_special_%20chars.html",
+    ),
+    ("test.example.org/image.gif", 200, "image/gif", 945, "test.example.org/image.gif"),
+    ("test.example.org/image404.png", 404, "text/html", 169, "test.example.org/image404.png"),
+]
+
+_FIXTURE_LINKS = [
+    # index page links in discovery order (hts-cache/new.txt '(from ...)' order)
+    ("test.example.org/", 0, "http://test.example.org/style.css"),
+    ("test.example.org/", 1, "http://test.example.org/query.html?page=1&query=2&FOO=3&&BaR=4&&#anchor"),
+    ("test.example.org/", 2, "http://test.example.org/another"),
+    ("test.example.org/", 3, "http://test.example.org/redirect"),
+    ("test.example.org/", 4, "http://test.example.org/page%20WITH%20%22special%22%20chars.html"),
+    ("test.example.org/", 5, "http://test.example.org/image.gif"),
+    ("test.example.org/", 6, "http://test.example.org/image404.png"),
+]
+
+
+def fixture_web(spark: SparkSession) -> SyntheticWeb:
+    pages = spark.createDataFrame(
+        [(k, s, m, z, lf, None) for k, s, m, z, lf in _FIXTURE_PAGES],
+        "url_key string, status int, mime string, size long, localfile string, image_id string",
+    )
+    links = spark.createDataFrame(
+        _FIXTURE_LINKS, "src_key string, link_idx int, dst_url string"
+    )
+    return SyntheticWeb(pages, links, broadcast_pages=True)
+
+
+# ---------------------------------------------------------------------------
+# scaled deterministic generator
+# ---------------------------------------------------------------------------
+
+
+def generate_web(
+    spark: SparkSession,
+    n_hosts: int,
+    pages_per_host: int,
+    out_degree: int = 4,
+    image_every: int = 10,
+    cross_host_every: int = 50,
+    num_partitions: int | None = None,
+) -> tuple[SyntheticWeb, list[str]]:
+    """Deterministic host-tree web; returns (web, seed list = page 0 per host)."""
+    n = n_hosts * pages_per_host
+    base = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    host = (F.col("id") / pages_per_host).cast("long")
+    page = F.col("id") % pages_per_host
+    is_img = (page % image_every == image_every - 1) & (page > 0)
+    url = F.concat(
+        F.lit("http://host"), host.cast("string"), F.lit(".example.com/page/"),
+        page.cast("string"),
+        F.when(is_img, F.lit(".gif")).otherwise(F.lit(".html")),
+    )
+    pages = base.select(
+        strip_protocol_col(url).alias("url_key"),
+        F.lit(200).alias("status"),
+        F.when(is_img, F.lit("image/gif")).otherwise(F.lit("text/html")).alias("mime"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(65536)) + 128).alias("size"),
+        F.regexp_replace(url, "^http://", "").alias("localfile"),
+        F.when(is_img, F.concat(F.lit("img-"), F.col("id").cast("string"))).alias("image_id"),
+    )
+
+    # k-ary tree edges: page p -> pages pk+1 .. pk+k (same host), + periodic
+    # cross-host edge from page 0
+    child = [
+        (F.col("id") % pages_per_host) * out_degree + F.lit(j + 1)
+        for j in range(out_degree)
+    ]
+    edges = []
+    for j, c in enumerate(child):
+        dst_page = c
+        dst_is_img = (dst_page % image_every == image_every - 1) & (dst_page > 0)
+        dst_url = F.concat(
+            F.lit("http://host"), host.cast("string"), F.lit(".example.com/page/"),
+            dst_page.cast("string"),
+            F.when(dst_is_img, F.lit(".gif")).otherwise(F.lit(".html")),
+        )
+        edges.append(
+            base.where(dst_page < pages_per_host).select(
+                F.concat(
+                    F.lit("host"), host.cast("string"), F.lit(".example.com/page/"),
+                    page.cast("string"),
+                    F.when(is_img, F.lit(".gif")).otherwise(F.lit(".html")),
+                ).alias("src_key"),
+                F.lit(j).cast("int").alias("link_idx"),
+                dst_url.alias("dst_url"),
+            )
+        )
+    links = edges[0]
+    for e in edges[1:]:
+        links = links.unionByName(e)
+    if n_hosts > 1 and cross_host_every:
+        cross = base.where(
+            (page == 0) & (host % cross_host_every == 0)
+        ).select(
+            F.concat(
+                F.lit("host"), host.cast("string"), F.lit(".example.com/page/0.html")
+            ).alias("src_key"),
+            F.lit(out_degree).cast("int").alias("link_idx"),
+            F.concat(
+                F.lit("http://host"), ((host + 1) % n_hosts).cast("string"),
+                F.lit(".example.com/page/0.html"),
+            ).alias("dst_url"),
+        )
+        links = links.unionByName(cross)
+
+    seeds = [f"http://host{h}.example.com/page/0.html" for h in range(n_hosts)]
+    return SyntheticWeb(pages, links), seeds
+
+
+def generate_images(
+    spark: SparkSession,
+    n: int,
+    w: int = 32,
+    h: int = 32,
+    fmt_cycle: tuple[str, ...] = ("png", "jpeg", "png", "gif"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic image+caption table matching BASELINE.json input_hint:
+    (image_id, bytes, w, h, fmt, caption, phash). Generation runs in
+    mapInPandas (distributed; payload bytes never touch the driver)."""
+    base = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                image_id = f"img-{int(i)}"
+                fmt = fmt_cycle[int(i) % len(fmt_cycle)]
+                px = synth_pixels(image_id, w, h)
+                data = encode_image(px, fmt)
+                # phash over the *decoded* pixels so lossy formats stay stable
+                rows.append(
+                    (
+                        image_id, data, w, h, fmt,
+                        synth_caption(image_id),
+                        phash64(decode_image(data, fmt)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return base.mapInPandas(
+        gen,
+        schema="image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )

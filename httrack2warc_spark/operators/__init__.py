@@ -1,0 +1,9 @@
+"""Relational building blocks re-expressing the reference's implicit operators."""
+
+from httrack2warc_spark.operators.ordinal_join import ordinal_fifo_join  # noqa: F401
+from httrack2warc_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    first_occurrence,
+)
+from httrack2warc_spark.operators.topk import per_key_topk, salted_per_key_topk  # noqa: F401
+from httrack2warc_spark.operators.windows import date_wraparound  # noqa: F401

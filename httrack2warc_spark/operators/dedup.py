@@ -1,0 +1,335 @@
+"""Deduplication family.
+
+Reference semantics: first-occurrence dedup via in-heap ``HashSet.add`` while
+streaming in visit order — per localfile (``httrack/HttrackCrawl.java:130,138,
+210,223-226``) and per redirect URL (``:255-258``). ``dropDuplicates`` alone
+loses *which* row wins, so the order-preserving form is
+``row_number() over (partition by key order by seq) == 1``.
+
+Beyond the reference, this module carries the dedup operators a training-data
+pipeline needs at 100 TB (exact hash, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup). Scale notes inline per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "first_occurrence",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "simhash64",
+    "simhash_dedup",
+    "embedding_neardup_candidates",
+]
+
+# ---------------------------------------------------------------------------
+# order-preserving first-occurrence (A1/A2)
+# ---------------------------------------------------------------------------
+
+
+def first_occurrence(df: DataFrame, key, order, tiebreak: list | None = None) -> DataFrame:
+    """Keep the first row per ``key`` in ``order`` (deterministic: pass
+    ``tiebreak`` columns to totalize the order). One shuffle on ``key``."""
+    keys = key if isinstance(key, list) else [key]
+    orders = order if isinstance(order, list) else [order]
+    w = Window.partitionBy(*keys).orderBy(*orders, *(tiebreak or []))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str], order, tiebreak: list | None = None) -> DataFrame:
+    """Exact dedup on a content hash of ``cols`` (first occurrence wins).
+
+    Scale: grouping on ``xxhash64`` of the content instead of the content
+    itself keeps shuffle rows narrow when the content column is wide (a
+    document body); the full row still flows but the exchange key is 8 bytes.
+    """
+    hashed = df.withColumn("__h", F.xxhash64(*[F.col(c) for c in cols]))
+    return first_occurrence(hashed, "__h", order, tiebreak).drop("__h")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingles of normalized text, as an array<string> (JVM-side:
+    lower → strip non-word → split → sliding windows via transform over indices)."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(text), r"[^\w\s]+", " ")), r"\s+")
+    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - F.lit(1))
+    return F.when(count <= 0, F.array()).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """MinHash signature per row, entirely JVM-side.
+
+    Each of the ``num_hashes`` permutations is ``min(xxhash64(shingle, seed=i))``
+    — xxhash64 with a per-slot seed column is a family of independent 64-bit
+    hashes; no Python, no explode, no shuffle. Empty docs get MAX_LONG slots.
+    """
+    shingle_arr = _shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(i)))
+                ),
+                F.lit(2**63 - 1),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn(sig_col, sig)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket, self-join on
+    ``(band, bucket)`` → candidate pairs ``(a, b)`` with a < b, distinct.
+
+    Scale: the self-join shuffles on the 8-byte bucket key only; band explosion
+    multiplies rows by ``bands`` but each row is (id, band, bucket) — tiny next
+    to the documents. Bucket skew (a degenerate band, e.g. all-empty docs)
+    is the classic hazard: AQE skew-join splitting handles moderate skew, and
+    ``spark.sql.shuffle.partitions`` should scale with corpus size.
+    """
+    band_buckets = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = band_buckets.alias("l")
+    right = band_buckets.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup removal: LSH candidates → verify estimated Jaccard (signature
+    agreement fraction) ≥ threshold → drop the higher id of each surviving pair.
+
+    Keeps the minimum id of each near-dup *pair chain* greedily (single pass,
+    no connected components — at pipeline scale full transitive closure is an
+    iterative job; this greedy form is the standard one-pass policy).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cand = minhash_lsh_candidates(sigs, id_col, "minhash", bands, rows_per_band)
+    sl = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
+    sr = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"))
+    verified = (
+        cand.join(sl, "a")
+        .join(sr, "b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / F.size("sig_a"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    losers = verified.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    explode(shingles) → self-join on shingle → per-pair intersection count →
+    |A∪B| = |A|+|B|−|A∩B|. Quadratic in the worst case — meant for verification
+    at modest candidate volume, not as the 100 TB primary (that's MinHash+LSH).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), on=[F.col("l.sh") == F.col("r.sh"),
+                                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash, JVM-side: per shingle xxhash64; for each bit position,
+    sum ±1 weighted by the bit; sign → bit. Expressed as 64 aggregate
+    expressions over the shingle array (codegen'd; no shuffle, no Python)."""
+    hashes = F.transform(_shingles(text, shingle_n), lambda s: F.xxhash64(s))
+    bits = []
+    for i in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    hamming_threshold: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: band the 64-bit fingerprint into ``blocks`` 16-bit
+    blocks (pigeonhole: ≤3 differing bits ⇒ ≥1 identical block), self-join per
+    block, verify Hamming distance via bit_count(xor), drop higher ids."""
+    width = 64 // blocks
+    fp = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("fp"))
+    blocked = fp.select(
+        id_col,
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("fp"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("blk", "blkval"),
+    )
+    cand = (
+        blocked.alias("l")
+        .join(
+            blocked.alias("r"),
+            on=[
+                F.col("l.blk") == F.col("r.blk"),
+                F.col("l.blkval") == F.col("r.blkval"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_threshold)
+        .select("a", "b")
+        .distinct()
+    )
+    losers = cand.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_candidates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (a<b, cos ≥ threshold), JVM-side dot
+    products via zip_with/aggregate. O(n²) — correctness baseline; the scale
+    path is LSH bucketing (see operators.similarity.lsh_ann)."""
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+    v = df.select(F.col(id_col), F.col(vec_col).alias("v"), norm.alias("nrm"))
+    l, r = v.alias("l"), v.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            (dot / (F.col("l.nrm") * F.col("r.nrm"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Design notes (scale): AQE on (runtime re-plan + skew-join splitting), Arrow on
+(every custom kernel is a pandas UDF), small Arrow batches (image rows are
+MB-sized, see BASELINE.json input_hint), shuffle partitions sized for local
+testing but overridable via env for cluster runs. Iceberg catalog is attached
+only when the runtime jar is actually present (this sandbox has none), with a
+parquet-directory fallback implemented in ``sinks.tables``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Kept deliberately small: image/binary rows are large, and Arrow transfer
+# cost is per-batch-amortised anyway (BASELINE.json: "Arrow batch size tuned
+# for image payloads").
+ARROW_MAX_RECORDS_PER_BATCH = "2048"
+
+
+def get_spark(
+    app_name: str = "httrack2warc_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all cores)
+    so bench.py can run the identical job at two parallelism levels.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_MAX_RECORDS_PER_BATCH)
+        .config("spark.sql.session.timeZone", "UTC")
+        # binary-heavy rows: don't let broadcast autodetection pull a payload
+        # table driver-side; dimension tables are broadcast explicitly.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
