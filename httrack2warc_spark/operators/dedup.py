@@ -238,15 +238,17 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
     sum ±1 weighted by the bit; sign → bit. Expressed as 64 aggregate
     expressions over the shingle array (codegen'd; no shuffle, no Python)."""
     hashes = F.transform(_shingles(text, shingle_n), lambda s: F.xxhash64(s))
+
+    def _vote_fn(mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask).cast("long")) != 0, 1
+        ).otherwise(-1)
+
     bits = []
     for i in range(64):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1),
-        )
-        bits.append(F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+        mask = (1 << i) - (1 << 64 if i == 63 else 0)  # signed-long literal
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(mask))
+        bits.append(F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)

@@ -1,0 +1,366 @@
+"""WARC + CDX sink projections (K1-K5, P8-P9, P13, P15-P17, O1).
+
+Reference lifecycle being re-expressed (``Httrack2Warc.java:149-283``): per
+crawl record — exclusion filter (F2) → MIME chain (P10) → payload digest
+(P11) → header surgery (P8 transfer-encoding strip, P9 content-length fix,
+P13 fabrication for headerless ≥300s) → response-vs-resource branch → WARC
+response/resource + request + metadata + synthetic-redirect records (K1, K4,
+K5) → CDX lines with a final C-locale global sort (K3/O1).
+
+Spark-first shape: ONE projection produces every record of a crawl row at
+once (``explode`` of a record-struct array keeps the record group together —
+the group-atomicity the reference enforces by only rotating between groups,
+``RotatingFile.java:42-54``), the digest is computed in the same pass as the
+serialized bytes (the reference reads each payload twice — digest then write,
+``Httrack2Warc.java:193-197,208-242``; we fold both into one projection), and
+the CDX sort is ``orderBy`` over binary-comparable keys (Spark's
+range-partitioned external sort == the ``sort`` subprocess with LC_ALL=C).
+
+Record IDs are content-derived (md5 of url+seq+type) instead of the
+reference's ``UUID.randomUUID()`` (``Httrack2Warc.java:184``) — deterministic
+replay is a north_rule requirement; the WARC grammar is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from httrack2warc_spark.functions.digests import sha1_base32_udf
+from httrack2warc_spark.functions.urls import canonicalize_urls_udf
+from httrack2warc_spark.sources.htslogs import CrawlMeta
+from httrack2warc_spark.sources.mime import resolve_mime
+
+__all__ = [
+    "ENGINE_SOFTWARE",
+    "format_warcinfo",
+    "remove_transfer_encoding",
+    "fix_content_length",
+    "warc_records",
+    "cdx_lines",
+    "write_warc_file",
+]
+
+ENGINE_SOFTWARE = "httrack2warc https://github.com/nla/httrack2warc"
+
+# same spelling as the reference (Httrack2Warc.java:292-293): leading-
+# whitespace-tolerant, case-insensitive, multiline, CRLF-terminated
+_TE_RE = r"(?im)^[ \t]*Transfer-Encoding[ \t]*:.*\r\n"
+_CL_RE = r"(?im)^[ \t]*Content-Length[ \t]*:.*\r\n"
+
+
+def remove_transfer_encoding(header):
+    """P8 (golden: ``Httrack2WarcTest.java:105-117``)."""
+    return F.regexp_replace(header, _TE_RE, "")
+
+
+def fix_content_length(header, length):
+    """P9 — rewrite Content-Length to the actual body length."""
+    return F.regexp_replace(
+        header, _CL_RE, F.concat(F.lit("Content-Length: "), length.cast("string"), F.lit("\r\n"))
+    )
+
+
+def format_warcinfo(meta: CrawlMeta, extra: str = "") -> str:
+    """``Httrack2Warc.formatWarcInfo`` (``Httrack2Warc.java:312-331``)."""
+    info = extra
+    if meta.version:
+        info += f"software: HTTrack/{meta.version} http://www.httrack.com/\r\n"
+    info += f"software: {ENGINE_SOFTWARE}\r\n"
+    if meta.command_line:
+        info += f"httrackOptions: {meta.command_line}\r\n"
+    return info
+
+
+def _rec_id(*cols) -> F.Column:
+    """Deterministic urn:uuid from md5 (uuid-shaped hex)."""
+    h = F.md5(F.concat_ws("|", *cols))
+    return F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12),
+        F.lit(">"),
+    )
+
+
+def warc_records(
+    crawl: DataFrame,
+    meta: CrawlMeta,
+    exclusions: list[str] | None = None,
+    redirect_prefix: str | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """crawl_log → one row per WARC record:
+    (seq, sub, record_type, url, warc_date, warc_header, body, content_type,
+    digest) ordered by (seq, sub). ``sub``: 0 response/resource, 1 request,
+    2 metadata, 3 synthetic redirect — the reference's in-group emit order
+    (``Httrack2Warc.java:208-263``).
+    """
+    df = crawl
+    for rx in exclusions or []:
+        df = df.where(~F.col("url").rlike(f"^(?:{rx})$"))  # F2: full match
+
+    exists = F.col("payload").isNotNull()
+    if not strict:
+        df = df.where(~((F.col("status") > 399) & ~exists))  # F3
+
+    content_type = resolve_mime(F.col("mime"), F.col("filename"))
+    digest = F.when(exists, sha1_base32_udf(F.col("payload")))
+    body_len = F.when(exists, F.length("payload")).otherwise(F.lit(0)).cast("long")
+    warc_date = F.date_format(F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+    # P13: headerless ≥300 → fabricate (Httrack2Warc.java:222-227)
+    fabricated = F.concat(
+        F.lit("HTTP/1.0 "), F.col("status").cast("string"),
+        F.lit(" \r\nContent-Type: "), content_type,
+        F.lit("\r\nServer: httrack2warc reconstructed header\r\n\r\n"),
+    )
+    resp_hdr = F.when(
+        F.col("response_header").isNotNull(), F.col("response_header")
+    ).when(F.col("status") >= 300, fabricated)
+    resp_hdr = F.when(
+        exists, fix_content_length(remove_transfer_encoding(resp_hdr), body_len)
+    ).otherwise(resp_hdr)
+    truncated = F.when(resp_hdr.isNotNull() & ~exists, F.lit("unspecified"))
+
+    rid = _rec_id(F.col("url"), F.col("seq").cast("string"), F.lit("response"))
+
+    base = df.select(
+        "seq",
+        "url",
+        F.col("referrer"),
+        F.col("filename"),
+        F.col("status"),
+        warc_date.alias("warc_date"),
+        content_type.alias("content_type"),
+        digest.alias("digest"),
+        body_len.alias("body_len"),
+        resp_hdr.alias("resp_hdr"),
+        truncated.alias("truncated"),
+        rid.alias("response_id"),
+        F.col("request_header"),
+        F.coalesce(F.col("payload"), F.lit(b"")).alias("payload"),
+    )
+
+    # sub 0: response (or resource when no HTTP header at all)
+    response = base.select(
+        "seq",
+        F.lit(0).alias("sub"),
+        F.when(F.col("resp_hdr").isNotNull(), F.lit("response"))
+        .otherwise(F.lit("resource"))
+        .alias("record_type"),
+        "url",
+        "warc_date",
+        F.when(
+            F.col("resp_hdr").isNotNull(),
+            F.concat(
+                F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+                F.col("url"),
+                F.lit("\r\nWARC-Date: "), F.col("warc_date"),
+                F.when(
+                    F.col("digest").isNotNull(),
+                    F.concat(F.lit("\r\nWARC-Payload-Digest: sha1:"), F.col("digest")),
+                ).otherwise(F.lit("")),
+                F.lit("\r\nWARC-Record-ID: "), F.col("response_id"),
+                F.when(
+                    F.col("truncated").isNotNull(),
+                    F.concat(F.lit("\r\nWARC-Truncated: "), F.col("truncated")),
+                ).otherwise(F.lit("")),
+                F.lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+                (F.col("body_len") + F.length(F.col("resp_hdr"))).cast("string"),
+                F.lit("\r\n\r\n"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: "),
+                F.col("url"),
+                F.lit("\r\nWARC-Record-ID: "), F.col("response_id"),
+                F.lit("\r\nWARC-Date: "), F.col("warc_date"),
+                F.lit("\r\nWARC-Block-Digest: sha1:"), F.coalesce("digest", F.lit("-")),
+                F.lit("\r\nContent-Type: "), F.col("content_type"),
+                F.lit("\r\nContent-Length: "), F.col("body_len").cast("string"),
+                F.lit("\r\n\r\n"),
+            )
+        )
+        .alias("warc_header"),
+        F.when(
+            F.col("resp_hdr").isNotNull(),
+            F.concat(F.encode("resp_hdr", "ISO-8859-1"), F.col("payload")),
+        )
+        .otherwise(F.col("payload"))
+        .alias("body"),
+        "content_type",
+        "digest",
+        "status",
+    )
+
+    request = (
+        base.where(F.col("request_header").isNotNull())
+        .select(
+            "seq",
+            F.lit(1).alias("sub"),
+            F.lit("request").alias("record_type"),
+            "url",
+            "warc_date",
+            F.concat(
+                F.lit("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: "),
+                F.col("url"),
+                F.lit("\r\nWARC-Date: "), F.col("warc_date"),
+                F.lit("\r\nWARC-Concurrent-To: "), F.col("response_id"),
+                F.lit("\r\nWARC-Record-ID: "),
+                _rec_id(F.col("url"), F.col("seq").cast("string"), F.lit("request")),
+                F.lit("\r\nContent-Type: application/http;msgtype=request\r\nContent-Length: "),
+                F.length(F.col("request_header")).cast("string"),
+                F.lit("\r\n\r\n"),
+            ).alias("warc_header"),
+            F.encode("request_header", "ISO-8859-1").alias("body"),
+            "content_type",
+            F.lit(None).cast("string").alias("digest"),
+            "status",
+        )
+    )
+
+    metadata_body = F.concat(
+        F.when(
+            F.col("referrer").isNotNull(),
+            F.concat(F.lit("via: "), F.col("referrer"), F.lit("\r\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("filename").isNotNull(),
+            F.concat(F.lit("httrackFile: "), F.col("filename"), F.lit("\r\n")),
+        ).otherwise(F.lit("")),
+    )
+    metadata = (
+        base.withColumn("meta_body", metadata_body)
+        .where(F.length("meta_body") > 0)
+        .select(
+            "seq",
+            F.lit(2).alias("sub"),
+            F.lit("metadata").alias("record_type"),
+            "url",
+            "warc_date",
+            F.concat(
+                F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
+                F.col("url"),
+                F.lit("\r\nWARC-Date: "), F.col("warc_date"),
+                F.lit("\r\nWARC-Concurrent-To: "), F.col("response_id"),
+                F.lit("\r\nWARC-Record-ID: "),
+                _rec_id(F.col("url"), F.col("seq").cast("string"), F.lit("metadata")),
+                F.lit("\r\nContent-Type: application/warc-fields\r\nContent-Length: "),
+                F.length("meta_body").cast("string"),
+                F.lit("\r\n\r\n"),
+            ).alias("warc_header"),
+            F.encode("meta_body", "ISO-8859-1").alias("body"),
+            "content_type",
+            F.lit(None).cast("string").alias("digest"),
+            "status",
+        )
+    )
+
+    parts = [response, request, metadata]
+
+    if redirect_prefix is not None:
+        # K4 (RedirectWriter.java:24-38): fabricated 301 from prefix+filename
+        # → original URL; empty body; digest of the empty body
+        from httrack2warc_spark.functions.digests import sha1_base32
+
+        empty_digest = sha1_base32(b"")
+        redir_hdr_http = F.concat(
+            F.lit("HTTP/1.1 301 Moved Permanently\r\nLocation: "),
+            F.col("url"),
+            F.lit("\r\nServer: httrack2warc synthetic redirect\r\nContent-Length: 0\r\n\r\n"),
+        )
+        redirect = (
+            base.where(F.col("filename").isNotNull())
+            .withColumn(
+                "redir_url",
+                canonicalize_urls_udf(
+                    F.concat(F.lit(redirect_prefix), F.col("filename"))
+                ),
+            )
+            .select(
+                "seq",
+                F.lit(3).alias("sub"),
+                F.lit("response").alias("record_type"),
+                F.col("redir_url").alias("url"),
+                "warc_date",
+                F.concat(
+                    F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+                    F.col("redir_url"),
+                    F.lit("\r\nWARC-Date: "), F.col("warc_date"),
+                    F.lit("\r\nWARC-Payload-Digest: sha1:"), F.lit(empty_digest),
+                    F.lit("\r\nWARC-Record-ID: "),
+                    _rec_id(F.col("redir_url"), F.col("seq").cast("string"), F.lit("redirect")),
+                    F.lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+                    F.length(redir_hdr_http).cast("string"),
+                    F.lit("\r\n\r\n"),
+                ).alias("warc_header"),
+                F.encode(redir_hdr_http, "ISO-8859-1").alias("body"),
+                "content_type",
+                F.lit(empty_digest).alias("digest"),
+                F.lit(301).alias("status"),
+            )
+        )
+        parts.append(redirect)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def warcinfo_record(spark, warcinfo: str, launch_iso: str) -> DataFrame:
+    body = warcinfo.encode("utf-8")
+    header = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: "
+        + launch_iso
+        + "\r\nWARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000000>\r\n"
+        + "Content-Type: application/warc-fields\r\nContent-Length:"
+        + str(len(body))
+        + "\r\n\r\n"
+    )
+    return spark.createDataFrame(
+        [(0, -1, "warcinfo", None, launch_iso, header, body, None, None, None)],
+        "seq long, sub int, record_type string, url string, warc_date string, "
+        "warc_header string, body binary, content_type string, digest string, status int",
+    )
+
+
+def cdx_lines(records: DataFrame, warc_filename: str = "crawl-0.warc.gz") -> DataFrame:
+    """P17/K3/O1 — 11-field CDX lines from response/resource records, globally
+    sorted byte-wise (C locale == Spark's binary string ordering on ASCII).
+    Offsets/lengths refer to the *uncompressed* serialized record (this engine
+    archives into tables, not gzip members; the column set is format-parity).
+    """
+    resp = records.where(F.col("sub").isin(0, 3))
+    ts = F.regexp_replace(F.col("warc_date"), r"[-T:Z]", "")
+    rec_len = (F.length("warc_header") + F.length("body") + F.lit(4)).cast("long")
+    line = F.concat_ws(
+        " ",
+        F.col("url"), ts, F.col("url"), F.col("content_type"),
+        F.col("status").cast("string"),
+        F.coalesce(F.col("digest"), F.lit("-")),
+        F.lit("-"), F.lit("-"),
+        rec_len.cast("string"),
+        F.lit("0"),
+        F.lit(warc_filename),
+    )
+    return resp.select(line.alias("cdx")).orderBy("cdx")
+
+
+def write_warc_file(records: DataFrame, path: str, compress: bool = True) -> None:
+    """Test-scale materializer: serialize ordered records into one WARC file
+    (per-record gzip members like the reference's Compression.GZIP,
+    ``Compression.java:24-42``). Production drains records to Iceberg instead;
+    this exists for parity tests that re-read the WARC."""
+    import gzip
+
+    rows = records.orderBy("seq", "sub").select("warc_header", "body").collect()
+    with open(path, "wb") as f:
+        for r in rows:
+            payload = r.warc_header.encode("utf-8") + bytes(r.body) + b"\r\n\r\n"
+            f.write(gzip.compress(payload) if compress else payload)

@@ -1,0 +1,66 @@
+"""Training-data pipeline operators: MinHash/LSH, SimHash, n-gram Jaccard,
+embedding near-dup (small deterministic corpora)."""
+
+from pyspark.sql import functions as F
+
+from httrack2warc_spark.operators.dedup import (
+    embedding_neardup_candidates,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+DOC_A2 = "the quick brown fox jumps over the lazy dog and runs far away into the woods today"
+DOC_B = "completely different content about spark shuffle partitions and bloom filter budgets"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A2), (3, DOC_B)], "id long, text string"
+    )
+
+
+def test_minhash_lsh_dedup(spark):
+    out = minhash_lsh_dedup(
+        _docs(spark), "text", "id", num_hashes=64, shingle_n=2,
+        bands=16, rows_per_band=4, threshold=0.5,
+    )
+    ids = {r.id for r in out.collect()}
+    assert 3 in ids
+    assert 1 in ids and 2 not in ids  # near-dup pair keeps the lower id
+
+
+def test_minhash_signature_similarity(spark):
+    sigs = {r.id: r.minhash for r in minhash_signatures(_docs(spark), "text", "id").collect()}
+    agree = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b])) / len(sigs[a])  # noqa: E731
+    assert agree(1, 2) > 0.5
+    assert agree(1, 3) < 0.2
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), "text", "id", shingle_n=2, threshold=0.5)
+    rows = pairs.collect()
+    assert {(r.a, r.b) for r in rows} == {(1, 2)}
+    assert 0.5 <= rows[0].jaccard < 1.0
+
+
+def test_simhash_dedup(spark):
+    # pigeonhole: blocks=16 guarantees a shared block for hamming ≤ 15
+    out = simhash_dedup(
+        _docs(spark), "text", "id", shingle_n=2, hamming_threshold=10, blocks=16
+    )
+    ids = {r.id for r in out.collect()}
+    assert ids == {1, 3}
+
+
+def test_embedding_neardup(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+    pairs = embedding_neardup_candidates(df, "v", "id", threshold=0.95)
+    assert {(r.a, r.b) for r in pairs.collect()} == {(1, 2)}

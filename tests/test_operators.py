@@ -1,0 +1,148 @@
+"""Operator unit tests: ordinal FIFO join (J1), first-occurrence dedup (A1),
+politeness top-k plain vs salted (O3/O4), date wraparound (P6), seen-set
+filters (J6 + Bloom/cuckoo)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from httrack2warc_spark.operators.dedup import exact_dedup, first_occurrence
+from httrack2warc_spark.operators.ordinal_join import ordinal_fifo_join
+from httrack2warc_spark.operators.seen import (
+    add_partition_and_hashes,
+    build_summaries,
+    filter_new_urls,
+    merge_summaries,
+    probe_summaries,
+)
+from httrack2warc_spark.operators.topk import per_key_topk, salted_per_key_topk
+from httrack2warc_spark.operators.windows import date_wraparound
+
+
+def test_ordinal_fifo_join_queue_semantics(spark):
+    """k-th probe occurrence of a key gets the k-th build occurrence — the
+    reference's queue poll() (HttrackCrawl.java:80-81,173-174), including the
+    http/https collapse case."""
+    probe = spark.createDataFrame(
+        [("a.b/", 1), ("a.b/", 2), ("c.d/x", 3), ("a.b/", 4)],
+        "key string, seq int",
+    )
+    build = spark.createDataFrame(
+        [("a.b/", 0, "H1"), ("a.b/", 1, "H2"), ("c.d/x", 2, "H3")],
+        "key string, bseq int, hdr string",
+    )
+    out = {
+        (r.key, r.seq): r.hdr
+        for r in ordinal_fifo_join(probe, build, "key", "seq", "bseq").collect()
+    }
+    assert out[("a.b/", 1)] == "H1"
+    assert out[("a.b/", 2)] == "H2"
+    assert out[("c.d/x", 3)] == "H3"
+    assert out[("a.b/", 4)] is None  # queue exhausted → poll() returns null
+
+
+def test_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [("f1", 3), ("f1", 1), ("f2", 2)], "file string, seq int"
+    )
+    rows = first_occurrence(df, "file", ["seq"]).collect()
+    assert {(r.file, r.seq) for r in rows} == {("f1", 1), ("f2", 2)}
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "id long, text string"
+    )
+    rows = exact_dedup(df, ["text"], "id").collect()
+    assert {r.id for r in rows} == {1, 3}
+
+
+def test_salted_topk_equals_plain(spark):
+    import random
+
+    random.seed(7)
+    data = [
+        (f"host{i % 5}", random.randint(0, 100), f"u{i}") for i in range(500)
+    ] + [("hot", random.randint(0, 100), f"h{i}") for i in range(2000)]
+    df = spark.createDataFrame(data, "host string, priority int, url string")
+    order = [F.col("priority"), F.col("url")]
+    plain = per_key_topk(df, "host", order, 7)
+    salted = salted_per_key_topk(df, "host", order, 7, salt_buckets=8, salt_on="url")
+    a = sorted((r.host, r.priority, r.url) for r in plain.collect())
+    b = sorted((r.host, r.priority, r.url) for r in salted.collect())
+    assert a == b and len(a) == 6 * 7
+
+
+def test_per_key_topk_column_budget(spark):
+    df = spark.createDataFrame(
+        [("a", i, 3) for i in range(10)] + [("b", i, 1) for i in range(10)],
+        "host string, pri int, budget int",
+    )
+    out = per_key_topk(df, "host", [F.col("pri")], F.col("budget"))
+    counts = {r.host: r.n for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 3, "b": 1}
+
+
+def test_date_wraparound(spark):
+    """time going backwards advances the date (HttrackCrawl.java:197-205)."""
+    df = spark.createDataFrame(
+        [(1, "23:59:58"), (2, "23:59:59"), (3, "00:00:01"), (4, "12:00:00"), (5, "01:00:00")],
+        "seq int, time string",
+    )
+    out = date_wraparound(df, "time", "seq", F.lit("2018-01-01").cast("date"))
+    ts = [r.timestamp for r in out.orderBy("seq").collect()]
+    assert ts[0] == datetime.datetime(2018, 1, 1, 23, 59, 58)
+    assert ts[2] == datetime.datetime(2018, 1, 2, 0, 0, 1)
+    assert ts[4] == datetime.datetime(2018, 1, 3, 1, 0, 0)
+
+
+# --- seen-set --------------------------------------------------------------
+
+
+def _hashed(spark, keys, parts=4):
+    df = spark.createDataFrame([(k,) for k in keys], "url_key string")
+    return add_partition_and_hashes(df, "url_key", parts)
+
+
+def test_bloom_no_false_negatives(spark):
+    seen_keys = [f"host{i % 3}.com/p{i}" for i in range(500)]
+    summaries = build_summaries(
+        _hashed(spark, seen_keys), 4, "bloom", capacity_per_part=1000
+    )
+    probed = probe_summaries(_hashed(spark, seen_keys), summaries)
+    assert probed.where(~F.col("maybe_seen")).count() == 0  # no false negatives
+
+
+def test_cuckoo_no_false_negatives(spark):
+    seen_keys = [f"host{i % 3}.com/p{i}" for i in range(500)]
+    summaries = build_summaries(
+        _hashed(spark, seen_keys), 4, "cuckoo", capacity_per_part=1000
+    )
+    probed = probe_summaries(_hashed(spark, seen_keys), summaries)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_filter_new_urls_exactness(spark):
+    """The summary is a gate only: output == exact anti-join, always."""
+    seen_keys = [f"s.com/{i}" for i in range(300)]
+    cand_keys = [f"s.com/{i}" for i in range(250, 400)]  # 50 dup, 100 new
+    seen = spark.createDataFrame([(k,) for k in seen_keys], "url_key string")
+    cand = spark.createDataFrame([(k,) for k in cand_keys], "url_key string")
+    summaries = build_summaries(
+        add_partition_and_hashes(seen, "url_key", 4), 4, capacity_per_part=1000
+    )
+    out = {r.url_key for r in filter_new_urls(cand, seen, summaries, "url_key", 4).collect()}
+    assert out == {f"s.com/{i}" for i in range(300, 400)}
+
+
+def test_merge_summaries_incremental(spark):
+    first = _hashed(spark, [f"a.com/{i}" for i in range(100)])
+    second = _hashed(spark, [f"b.com/{i}" for i in range(100)])
+    s1 = build_summaries(first, 4, capacity_per_part=1000)
+    s2 = merge_summaries(s1, second, 4, capacity_per_part=1000)
+    probed = probe_summaries(
+        _hashed(spark, [f"a.com/{i}" for i in range(100)] + [f"b.com/{i}" for i in range(100)]),
+        s2,
+    )
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+    assert s2.agg(F.sum("num_items")).collect()[0][0] == 200

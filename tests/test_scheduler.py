@@ -1,0 +1,118 @@
+"""Frontier scheduler golden tests: the engine must *produce* the visit order
+the reference *replays* (BASELINE.json north_rule), plus politeness, skew,
+and checkpoint/resume behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler, fixture_web
+from httrack2warc_spark.sinks.tables import TableCatalog
+
+GOLDEN_VISIT_ORDER = [
+    "http://test.example.org/robots.txt",
+    "http://test.example.org/",
+    "http://test.example.org/style.css",
+    "http://test.example.org/query.html?page=1&query=2&FOO=3&&BaR=4&&#anchor",
+    "http://test.example.org/another",
+    "http://test.example.org/redirect",
+    "http://test.example.org/page%20WITH%20%22special%22%20chars.html",
+    "http://test.example.org/image.gif",
+    "http://test.example.org/image404.png",
+]
+
+GOLDEN_SEEN = {
+    "test.example.org/robots.txt",
+    "test.example.org/",
+    "test.example.org/style.css",
+    "test.example.org/query.html?page=1&query=2&FOO=3&&BaR=4&&#anchor",
+    "test.example.org/another",
+    "test.example.org/redirect",
+    "test.example.org/page%20WITH%20%22special%22%20chars.html",
+    "test.example.org/image.gif",
+    "test.example.org/image404.png",
+}
+
+
+def _run(spark, tmp, cfg):
+    web = fixture_web(spark)
+    cat = TableCatalog(spark, str(tmp))
+    sched = FrontierScheduler(spark, cat, web, cfg)
+    log = sched.run(seeds=["http://test.example.org/"])
+    return cat, [r.url for r in log.orderBy("seq").collect()]
+
+
+def test_golden_visit_order(spark, tmp_path):
+    cat, urls = _run(spark, tmp_path, CrawlConfig(num_parts=8, max_rounds=10))
+    assert urls == GOLDEN_VISIT_ORDER
+    seen = {r.url_key for r in cat.read("url_seen").collect()}
+    assert seen == GOLDEN_SEEN
+
+
+def test_golden_visit_order_cuckoo_and_salted(spark, tmp_path):
+    cfg = CrawlConfig(
+        num_parts=8, max_rounds=10, summary_kind="cuckoo",
+        salted_topk=True, salt_buckets=4,
+    )
+    cat, urls = _run(spark, tmp_path, cfg)
+    assert urls == GOLDEN_VISIT_ORDER
+
+
+def test_exclusion_at_discovery(spark, tmp_path):
+    cfg = CrawlConfig(num_parts=8, max_rounds=10, exclusions=[".*/another"])
+    cat, urls = _run(spark, tmp_path, cfg)
+    assert "http://test.example.org/another" not in urls
+    assert len(urls) == len(GOLDEN_VISIT_ORDER) - 1
+
+
+def test_politeness_budget_spreads_rounds(spark, tmp_path):
+    cfg = CrawlConfig(num_parts=8, max_rounds=30, default_host_budget=2)
+    cat, urls = _run(spark, tmp_path, cfg)
+    # same total order (single host, deterministic tiebreak), more rounds
+    assert urls == GOLDEN_VISIT_ORDER
+    log = cat.read("crawl_log")
+    per_round = {
+        r.round: r.n
+        for r in log.groupBy("round").agg(F.count("*").alias("n")).collect()
+    }
+    assert max(per_round.values()) <= 3  # 2 budget + 1 robots in round 0
+    assert len(per_round) >= 4
+
+
+def test_resume_midway(spark, tmp_path):
+    """Kill the crawl after round 0, resume, and get the identical final log."""
+    web = fixture_web(spark)
+    cat = TableCatalog(spark, str(tmp_path))
+    cfg = CrawlConfig(num_parts=8, max_rounds=10)
+    sched = FrontierScheduler(spark, cat, web, cfg)
+    sched.start(["http://test.example.org/"])
+    fetched, next_seq = sched.run_round(0, 0)
+    assert fetched == 2  # robots + seed
+
+    sched2 = FrontierScheduler(spark, TableCatalog(spark, str(tmp_path)), web, cfg)
+    log = sched2.run(resume=True)
+    assert [r.url for r in log.orderBy("seq").collect()] == GOLDEN_VISIT_ORDER
+
+
+def test_metrics_lineage(spark, tmp_path):
+    cat, urls = _run(spark, tmp_path, CrawlConfig(num_parts=8, max_rounds=10))
+    m = cat.read("metrics")
+    total_fetched = m.agg(F.sum("fetched")).collect()[0][0]
+    assert total_fetched == len(GOLDEN_VISIT_ORDER)
+    assert {r.part for r in m.collect()} <= set(range(8))
+
+
+def test_robots_rules_block(spark, tmp_path):
+    web = fixture_web(spark)
+    cat = TableCatalog(spark, str(tmp_path))
+    robots = web.pages.sparkSession.createDataFrame(
+        [("test.example.org", ["/image"])], "host string, disallow array<string>"
+    )
+    sched = FrontierScheduler(
+        web.pages.sparkSession, cat, web,
+        CrawlConfig(num_parts=8, max_rounds=10), robots=robots,
+    )
+    log = sched.run(seeds=["http://test.example.org/"])
+    urls = [r.url for r in log.orderBy("seq").collect()]
+    assert "http://test.example.org/image.gif" not in urls
+    assert "http://test.example.org/image404.png" not in urls
+    assert "http://test.example.org/style.css" in urls

@@ -1,0 +1,73 @@
+"""Golden tests for the URL kernel (reference HtsUtilTest + fixture URLs)."""
+
+from httrack2warc_spark.functions.digests import sha1_base32
+from httrack2warc_spark.functions.urls import (
+    canonicalize_url,
+    make_header_key,
+    percent_decode,
+    percent_encode,
+    strip_protocol,
+    url_host,
+)
+
+
+def test_percent_encode_golden():
+    # test/.../HtsUtilTest.java:6-8
+    assert percent_encode('a b \0 "c"') == "a%20b%20%00%20%22c%22"
+
+
+def test_percent_encode_backslash():
+    assert percent_encode("a\\b") == "a/b"
+
+
+def test_percent_decode_tolerant():
+    assert percent_decode("a%20b") == "a b"
+    assert percent_decode("a%2") == "a%2"  # trailing % passes through
+    assert percent_decode("%zz") == "%zz"
+
+
+def test_canonicalize_fixture_urls():
+    # fixture URLs must round-trip verbatim (Httrack2WarcTest.java:82,90)
+    for u in [
+        "http://test.example.org/query.html?page=1&query=2&FOO=3&&BaR=4&&#anchor",
+        "http://test.example.org/page%20WITH%20%22special%22%20chars.html",
+        "http://test.example.org/",
+        "http://test.example.org/robots.txt",
+    ]:
+        assert canonicalize_url(u) == u
+
+
+def test_canonicalize_schemeless():
+    # early HTTrack logs omit the scheme (HtsUtil.java:31-34, HtsTxtParserTest.testEarly)
+    assert (
+        canonicalize_url("www.industry.gov.au/acreagereleases/ar_home.html")
+        == "http://www.industry.gov.au/acreagereleases/ar_home.html"
+    )
+
+
+def test_canonicalize_normalization():
+    assert canonicalize_url("HTTP://Example.COM:80/a/../b/./c") == "http://example.com/b/c"
+    assert canonicalize_url("https://example.com:443/") == "https://example.com/"
+    assert canonicalize_url("http://example.com") == "http://example.com/"
+    assert canonicalize_url("http://example.com\\x\\y") == "http://example.com/x/y"
+    assert canonicalize_url("http://0x7f.0.0.1/") == "http://127.0.0.1/"
+    assert canonicalize_url("http://example.com/a b\"c") == "http://example.com/a%20b%22c"
+    assert canonicalize_url("http://example.com/x#fr ag") == "http://example.com/x#fr%20ag"
+
+
+def test_strip_protocol_and_header_key():
+    assert strip_protocol("https://a.b/c") == "a.b/c"
+    assert strip_protocol("http://a.b/c") == "a.b/c"
+    assert strip_protocol("ftp://a.b/c") == "ftp://a.b/c"
+    # http/https collapse onto one key (HttrackCrawl.java:71-75)
+    assert make_header_key("http://A.B/c") == make_header_key("https://A.B/c")
+
+
+def test_url_host():
+    assert url_host("http://User@A.b:8080/x?q#f") == "a.b:8080"
+    assert url_host("http://test.example.org/") == "test.example.org"
+
+
+def test_sha1_base32_golden():
+    # empty-body digest (test/.../RedirectWriterTest.java:36)
+    assert sha1_base32(b"") == "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ"
