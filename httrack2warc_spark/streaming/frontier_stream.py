@@ -1,0 +1,102 @@
+"""Streaming frontier ingestion (SURVEY.md §2.9).
+
+The scheduler proper is an iterative batch loop (per-round global per-host
+top-k needs a barrier), but *discovery ingestion* — new candidate URLs
+arriving continuously from fetcher workers — maps cleanly onto Structured
+Streaming with ``foreachBatch``: each micro-batch runs the same
+canonicalize → exclusion → within-batch first-occurrence dedup →
+Bloom-gated anti-join pipeline as the batch scheduler, and commits new
+frontier rows + seen-set updates through the same TableCatalog, so batch
+rounds and streaming ingestion share one state store.
+
+Source contract: a stream of ``(dst_url string, referrer string, parent_seq
+long, link_idx int, parent_depth int)`` rows (any streaming source — files,
+Kafka, rate). Late/duplicate arrivals are idempotent: the seen-set anti-join
+drops re-discoveries regardless of arrival order (the streaming analogue of
+the reference's first-wins HashSet, ``HttrackCrawl.java:130,255-258``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from httrack2warc_spark.functions.urls import canonicalize_urls_udf, strip_protocol_col, url_host_col
+from httrack2warc_spark.operators.dedup import first_occurrence
+from httrack2warc_spark.operators.seen import (
+    add_partition_and_hashes,
+    filter_new_urls,
+    merge_summaries,
+)
+from httrack2warc_spark.sinks.tables import TableCatalog
+
+__all__ = ["run_discovery_stream"]
+
+
+def run_discovery_stream(
+    spark: SparkSession,
+    candidates_stream: DataFrame,
+    catalog: TableCatalog,
+    num_parts: int = 32,
+    exclusions: list[str] | None = None,
+    use_summaries: bool = True,
+    checkpoint_dir: str | None = None,
+):
+    """Wire a streaming candidate source into the frontier state tables.
+    Returns the StreamingQuery; callers pick the trigger (availableNow for
+    drain-and-stop, processingTime for continuous)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cand = (
+            batch_df.withColumn("url", canonicalize_urls_udf(F.col("dst_url")))
+            .withColumn("url_key", strip_protocol_col(F.col("url")))
+            .withColumn("host", url_host_col(F.col("url")))
+            .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
+            .withColumn("priority", (F.col("parent_depth") + 1).cast("int"))
+            .select(
+                "url", "url_key", "host", "depth", "priority",
+                "parent_seq", "link_idx", "referrer",
+            )
+        )
+        for rx in exclusions or []:
+            cand = cand.where(~F.col("url").rlike(f"^(?:{rx})$"))
+        cand = first_occurrence(
+            cand, "url_key", ["parent_seq", "link_idx"], tiebreak=["url"]
+        )
+
+        seen = catalog.read("url_seen")
+        summaries = catalog.read("seen_summary") if use_summaries else None
+        new_rows = filter_new_urls(
+            cand, seen, summaries, "url_key", num_parts
+        ).persist()
+
+        catalog.write(
+            "frontier",
+            catalog.read("frontier").unionByName(
+                new_rows.select(
+                    "url", "url_key", "host", "depth", "priority",
+                    "parent_seq", "link_idx", "referrer",
+                )
+            ),
+        )
+        new_seen = new_rows.select(
+            "url_key", "url", F.lit(-1).alias("enqueued_round")
+        )
+        catalog.write("url_seen", seen.unionByName(new_seen))
+        if use_summaries:
+            catalog.write(
+                "seen_summary",
+                merge_summaries(
+                    summaries,
+                    add_partition_and_hashes(new_seen, "url_key", num_parts),
+                    num_parts,
+                ),
+            )
+        new_rows.unpersist()
+
+    writer = candidates_stream.writeStream.foreachBatch(process_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
