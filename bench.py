@@ -68,9 +68,9 @@ def main() -> None:
     from httrack2warc_spark.sinks.tables import TableCatalog
     import tempfile
 
-    n_hosts, pages = 20, 500
+    n_hosts, pages = 50, 2000
     web, seeds = generate_web(spark, n_hosts=n_hosts, pages_per_host=pages,
-                              out_degree=4, cross_host_every=1)
+                              out_degree=8, cross_host_every=1)
     web.pages = web.pages.persist()
     web.links = web.links.persist()
     web.pages.count(), web.links.count()
@@ -78,7 +78,8 @@ def main() -> None:
     sched = FrontierScheduler(
         spark, cat, web,
         CrawlConfig(num_parts=int(cpus), max_rounds=12,
-                    default_host_budget=10_000, fetch_robots=False),
+                    default_host_budget=100_000, fetch_robots=False,
+                    summary_capacity_per_part=500_000, summary_every=3),
     )
     t0 = time.time()
     log = sched.run(seeds=seeds)

@@ -102,6 +102,11 @@ class CrawlConfig:
     summary_capacity_per_part: int = 1_000_000
     summary_fpp: float = 0.01
     use_summaries: bool = True
+    # merge new keys into the filter bytes every K rounds; in between,
+    # probe-misses anti-join the (small) unsummarized tail — at 10^10 keys
+    # this avoids rewriting multi-GB filters every round
+    summary_every: int = 1
+    parallel_commits: bool = True          # independent table commits in threads
 
 
 class FrontierScheduler:
@@ -307,6 +312,12 @@ class FrontierScheduler:
         summaries = (
             self.catalog.read("seen_summary") if cfg.use_summaries else None
         )
+        covered = getattr(self, "_summary_covered_round", 0)
+        tail = (
+            seen.where(F.col("enqueued_round") > covered)
+            if cfg.use_summaries and cfg.summary_every > 1
+            else None
+        )
         # robots fetches are logged but their url_keys must also be marked seen
         robots_seen = (
             fetched.where(F.col("__robots") == 0)
@@ -315,7 +326,7 @@ class FrontierScheduler:
         )
         new_frontier = filter_new_urls(
             candidates, seen, summaries, "url_key",
-            cfg.num_parts, cfg.summary_fpp,
+            cfg.num_parts, cfg.summary_fpp, unsummarized=tail,
         )
         # also exclude robots keys fetched this round
         new_frontier = new_frontier.join(
@@ -343,24 +354,41 @@ class FrontierScheduler:
         )
 
         # ---- commit ------------------------------------------------------
-        self.catalog.write("frontier", next_frontier)
-        self.catalog.write("url_seen", seen.unionByName(new_seen_rows))
+        # url_seen is append-only (set semantics): appending just the round's
+        # new keys keeps the commit O(delta); a full-rewrite union would make
+        # every round O(total-seen) — the classic iterative-state trap.
+        # Commits of independent tables run concurrently (Spark schedules
+        # jobs from multiple threads; inputs are persisted, so each commit is
+        # a cheap cached scan + write).
+        new_seen_rows = new_seen_rows.persist()
+        commits = [
+            lambda: self.catalog.write("frontier", next_frontier),
+            lambda: self.catalog.append("url_seen", new_seen_rows),
+        ]
         if cfg.fetch_robots:
-            self.catalog.write(
-                "hosts_crawled",
-                self.catalog.read("hosts_crawled")
-                .unionByName(fetched.select("host"))
-                .distinct(),
+            commits.append(
+                lambda: self.catalog.write(
+                    "hosts_crawled",
+                    self.catalog.read("hosts_crawled")
+                    .unionByName(fetched.select("host"))
+                    .distinct(),
+                )
             )
-        if cfg.use_summaries:
-            hashed_new = add_partition_and_hashes(
-                new_seen_rows, "url_key", cfg.num_parts
-            )
+        merge_now = cfg.use_summaries and (
+            cfg.summary_every <= 1 or (round_no + 1) % cfg.summary_every == 0
+        )
+        if merge_now:
+            # fold in everything since the last merge: the standing tail plus
+            # this round's new keys (both already computed — no re-read)
+            delta = new_seen_rows.select("url_key")
+            if tail is not None:
+                delta = delta.unionByName(tail.select("url_key"))
+            hashed_new = add_partition_and_hashes(delta, "url_key", cfg.num_parts)
             merged = merge_summaries(
                 summaries, hashed_new, cfg.num_parts,
                 cfg.summary_kind, cfg.summary_capacity_per_part, cfg.summary_fpp,
             )
-            self.catalog.write("seen_summary", merged)
+            commits.append(lambda: self.catalog.write("seen_summary", merged))
 
         metrics = (
             add_partition_and_hashes(log_rows, "url_key", cfg.num_parts)
@@ -384,10 +412,31 @@ class FrontierScheduler:
                 F.coalesce("bytes", F.lit(0)).alias("bytes"),
             )
         )
-        self.catalog.append("metrics", metrics)
-        self.catalog.snapshot(f"round-{round_no}", {"round": round_no, "next_seq": next_seq})
+        commits.append(lambda: self.catalog.append("metrics", metrics))
+
+        if cfg.parallel_commits:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(commits)) as pool:
+                for f in list(pool.map(lambda c: c(), commits)):
+                    pass
+        else:
+            for c in commits:
+                c()
+
+        if merge_now:
+            self._summary_covered_round = round_no + 1
+        self.catalog.snapshot(
+            f"round-{round_no}",
+            {
+                "round": round_no,
+                "next_seq": next_seq,
+                "summary_covered_round": getattr(self, "_summary_covered_round", 0),
+            },
+        )
         fetched.unpersist()
         new_frontier.unpersist()
+        new_seen_rows.unpersist()
         return n_fetched, next_seq
 
     # ------------------------------------------------------------------ run
@@ -401,6 +450,7 @@ class FrontierScheduler:
             payload = self.catalog.rollback_to_snapshot(last)
             round_no = payload["round"] + 1
             next_seq = payload["next_seq"]
+            self._summary_covered_round = payload.get("summary_covered_round", 0)
         else:
             assert seeds is not None
             self.start(seeds)

@@ -317,11 +317,18 @@ def filter_new_urls(
     key_col: str,
     num_parts: int,
     fpp: float = 0.01,
+    unsummarized: DataFrame | None = None,
 ) -> DataFrame:
     """The J6 discovery anti-join with the summary pre-filter as a gate.
 
     new = probe-misses ∪ (probe-hits ⟂ exact-seen). Without summaries it
     degrades to the plain anti-join (correct, just slower at scale).
+
+    ``unsummarized``: seen keys appended *after* the summaries were last
+    merged. Probe-misses are anti-joined against this (small) tail, which
+    makes stale summaries safe — at 10^10 keys you refresh the multi-GB
+    filter bytes every K rounds, not every round, and pay only a tail-sized
+    exact join in between.
     """
     hashed = add_partition_and_hashes(candidates, key_col, num_parts)
     if summaries is None:
@@ -330,6 +337,8 @@ def filter_new_urls(
         )
     probed = probe_summaries(hashed, summaries, fpp)
     misses = probed.where(~F.col("maybe_seen"))
+    if unsummarized is not None:
+        misses = misses.join(unsummarized.select(key_col), key_col, "left_anti")
     hits = probed.where(F.col("maybe_seen"))
     confirmed_new = hits.join(seen_exact.select(key_col), key_col, "left_anti")
     return misses.unionByName(confirmed_new).drop("part", "h1", "h2", "maybe_seen")

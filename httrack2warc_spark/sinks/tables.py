@@ -3,21 +3,20 @@
 The production design is Iceberg (snapshot-per-round commits give the
 north_rule's checkpoint/resume + time travel; ``write.target-file-size-bytes``
 replaces the reference's 1 GiB WARC rotation, ``RotatingFile.java:42-54``).
-This sandbox ships no Iceberg runtime jar, so the catalog degrades to
-versioned parquet directories with the same commit semantics:
+This sandbox ships no Iceberg runtime jar, so the catalog implements the same
+commit model over parquet directly — **manifest-of-file-sets versioning**,
+which is exactly Iceberg's snapshot/manifest mechanism in miniature:
 
-- ``write(name, df)``        — atomic overwrite via write-new-version-then-
-                               publish-manifest (crash-safe: readers only see
-                               versions named in the manifest)
-- ``append(name, df)``       — append a new file-set under the current version
-- ``read(name)``             — latest committed version
-- ``snapshot(tag)``          — record the current version of every table under
-                               a tag (the per-round checkpoint)
-- ``load_snapshot(tag)``     — pin reads to a tag (resume path)
-
-Every commit also writes per-partition lineage metrics when the caller passes
-them (north_rule: "per-partition lineage and fetch/dedup metrics written
-alongside each Iceberg snapshot").
+- every commit writes a fresh parquet file-set directory, never mutating an
+  existing one;
+- a table version is a JSON manifest listing the file-set directories that
+  make up the table (append = previous list + one new set ⇒ O(delta) commits,
+  no rewrite of accumulated state);
+- the table's current version is published by an atomic rename; readers only
+  ever see committed manifests;
+- ``snapshot(tag)`` records every table's current version (the per-round
+  checkpoint); ``rollback_to_snapshot`` republishes those versions (crash
+  resume) — appended-but-unsnapshotted file-sets are simply unreferenced.
 """
 
 from __future__ import annotations
@@ -25,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,9 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.iceberg.spark.SparkCatalog"
-        )
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
         return True
     except Exception:
         return False
@@ -48,38 +46,55 @@ class TableCatalog:
         self._pinned: dict[str, int] | None = None
 
     # -- manifest helpers ---------------------------------------------------
-    def _manifest_path(self, name: str) -> Path:
-        return self.root / name / "_manifest.json"
+    def _table_dir(self, name: str) -> Path:
+        return self.root / name
+
+    def _manifest_path(self, name: str, version: int) -> Path:
+        return self._table_dir(name) / f"_v{version}.json"
+
+    def _current_ptr(self, name: str) -> Path:
+        return self._table_dir(name) / "_current.json"
 
     def _current_version(self, name: str) -> int | None:
-        mp = self._manifest_path(name)
-        if not mp.exists():
+        ptr = self._current_ptr(name)
+        if not ptr.exists():
             return None
-        return json.loads(mp.read_text())["version"]
+        return json.loads(ptr.read_text())["version"]
 
-    def _publish(self, name: str, version: int) -> None:
-        mp = self._manifest_path(name)
-        tmp = mp.with_suffix(".tmp")
-        tmp.write_text(json.dumps({"version": version, "ts": time.time()}))
-        os.replace(tmp, mp)  # atomic publish
+    def _manifest(self, name: str, version: int) -> dict:
+        return json.loads(self._manifest_path(name, version).read_text())
 
-    # -- public API ----------------------------------------------------------
-    def write(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+    def _commit(self, name: str, files: list[str]) -> None:
         version = (self._current_version(name) or 0) + 1
-        path = self.root / name / f"v{version}"
+        self._manifest_path(name, version).write_text(
+            json.dumps({"version": version, "files": files, "ts": time.time()})
+        )
+        tmp = self._current_ptr(name).with_suffix(".tmp")
+        tmp.write_text(json.dumps({"version": version}))
+        os.replace(tmp, self._current_ptr(name))  # atomic publish
+
+    def _write_fileset(self, name: str, df: DataFrame,
+                       partition_by: list[str] | None = None) -> str:
+        path = self._table_dir(name) / "data" / uuid.uuid4().hex[:12]
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(str(path))
-        self._publish(name, version)
+        return str(path)
+
+    # -- public API ----------------------------------------------------------
+    def write(self, name: str, df: DataFrame,
+              partition_by: list[str] | None = None) -> None:
+        self._table_dir(name).mkdir(parents=True, exist_ok=True)
+        self._commit(name, [self._write_fileset(name, df, partition_by)])
 
     def append(self, name: str, df: DataFrame) -> None:
         version = self._current_version(name)
         if version is None:
             self.write(name, df)
             return
-        path = self.root / name / f"v{version}"
-        df.write.mode("append").parquet(str(path))
+        prior = self._manifest(name, version)["files"]
+        self._commit(name, prior + [self._write_fileset(name, df)])
 
     def exists(self, name: str) -> bool:
         return self._current_version(name) is not None
@@ -90,13 +105,14 @@ class TableCatalog:
         ) or self._current_version(name)
         if version is None:
             raise FileNotFoundError(f"table {name} has no committed version")
-        return self.spark.read.parquet(str(self.root / name / f"v{version}"))
+        files = self._manifest(name, version)["files"]
+        return self.spark.read.parquet(*files)
 
     def snapshot(self, tag: str, extra: dict | None = None) -> None:
         versions = {
             p.name: self._current_version(p.name)
             for p in self.root.iterdir()
-            if p.is_dir() and self._manifest_path(p.name).exists()
+            if p.is_dir() and self._current_ptr(p.name).exists()
         }
         snapdir = self.root / "_snapshots"
         snapdir.mkdir(exist_ok=True)
@@ -111,7 +127,9 @@ class TableCatalog:
         payload = json.loads((self.root / "_snapshots" / f"{tag}.json").read_text())
         for name, version in payload["tables"].items():
             if version is not None:
-                self._publish(name, version)
+                tmp = self._current_ptr(name).with_suffix(".tmp")
+                tmp.write_text(json.dumps({"version": version}))
+                os.replace(tmp, self._current_ptr(name))
         self._pinned = None
         return payload
 
