@@ -28,15 +28,15 @@ spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
 spark.sparkContext.setLogLevel("ERROR")
 from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler, generate_web
 from httrack2warc_spark.sinks.tables import TableCatalog
-web, seeds = generate_web(spark, n_hosts=50, pages_per_host=2000,
-                          out_degree=8, cross_host_every=1)
+web, seeds = generate_web(spark, n_hosts=100, pages_per_host=5000,
+                          out_degree=12, cross_host_every=1)
 web.pages = web.pages.persist(); web.links = web.links.persist()
 web.pages.count(); web.links.count()
 cat = TableCatalog(spark, tempfile.mkdtemp(prefix=f"scaling{cpus}_"))
 sched = FrontierScheduler(spark, cat, web,
     CrawlConfig(num_parts=int(cpus), max_rounds=12,
                 default_host_budget=100_000, fetch_robots=False,
-                summary_capacity_per_part=500_000, summary_every=3))
+                summary_capacity_per_part=2_000_000, summary_every=3))
 t0 = time.time()
 log = sched.run(seeds=seeds)
 n = log.count()

@@ -118,6 +118,7 @@ class FrontierScheduler:
         config: CrawlConfig | None = None,
         host_budget: DataFrame | None = None,
         robots: DataFrame | None = None,
+        image_table: DataFrame | None = None,
     ):
         """``web`` provides ``fetch(selected) -> DataFrame`` (adds status, mime,
         size, localfile, image_id) and ``outlinks(fetched) -> DataFrame``
@@ -130,6 +131,7 @@ class FrontierScheduler:
         self.cfg = config or CrawlConfig()
         self.host_budget = host_budget
         self.robots = robots
+        self.image_table = image_table
 
     # ------------------------------------------------------------------ utils
     def _canonicalize(self, df: DataFrame, url_col: str) -> DataFrame:
@@ -413,6 +415,29 @@ class FrontierScheduler:
             )
         )
         commits.append(lambda: self.catalog.append("metrics", metrics))
+
+        # ---- image payload drain (north_rule: fetched image+caption records
+        # land in the table store; the per-row invariant is checked in the
+        # same pass — decode/phash are Arrow UDFs in functions.images)
+        if self.image_table is not None:
+            from httrack2warc_spark.functions.images import with_decode_check
+
+            fetched_images = (
+                fetched.where(F.col("image_id").isNotNull())
+                .select("image_id", "seq", "url")
+                .join(self.image_table, "image_id")
+            )
+            checked = with_decode_check(fetched_images).select(
+                "image_id", "fmt", "decoded_ok", "psnr_db", "phash_ok", "caption_ok",
+                F.lit(round_no).alias("round"),
+            )
+            drained = fetched_images.select(
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                F.col("seq").alias("fetch_seq"),
+                F.col("url").alias("fetch_url"),
+            )
+            commits.append(lambda: self.catalog.append("images_fetched", drained))
+            commits.append(lambda: self.catalog.append("image_checks", checked))
 
         if cfg.parallel_commits:
             from concurrent.futures import ThreadPoolExecutor
