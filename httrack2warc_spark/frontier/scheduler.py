@@ -107,6 +107,9 @@ class CrawlConfig:
     # this avoids rewriting multi-GB filters every round
     summary_every: int = 1
     parallel_commits: bool = True          # independent table commits in threads
+    # "single" = one-window seq stamping (small rounds); "ranged" =
+    # range-partitioned distributed stamping (10^9-row rounds)
+    seq_mode: str = "single"
 
 
 class FrontierScheduler:
@@ -263,11 +266,17 @@ class FrontierScheduler:
             selected = selected.unionByName(robots_rows)
 
         # total order: ordering tuple, then robots-before-page, then url
-        w = Window.partitionBy(F.lit(0)).orderBy(
-            "priority", "parent_seq", "link_idx", "__robots", "url"
-        )
-        sequenced = selected.withColumn(
-            "seq", F.row_number().over(w) + F.lit(next_seq - 1)
+        from httrack2warc_spark.operators.sequence import with_global_seq
+
+        seq_caches: list = []
+        sequenced = with_global_seq(
+            selected,
+            [F.col("priority"), F.col("parent_seq"), F.col("link_idx"),
+             F.col("__robots"), F.col("url")],
+            start=next_seq,
+            mode=cfg.seq_mode,
+            num_partitions=cfg.num_parts,
+            cache_handle=seq_caches,
         )
 
         # materialized once: reused by log append, seen update, leftover
@@ -462,6 +471,8 @@ class FrontierScheduler:
         fetched.unpersist()
         new_frontier.unpersist()
         new_seen_rows.unpersist()
+        for c in seq_caches:
+            c.unpersist()
         return n_fetched, next_seq
 
     # ------------------------------------------------------------------ run

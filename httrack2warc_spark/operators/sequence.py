@@ -1,0 +1,75 @@
+"""Global sequence assignment (O2 — visit-order discipline).
+
+The reference's visit order is implicit in single-threaded iteration
+(``HtsTxtParser.java:58-68``); Spark gives no free total order, so the engine
+stamps explicit ``seq`` values. Two strategies:
+
+- ``single``: one ``row_number`` window over the total ordering key. Exact
+  and cheap for small/medium round batches, but funnels every row through one
+  task — the wrong plan for a 10^9-row round.
+- ``ranged``: the distributed form. ``repartitionByRange`` on the ordering
+  key (Spark's range exchange samples split points), per-partition
+  ``row_number``, then each partition's offset = exclusive prefix sum of
+  partition counts (one tiny collect of N_partition longs, broadcast back as
+  a join on partition id). Total order identical to ``single`` for any total
+  (tie-free) ordering key; work is fully parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_global_seq"]
+
+
+def with_global_seq(
+    df: DataFrame,
+    order: list,
+    start: int = 0,
+    out_col: str = "seq",
+    mode: str = "single",
+    num_partitions: int | None = None,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """Stamp ``out_col`` = start, start+1, … in the total order given by
+    ``order`` (must be tie-free for determinism).
+
+    Ranged mode persists the range-partitioned input (the offsets collected
+    from the counts job MUST see the same partitioning as the final job —
+    recomputation could re-sample range boundaries). The cached DataFrame is
+    appended to ``cache_handle`` so the caller can unpersist once downstream
+    results are materialized.
+    """
+    if mode == "single":
+        w = Window.partitionBy(F.lit(0)).orderBy(*order)
+        return df.withColumn(out_col, F.row_number().over(w).cast("long") + F.lit(start - 1))
+
+    if mode != "ranged":
+        raise ValueError(mode)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    if cache_handle is not None:
+        cache_handle.append(ranged)
+    counts = (
+        ranged.groupBy("__pid").agg(F.count("*").alias("__n")).orderBy("__pid").collect()
+    )
+    offsets, acc = {}, start
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["__n"]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    out = (
+        ranged.join(off_df, "__pid")
+        .withColumn(out_col, F.row_number().over(w).cast("long") + F.col("__off") - 1)
+        .drop("__pid", "__off")
+    )
+    return out
