@@ -75,8 +75,9 @@ for _ in range(3):
     cand = (raw.withColumn("url", canonicalize_urls_udf("dst_url"))
             .withColumn("url_key", strip_protocol_col(F.col("url")))
             .withColumn("host", url_host_col(F.col("url"))))
-    cand = first_occurrence(cand, "url_key", ["ord"])
-    new = filter_new_urls(cand, seen, summaries, "url_key", PARTS)
+    # first-occurrence dedup folded into the probe cogroup (one exchange)
+    new = filter_new_urls(cand, seen, summaries, "url_key", PARTS,
+                          dedup_order=["ord"])
     sel = per_key_topk(new, "host", [F.col("ord"), F.col("url")], 2000)
     caches = []
     out = with_global_seq(sel, [F.col("ord"), F.col("url")], mode="ranged",
@@ -160,7 +161,7 @@ N=2 vs 4N=8 keeps both levels inside reliably-free capacity.
 ## 1. Round dataflow (the throughput-critical path)
 
 8M raw candidate URLs (50% re-discoveries) → WHATWG canonicalize (Arrow UDF)
-→ first-occurrence dedup → partitioned-Bloom probe over a 4M-key seen set
+→ partitioned-Bloom probe with folded first-occurrence dedup over a 4M-key seen set
 (64 MurmurHash3 partitions) → exact anti-join confirm → per-host top-k
 (10k hosts) → distributed (ranged) seq stamping. One job; this is what a
 1000-executor round spends its wall-clock on.

@@ -315,9 +315,8 @@ class FrontierScheduler:
             )
         )
         candidates = self._apply_exclusions(candidates)
-        candidates = first_occurrence(
-            candidates, "url_key", ["parent_seq", "link_idx"], tiebreak=["url"]
-        )
+        # within-batch first-occurrence dedup (A1/A2) is folded into the
+        # probe cogroup below (dedup_order) — one exchange, not two
 
         seen = self.catalog.read("url_seen")
         summaries = (
@@ -338,6 +337,7 @@ class FrontierScheduler:
         new_frontier = filter_new_urls(
             candidates, seen, summaries, "url_key",
             cfg.num_parts, cfg.summary_fpp, unsummarized=tail,
+            dedup_order=["parent_seq", "link_idx", "url"],
         )
         # also exclude robots keys fetched this round
         new_frontier = new_frontier.join(

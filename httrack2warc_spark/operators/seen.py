@@ -276,9 +276,17 @@ def merge_summaries(old: DataFrame, delta_hashed: DataFrame, num_parts: int,
 
 
 def probe_summaries(candidates_hashed: DataFrame, summaries: DataFrame,
-                    fpp: float = 0.01) -> DataFrame:
+                    fpp: float = 0.01,
+                    dedup_key: str | None = None,
+                    dedup_order: list[str] | None = None) -> DataFrame:
     """cogroup probe → candidates + ``maybe_seen`` boolean. Partitions with no
-    summary row (nothing seen there yet) probe as all-new."""
+    summary row (nothing seen there yet) probe as all-new.
+
+    ``dedup_key``/``dedup_order``: fold the within-batch first-occurrence
+    dedup into the same cogroup (rows sharing a key share a hash partition,
+    so the group sees every duplicate) — a pandas sort+drop_duplicates here
+    replaces a whole extra exchange+window stage in the discovery pipeline.
+    """
     out_schema = StructType(
         candidates_hashed.schema.fields + [StructField("maybe_seen", BooleanType(), False)]
     )
@@ -288,6 +296,10 @@ def probe_summaries(candidates_hashed: DataFrame, summaries: DataFrame,
             out = cand.copy()
             out["maybe_seen"] = np.zeros(0, dtype=bool)
             return out
+        if dedup_key is not None:
+            cand = cand.sort_values(dedup_order or [dedup_key]).drop_duplicates(
+                dedup_key, keep="first"
+            )
         if not len(summ) or summ["bits"].iloc[0] is None:
             maybe = np.zeros(len(cand), dtype=bool)
         else:
@@ -318,6 +330,7 @@ def filter_new_urls(
     num_parts: int,
     fpp: float = 0.01,
     unsummarized: DataFrame | None = None,
+    dedup_order: list[str] | None = None,
 ) -> DataFrame:
     """The J6 discovery anti-join with the summary pre-filter as a gate.
 
@@ -329,13 +342,25 @@ def filter_new_urls(
     makes stale summaries safe — at 10^10 keys you refresh the multi-GB
     filter bytes every K rounds, not every round, and pay only a tail-sized
     exact join in between.
+
+    ``dedup_order``: also first-occurrence-dedup the candidates on
+    ``key_col`` (winner = min by these columns) inside the probe cogroup —
+    one exchange instead of a separate shuffle+window (see probe_summaries).
     """
     hashed = add_partition_and_hashes(candidates, key_col, num_parts)
     if summaries is None:
+        if dedup_order is not None:
+            from httrack2warc_spark.operators.dedup import first_occurrence
+
+            hashed = first_occurrence(hashed, key_col, dedup_order)
         return hashed.join(seen_exact.select(key_col), key_col, "left_anti").drop(
             "part", "h1", "h2"
         )
-    probed = probe_summaries(hashed, summaries, fpp)
+    probed = probe_summaries(
+        hashed, summaries, fpp,
+        dedup_key=key_col if dedup_order is not None else None,
+        dedup_order=dedup_order,
+    )
     misses = probed.where(~F.col("maybe_seen"))
     if unsummarized is not None:
         misses = misses.join(unsummarized.select(key_col), key_col, "left_anti")

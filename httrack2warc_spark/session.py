@@ -14,10 +14,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Kept deliberately small: image/binary rows are large, and Arrow transfer
-# cost is per-batch-amortised anyway (BASELINE.json: "Arrow batch size tuned
-# for image payloads").
-ARROW_MAX_RECORDS_PER_BATCH = "2048"
+# Default sized for the URL/string hot path (small batches starve the Arrow
+# pipeline with per-batch overhead). Jobs moving MB-sized binary rows
+# (full-resolution image payloads) should override via extra_conf —
+# BASELINE.json's "Arrow batch size tuned for image payloads" note; the
+# sandbox's synthetic images are KBs, so the default holds there too.
+ARROW_MAX_RECORDS_PER_BATCH = "10000"
 
 
 def get_spark(
