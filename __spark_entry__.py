@@ -321,6 +321,34 @@ def embedding_topk_q(spark, sf_dir):
     ).orderBy(F.col("cos_sim").desc(), "vec_id")
 
 
+def ngram_jaccard_q(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs (threshold 0.5) over documents."""
+    from httrack2warc_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+    return out.select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("a", "b")
+
+
+def ivf_ann_q(spark, sf_dir):
+    """IVF-style ANN for one query vector (rows-only: probabilistic recall)."""
+    from httrack2warc_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("v")
+    )
+    out = ivf_topk(
+        emb.where(F.col("vec_id") != 0), queries, "v", "vec_id",
+        k=10, n_cells=8, nprobe=3,
+    )
+    return out.select("vec_id").orderBy("vec_id")
+
+
 def minhash_neardup_q(spark, sf_dir):
     """MinHash+LSH near-dup survivors over documents (no SQL oracle — hash
     family is engine-specific; driver records the rows-only check)."""
@@ -408,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_resolution": mime_resolution_q,
         "strip_protocol": strip_protocol_q,
         "embedding_topk": embedding_topk_q,
+        "ngram_jaccard": ngram_jaccard_q,
+        "ivf_ann": ivf_ann_q,
         "minhash_neardup": minhash_neardup_q,
         "simhash_neardup": simhash_neardup_q,
         "lsh_ann": lsh_ann_q,
@@ -626,7 +656,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id
             LIMIT 10
         """,
-        # minhash_neardup / simhash_neardup / lsh_ann / image_invariant /
-        # frontier_crawl: engine-specific hash families, binary payloads or
-        # iterative crawl state — rows-only checks (driver's weaker gate).
+        "ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               trim(regexp_replace(lower(text), '[^\w\s]+', ' ', 'g')),
+                               '\s+'),
+                           x -> x <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+                WHERE len(w) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+            ORDER BY a, b
+        """,
+        # minhash_neardup / simhash_neardup / lsh_ann / ivf_ann /
+        # image_invariant / frontier_crawl / lang_id: engine-specific hash
+        # families, binary payloads or iterative crawl state — rows-only
+        # checks (driver's weaker gate).
     }

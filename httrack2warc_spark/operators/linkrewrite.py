@@ -147,20 +147,18 @@ def rewrite_links(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         m = bc.value
         outs, counts = [], []
-        for r in pdf.itertuples(index=False):
-            d = getattr(r, "__eligible")
-            if not d:
+        for ok, doc, fname in zip(pdf["eligible__"], pdf[doc_col], pdf[filename_col]):
+            if not ok:
                 outs.append(None)
                 counts.append(0)
                 continue
-            text = bytes(getattr(r, doc_col)).decode("iso-8859-1")
-            new, n = rewrite_html(text, getattr(r, filename_col), m)
+            new, n = rewrite_html(bytes(doc).decode("iso-8859-1"), fname, m)
             outs.append(new)
             counts.append(n)
-        out = pdf.drop(columns=["__eligible"])
+        out = pdf.drop(columns=["eligible__"])
         out["rewritten"] = outs
         out["links_rewritten"] = pd.array(counts, dtype="int64")
         return out
 
-    marked = crawl.withColumn("__eligible", eligible)
+    marked = crawl.withColumn("eligible__", eligible)
     return marked.mapInPandas(lambda it: (run(pdf) for pdf in it), schema=out_schema)

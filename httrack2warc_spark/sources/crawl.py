@@ -232,6 +232,59 @@ def read_crawl(spark: SparkSession, crawl_dir: str, with_payload: bool = True) -
             )
         )
         rows = rows.join(files, "filename", "left")
+
+        # P14 .delayed fixup (HttrackRecord.java:113-140): a 404 logged with
+        # x.<hash>.delayed may exist on disk as x<hash4><ext> or x<ext>
+        # (ext = .html for text/html, else the URL's suffix). Expressed as two
+        # candidate-path left joins against the same file listing; the first
+        # existing candidate wins and replaces filename+payload.
+        delayed_re = r"\.([a-z0-9]+)\.delayed$"
+        needs_fix = (
+            F.col("filename").endswith(".delayed")
+            & ~F.coalesce(F.col("cache_has_data"), F.lit(False))
+            & F.col("file_bytes").isNull()
+        )
+        hash_part = F.regexp_extract("filename", delayed_re, 1)
+        hash4 = F.substring(hash_part, -4, 4)
+        ext = F.when(
+            F.coalesce(F.col("mime"), F.lit("")).startswith("text/html"), F.lit(".html")
+        ).otherwise(F.regexp_replace(F.col("url"), r".*\.", "."))
+        stem = F.regexp_replace("filename", delayed_re, "")
+        rows = (
+            rows.withColumn(
+                "__c1", F.when(needs_fix, F.concat(stem, hash4, ext))
+            )
+            .withColumn("__c2", F.when(needs_fix, F.concat(stem, ext)))
+        )
+        f1 = files.select(
+            F.col("filename").alias("__c1"),
+            F.col("file_bytes").alias("__b1"),
+            F.col("file_size").alias("__s1"),
+        )
+        f2 = files.select(
+            F.col("filename").alias("__c2"),
+            F.col("file_bytes").alias("__b2"),
+            F.col("file_size").alias("__s2"),
+        )
+        rows = rows.join(f1, "__c1", "left").join(f2, "__c2", "left")
+        fixed_name = F.when(F.col("__b1").isNotNull(), F.col("__c1")).when(
+            F.col("__b2").isNotNull(), F.col("__c2")
+        )
+        rows = (
+            rows.withColumn(
+                "filename", F.coalesce(fixed_name, F.col("filename"))
+            )
+            .withColumn(
+                "file_bytes",
+                F.coalesce(F.col("file_bytes"), F.col("__b1"), F.col("__b2")),
+            )
+            .withColumn(
+                "file_size",
+                F.coalesce(F.col("file_size"), F.col("__s1"), F.col("__s2")),
+            )
+            .drop("__c1", "__c2", "__b1", "__b2", "__s1", "__s2")
+        )
+
         rows = rows.withColumn(
             "payload",
             F.when(F.col("cache_has_data"), F.col("cache_bytes")).otherwise(
