@@ -107,6 +107,40 @@ def q5_local_volume(spark, sf_dir):
     )
 
 
+def q18_large_orders(spark, sf_dir):
+    """Group-by-having + semi-join shape (TPC-H Q18-ish)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+def running_total_q(spark, sf_dir):
+    """Cumulative per-customer spend in order-date order (window frame)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
 def ordinal_fifo_join_q(spark, sf_dir):
     """J1 kernel on events: k-th 'click' of a user pairs with the k-th
     'purchase' of the same user (FIFO queue semantics)."""
@@ -421,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_local_volume": q5_local_volume,
+        "q18_large_orders": q18_large_orders,
+        "running_total": running_total_q,
         "ordinal_fifo_join": ordinal_fifo_join_q,
         "first_occurrence": first_occurrence_q,
         "politeness_topk": politeness_topk_q,
@@ -504,6 +540,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+            )
+            SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
+        """,
+        "running_total": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS running_spend
+            FROM orders ORDER BY o_custkey, o_orderkey
         """,
         "ordinal_fifo_join": """
             WITH clicks AS (
