@@ -34,7 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
     web = fixture_web(spark)
     cat = TableCatalog(spark, tempfile.mkdtemp(prefix="spark_graft_entry_"))
     sched = FrontierScheduler(
-        spark, cat, web, CrawlConfig(num_parts=8, max_rounds=10)
+        spark, cat, web,
+        CrawlConfig(num_parts=8, max_rounds=10, summary_capacity_per_part=10_000),
     )
     return sched.run(seeds=["http://test.example.org/"])
 
@@ -444,7 +445,9 @@ def frontier_crawl_q(spark, sf_dir):
                               cross_host_every=1)
     cat = TableCatalog(spark, tempfile.mkdtemp(prefix="spark_graft_q_"))
     sched = FrontierScheduler(
-        spark, cat, web, CrawlConfig(num_parts=8, max_rounds=8, default_host_budget=1000)
+        spark, cat, web,
+        CrawlConfig(num_parts=8, max_rounds=8, default_host_budget=1000,
+                    summary_capacity_per_part=10_000, summary_every=2),
     )
     log = sched.run(seeds=seeds)
     return log.select("seq", "url", "host", "depth").orderBy("seq")
