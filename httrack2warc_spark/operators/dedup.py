@@ -118,15 +118,20 @@ def minhash_lsh_candidates(
     sig_col: str = "minhash",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature to a bucket, self-join on
     ``(band, bucket)`` → candidate pairs ``(a, b)`` with a < b, distinct.
 
     Scale: the self-join shuffles on the 8-byte bucket key only; band explosion
     multiplies rows by ``bands`` but each row is (id, band, bucket) — tiny next
-    to the documents. Bucket skew (a degenerate band, e.g. all-empty docs)
-    is the classic hazard: AQE skew-join splitting handles moderate skew, and
-    ``spark.sql.shuffle.partitions`` should scale with corpus size.
+    to the documents. Bucket skew (a degenerate band, e.g. all-empty docs) is
+    the classic hazard: a bucket of n members emits n² pairs, so one hot
+    bucket at 10^5 members is 10^10 pairs. ``max_bucket_size`` drops buckets
+    above the cap before the join (standard production LSH practice —
+    members of an over-full bucket almost always share another, smaller
+    bucket in one of the other bands; this is a recall trade, NOT silent:
+    exact duplicates should be collapsed beforehand, see minhash_lsh_dedup).
     """
     band_buckets = sigs.select(
         F.col(id_col),
@@ -144,6 +149,15 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        counts = band_buckets.groupBy("band", "bucket").agg(
+            F.count("*").alias("__n")
+        )
+        band_buckets = (
+            band_buckets.join(counts, ["band", "bucket"])
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
     left = band_buckets.alias("l")
     right = band_buckets.alias("r")
     return (
@@ -169,6 +183,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates → verify estimated Jaccard (signature
     agreement fraction) ≥ threshold → drop the higher id of each surviving pair.
@@ -191,7 +206,9 @@ def minhash_lsh_dedup(
     )
     df = reps
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    cand = minhash_lsh_candidates(sigs, id_col, "minhash", bands, rows_per_band)
+    cand = minhash_lsh_candidates(
+        sigs, id_col, "minhash", bands, rows_per_band, max_bucket_size
+    )
     sl = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
     sr = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"))
     verified = (

@@ -42,6 +42,10 @@ NEW_TXT_ROW_RE = (
 
 
 def read_new_txt(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
+    """``strict=True`` (reference behavior): any malformed row fails the scan
+    (``ParsingException``, ``HtsTxtParser.java:63-66``). ``strict=False``:
+    malformed rows are dropped; use ``read_new_txt_with_rejects`` to also get
+    the rejected lines as a DataFrame (the F6 quarantine-table policy)."""
     lines = spark.read.text(path).withColumn("seq", F.monotonically_increasing_id())
     header = lines.orderBy("seq").limit(1).collect()
     if not header:
@@ -81,3 +85,23 @@ def read_new_txt(spark: SparkSession, path: str, strict: bool = True) -> DataFra
         g(12).alias("via"),
     )
     return out
+
+
+def read_new_txt_with_rejects(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Non-strict scan + quarantine: (parsed rows, rejected raw lines).
+
+    F6 at scale: a 100 TB ingest can't die on one corrupt line; rejects land
+    in their own table (``seq``, ``raw``) for audit instead of vanishing.
+    """
+    lines = spark.read.text(path).withColumn("seq", F.monotonically_increasing_id())
+    header = lines.orderBy("seq").limit(1).collect()
+    if not header:
+        raise ValueError("empty file")
+    if header[0]["value"] != NEW_TXT_HEADER:
+        raise ValueError("invalid header line")
+    body = lines.where(F.col("seq") > header[0]["seq"]).where(F.length("value") > 0)
+    matched = F.regexp_like(F.col("value"), F.lit(NEW_TXT_ROW_RE))
+    rejects = body.where(~matched).select("seq", F.col("value").alias("raw"))
+    return read_new_txt(spark, path, strict=False), rejects

@@ -61,3 +61,45 @@ def test_ivf_topk_recall(spark):
     # partial probe is a subset-quality tradeoff but still returns k rows
     part = ivf_topk(corpus, q, "v", "id", k=5, n_cells=4, nprobe=2).collect()
     assert len(part) == 5
+
+
+def test_new_txt_quarantine(spark, tmp_path):
+    from httrack2warc_spark.sources.htstxt import (
+        NEW_TXT_HEADER,
+        read_new_txt_with_rejects,
+    )
+
+    good = "\t".join(
+        ["15:27:22", "10/10", "---M--", "200", "added ('OK')", "text/html", "",
+         "http://x.org/", "x.org/index.html", "(from )"]
+    )
+    p = tmp_path / "new.txt"
+    p.write_text(NEW_TXT_HEADER + "\n" + good + "\ngarbage line\n" + good + "\n")
+    parsed, rejects = read_new_txt_with_rejects(spark, str(p))
+    assert parsed.count() == 2
+    rej = rejects.collect()
+    assert len(rej) == 1 and rej[0].raw == "garbage line"
+
+
+def test_lsh_bucket_cap(spark):
+    """A degenerate bucket (many identical signatures) is dropped by the cap,
+    while normal near-dup pairs survive."""
+    from httrack2warc_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    docs = [(i, base) for i in range(50)]  # one hot bucket of 50 identical docs
+    docs += [(100, "completely different text about spark bloom filters")]
+    docs += [(101, "completely different text about spark bloom filter")]
+    df = spark.createDataFrame(docs, "id long, text string")
+    sigs = minhash_signatures(df, "text", "id", num_hashes=32, shingle_n=2)
+    uncapped = minhash_lsh_candidates(sigs, "id", bands=8, rows_per_band=4)
+    capped = minhash_lsh_candidates(
+        sigs, "id", bands=8, rows_per_band=4, max_bucket_size=10
+    )
+    assert uncapped.count() >= 50 * 49 // 2  # quadratic blowup
+    got = {(r.a, r.b) for r in capped.collect()}
+    assert (100, 101) in got  # small-bucket pair survives
+    assert not any(a < 100 and b < 100 for a, b in got)  # hot bucket dropped
