@@ -392,7 +392,7 @@ def minhash_neardup_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = minhash_lsh_dedup(
         docs, "text", "doc_id", num_hashes=32, shingle_n=3, bands=8,
-        rows_per_band=4, threshold=0.8,
+        rows_per_band=4, threshold=0.8, max_bucket_size=1000,
     )
     return out.select("doc_id").orderBy("doc_id")
 
@@ -660,7 +660,8 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
                 FROM g
             )
-            SELECT user_id, max(session_no) AS n_sessions, count(*) AS n_events
+            SELECT user_id, max(session_no)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
             FROM s GROUP BY user_id ORDER BY user_id
         """,
         "token_count": r"""
@@ -743,8 +744,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
             ORDER BY a, b
         """,
+        "lang_id": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), counts AS (
+                SELECT doc_id,
+                       len(list_filter(w, x -> list_contains(
+                           ['der','die','das','und','ist','nicht','ein','mit','für','von'],
+                           x))) AS n_de,
+                       len(list_filter(w, x -> list_contains(
+                           ['the','and','of','to','in','is','that','for','with','a'],
+                           x))) AS n_en,
+                       len(list_filter(w, x -> list_contains(
+                           ['el','la','los','y','es','no','una','por','que','con'],
+                           x))) AS n_es,
+                       len(list_filter(w, x -> list_contains(
+                           ['le','la','les','et','est','pas','une','pour','que','dans'],
+                           x))) AS n_fr
+                FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+                        WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+                        WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+                        WHEN n_es >= n_fr THEN 'es'
+                        ELSE 'fr' END AS lang_guess
+            FROM counts ORDER BY doc_id
+        """,
         # minhash_neardup / simhash_neardup / lsh_ann / ivf_ann /
-        # image_invariant / frontier_crawl / lang_id: engine-specific hash
+        # image_invariant / frontier_crawl: engine-specific hash
         # families, binary payloads or iterative crawl state — rows-only
         # checks (driver's weaker gate).
     }

@@ -43,7 +43,7 @@ def convert(
     cdx_name: str | None = "index.cdx",
     warc_name: str = "crawl-0.warc.gz",
     compress: bool = True,
-    strict: bool = True,
+    strict: bool = False,
 ) -> DataFrame:
     """Returns the WARC-record DataFrame after writing warc/cdx files."""
     out = Path(output_dir)
@@ -97,7 +97,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("-C", "--cdx-name", default="index.cdx")
     p.add_argument("--warc-name", default="crawl-0.warc.gz")
     p.add_argument("--no-compress", action="store_true")
-    p.add_argument("--lax", action="store_true", help="skip missing error files (F3)")
+    # Reference default is lax (Httrack2Warc.java:81 `strict = false`;
+    # missing >399-status files are skipped with a warning). --strict opts in
+    # to abort-on-issue; --lax is kept as an explicit no-op alias.
+    p.add_argument("--strict", action="store_true",
+                   help="abort on issues normally considered a warning")
+    p.add_argument("--lax", action="store_true",
+                   help="(default) skip missing error files (F3)")
     args = p.parse_args(argv)
 
     from httrack2warc_spark import get_spark
@@ -113,7 +119,7 @@ def main(argv: list[str] | None = None) -> None:
         cdx_name=args.cdx_name,
         warc_name=args.warc_name,
         compress=not args.no_compress,
-        strict=not args.lax,
+        strict=args.strict,
     )
 
 

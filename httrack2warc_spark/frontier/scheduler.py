@@ -328,11 +328,15 @@ class FrontierScheduler:
             if cfg.use_summaries and cfg.summary_every > 1
             else None
         )
-        # robots fetches are logged but their url_keys must also be marked seen
+        # robots fetches are logged but their url_keys must also be marked
+        # seen. Stamp round_no+1 like every other key committed this round:
+        # the unsummarized-tail filter is `enqueued_round > covered` with
+        # covered = round_no+1 at merge time, so a round_no stamp would leave
+        # these keys in neither the summary nor the tail (probe false miss).
         robots_seen = (
             fetched.where(F.col("__robots") == 0)
             .select("url_key", "url")
-            .withColumn("enqueued_round", F.lit(round_no))
+            .withColumn("enqueued_round", F.lit(round_no + 1))
         )
         new_frontier = filter_new_urls(
             candidates, seen, summaries, "url_key",

@@ -240,7 +240,10 @@ def percent_encode(s: str | None) -> str | None:
         return None
     out = []
     for b in s.encode("utf-8"):
-        if b <= 31 or b == 127 or b == 0x20 or b == 0x22:
+        # NB: the reference compares *signed* Java bytes, so every byte
+        # >= 0x80 is negative and satisfies `b <= 31` — i.e. all non-ASCII
+        # bytes are percent-encoded too.
+        if b <= 31 or b >= 0x80 or b == 127 or b == 0x20 or b == 0x22:
             out.append("%%%02x" % b)
         elif b == 0x5C:  # backslash
             out.append("/")

@@ -223,8 +223,16 @@ def build_summaries(
             bits = bloom_build(h1, h2, capacity_per_part, fpp)
         else:
             ck = _Cuckoo(capacity_per_part)
-            ck.insert_many(h1)
+            inserted = ck.insert_many(h1)
+            # A cuckoo filter that dropped fingerprints (eviction-loop
+            # overflow) or is running past the safe 0.84 load factor can
+            # return false negatives; a probe-miss would then skip the exact
+            # confirm join and re-enqueue a seen URL. Degrade to bits=None:
+            # probe_summaries treats a present-but-None summary as all-maybe,
+            # which routes everything through the exact anti-join.
             bits = ck.to_bytes()
+            if inserted < len(h1) or len(h1) > 0.84 * ck.nbuckets * ck.SLOTS:
+                bits = None
         return pd.DataFrame(
             {
                 "part": [part],
@@ -255,9 +263,17 @@ def merge_summaries(old: DataFrame, delta_hashed: DataFrame, num_parts: int,
         if kind == "bloom":
             bits = bloom_build(h1, h2, capacity_per_part, fpp, bits=prior)
         else:
-            ck = _Cuckoo(capacity_per_part) if prior is None else _Cuckoo.from_bytes(prior)
-            ck.insert_many(h1)
-            bits = ck.to_bytes()
+            if len(old_pdf) and prior is None:
+                # Partition already degraded on a prior round — stays degraded
+                # (we no longer know which fingerprints the filter is missing).
+                bits = None
+            else:
+                ck = _Cuckoo(capacity_per_part) if prior is None else _Cuckoo.from_bytes(prior)
+                inserted = ck.insert_many(h1)
+                bits = ck.to_bytes()
+                total = n_prior + len(new_pdf)
+                if inserted < len(h1) or total > 0.84 * ck.nbuckets * ck.SLOTS:
+                    bits = None  # see build_summaries: overflow ⇒ all-maybe
         return pd.DataFrame(
             {
                 "part": [part],
@@ -300,8 +316,14 @@ def probe_summaries(candidates_hashed: DataFrame, summaries: DataFrame,
             cand = cand.sort_values(dedup_order or [dedup_key]).drop_duplicates(
                 dedup_key, keep="first"
             )
-        if not len(summ) or summ["bits"].iloc[0] is None:
+        if not len(summ):
+            # no summary row ⇒ no keys seen in this partition at merge time
+            # (the unsummarized-tail anti-join covers anything newer)
             maybe = np.zeros(len(cand), dtype=bool)
+        elif summ["bits"].iloc[0] is None:
+            # degraded summary (cuckoo overflow at build/merge) ⇒ all-maybe,
+            # so every candidate takes the exact confirm anti-join
+            maybe = np.ones(len(cand), dtype=bool)
         else:
             h1, h2 = _to_u64(cand["h1"]), _to_u64(cand["h2"])
             kind = summ["kind"].iloc[0]

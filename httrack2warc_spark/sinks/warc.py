@@ -91,7 +91,7 @@ def warc_records(
     meta: CrawlMeta,
     exclusions: list[str] | None = None,
     redirect_prefix: str | None = None,
-    strict: bool = True,
+    strict: bool = False,
 ) -> DataFrame:
     """crawl_log → one row per WARC record:
     (seq, sub, record_type, url, warc_date, warc_header, body, content_type,

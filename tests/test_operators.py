@@ -135,6 +135,59 @@ def test_filter_new_urls_exactness(spark):
     assert out == {f"s.com/{i}" for i in range(300, 400)}
 
 
+def test_cuckoo_overflow_degrades_to_all_maybe(spark):
+    """An over-capacity cuckoo filter would drop fingerprints (probe false
+    negatives → seen URLs re-enqueued, corrupting visit order). build/merge
+    must detect overflow and degrade the partition to bits=None = all-maybe,
+    so the exact confirm anti-join runs for every candidate."""
+    # capacity 500 pow2-rounds to 256 buckets × 4 slots = 1024/part; 10000 keys
+    # over 4 parts ⇒ ~2500/part, well past the 0.84 safe load ⇒ must degrade
+    seen_keys = [f"host{i % 3}.com/p{i}" for i in range(10000)]
+    summaries = build_summaries(
+        _hashed(spark, seen_keys), 4, "cuckoo", capacity_per_part=500
+    )
+    assert summaries.where(F.col("bits").isNotNull()).count() == 0  # all degraded
+    probed = probe_summaries(_hashed(spark, seen_keys), summaries)
+    assert probed.where(~F.col("maybe_seen")).count() == 0  # no false negatives
+
+
+def test_cuckoo_overflow_filter_new_urls_exact(spark):
+    """End-to-end: with a deliberately undersized cuckoo summary, the output
+    of filter_new_urls still equals the exact anti-join."""
+    seen_keys = [f"s.com/{i}" for i in range(10000)]
+    cand_keys = [f"s.com/{i}" for i in range(9900, 10100)]  # 100 dup, 100 new
+    seen = spark.createDataFrame([(k,) for k in seen_keys], "url_key string")
+    cand = spark.createDataFrame([(k,) for k in cand_keys], "url_key string")
+    summaries = build_summaries(
+        add_partition_and_hashes(seen, "url_key", 4), 4, "cuckoo",
+        capacity_per_part=500,
+    )
+    out = {r.url_key for r in filter_new_urls(cand, seen, summaries, "url_key", 4).collect()}
+    assert out == {f"s.com/{i}" for i in range(10000, 10100)}
+
+
+def test_cuckoo_merge_overflow_stays_degraded(spark):
+    """Merging more keys into a healthy filter past capacity degrades it, and
+    a further merge keeps it degraded (missing fingerprints are unknowable)."""
+    s1 = build_summaries(
+        _hashed(spark, [f"a.com/{i}" for i in range(300)]), 4, "cuckoo",
+        capacity_per_part=500,
+    )
+    assert s1.where(F.col("bits").isNull()).count() == 0  # healthy at 300/500
+    s2 = merge_summaries(
+        s1, _hashed(spark, [f"b.com/{i}" for i in range(9000)]), 4, "cuckoo",
+        capacity_per_part=500,
+    )
+    assert s2.where(F.col("bits").isNotNull()).count() == 0
+    s3 = merge_summaries(
+        s2, _hashed(spark, [f"c.com/{i}" for i in range(10)]), 4, "cuckoo",
+        capacity_per_part=500,
+    )
+    assert s3.where(F.col("bits").isNotNull()).count() == 0
+    probed = probe_summaries(_hashed(spark, [f"a.com/{i}" for i in range(300)]), s3)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
 def test_merge_summaries_incremental(spark):
     first = _hashed(spark, [f"a.com/{i}" for i in range(100)])
     second = _hashed(spark, [f"b.com/{i}" for i in range(100)])

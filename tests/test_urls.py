@@ -20,6 +20,14 @@ def test_percent_encode_backslash():
     assert percent_encode("a\\b") == "a/b"
 
 
+def test_percent_encode_non_ascii():
+    """Java signed-byte semantics: every byte >= 0x80 satisfies `b <= 31`,
+    so non-ASCII UTF-8 bytes are percent-encoded (HtsUtil.java:48-61)."""
+    assert percent_encode("ü") == "%c3%bc"          # U+00FC = 0xC3 0xBC
+    assert percent_encode("naïve dir") == "na%c3%afve%20dir"
+    assert percent_encode("日") == "%e6%97%a5"
+
+
 def test_percent_decode_tolerant():
     assert percent_decode("a%20b") == "a b"
     assert percent_decode("a%2") == "a%2"  # trailing % passes through
