@@ -19,11 +19,12 @@ from pyspark.sql import functions as F
 
 from httrack2warc_spark.operators.audit import leftover_files
 from httrack2warc_spark.sinks.warc import (
-    cdx_lines,
+    WARC_ROTATION_SIZE,
+    cdx_lines_from_positions,
     format_warcinfo,
     warc_records,
     warcinfo_record,
-    write_warc_file,
+    write_warc_files,
 )
 from httrack2warc_spark.sources.crawl import read_crawl
 from httrack2warc_spark.sources.htslogs import read_crawl_meta
@@ -31,6 +32,34 @@ from httrack2warc_spark.sources.htslogs import read_crawl_meta
 __all__ = ["convert", "main"]
 
 CDX_HEADER = " CDX N b a m s k r M S V g"
+
+
+def _extract_tarball(tarball: str) -> tuple[str, str]:
+    """S11 (``Httrack2Warc.java:92-147``): unpack a ``.tar.gz``/``.tgz`` crawl
+    to a temp dir, normalize permissions (dirs 700, files 600 — the
+    reference's ``fixPermissions``), and locate the directory containing
+    ``hts-cache``. Returns (tmp_root, crawl_dir).
+
+    ``filter="data"`` rejects absolute paths, ``..`` traversal, and special
+    files — the explicit resolved-path guard the reference applies via its
+    extraction sandbox (P21).
+    """
+    import os
+    import tarfile
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="httrack2warc")
+    with tarfile.open(tarball, "r:gz") as tf:
+        tf.extractall(tmp, filter="data")
+    for root, dirs, files in os.walk(tmp):
+        for d in dirs:
+            os.chmod(os.path.join(root, d), 0o700)
+        for fn in files:
+            os.chmod(os.path.join(root, fn), 0o600)
+    for root, dirs, _files in os.walk(tmp):  # top-down == reference findFirst
+        if "hts-cache" in dirs:
+            return tmp, root
+    raise IOError(f"Unable to find hts-cache directory in archive {tarball}")
 
 
 def convert(
@@ -41,11 +70,55 @@ def convert(
     redirect_prefix: str | None = None,
     rewrite_links: bool = False,
     cdx_name: str | None = "index.cdx",
-    warc_name: str = "crawl-0.warc.gz",
+    warc_pattern: str = "crawl-%d.warc.gz",
+    warc_size: int = WARC_ROTATION_SIZE,
     compress: bool = True,
     strict: bool = False,
+    timezone: str = "UTC",
 ) -> DataFrame:
-    """Returns the WARC-record DataFrame after writing warc/cdx files."""
+    """Returns the WARC-record DataFrame after writing warc/cdx files.
+
+    ``warc_pattern``/``warc_size``: the reference's rotated-file naming and
+    1 GiB size target (``Httrack2Warc.java:75-76``, ``RotatingFile.java``).
+    The emitted CDX carries real compressed member offsets/lengths and the
+    per-record rotated filename.
+    """
+    import os
+    import shutil
+
+    tmp_root = None
+    if os.path.isfile(crawl_dir) and crawl_dir.endswith((".tar.gz", ".tgz")):
+        tmp_root, crawl_dir = _extract_tarball(crawl_dir)
+    try:
+        result = _convert_dir(
+            spark, crawl_dir, output_dir, exclusions, redirect_prefix,
+            rewrite_links, cdx_name, warc_pattern, warc_size, compress, strict,
+            timezone,
+        )
+        if tmp_root is not None:
+            # the extracted files vanish below; pin the returned records
+            # (lineage truncation) so callers can still consume them
+            result = result.localCheckpoint(eager=True)
+        return result
+    finally:
+        if tmp_root is not None:
+            shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def _convert_dir(
+    spark: SparkSession,
+    crawl_dir: str,
+    output_dir: str,
+    exclusions: list[str] | None,
+    redirect_prefix: str | None,
+    rewrite_links: bool,
+    cdx_name: str | None,
+    warc_pattern: str,
+    warc_size: int,
+    compress: bool,
+    strict: bool,
+    timezone: str = "UTC",
+) -> DataFrame:
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     meta = read_crawl_meta(crawl_dir)
@@ -64,19 +137,32 @@ def convert(
 
     recs = warc_records(
         crawl, meta, exclusions=exclusions,
-        redirect_prefix=redirect_prefix, strict=strict,
+        redirect_prefix=redirect_prefix, strict=strict, timezone=timezone,
     )
-    launch_iso = meta.launch_time.strftime("%Y-%m-%dT%H:%M:%SZ")
-    info = warcinfo_record(spark, format_warcinfo(meta), launch_iso)
+    # P7: launch time shifts with the crawl zone like every WARC-Date
+    # (Httrack2Warc.java:157 `crawl.getLaunchTime().atZone(timezone)`)
+    launch = meta.launch_time
+    if timezone not in (None, "UTC"):
+        from datetime import timezone as _tzutc
+        from zoneinfo import ZoneInfo
+
+        launch = launch.replace(tzinfo=ZoneInfo(timezone)).astimezone(_tzutc.utc)
+    launch_iso = launch.strftime("%Y-%m-%dT%H:%M:%SZ")
+    warcinfo = format_warcinfo(meta)
+    info = warcinfo_record(spark, warcinfo, launch_iso)
     all_recs = info.unionByName(recs)
 
-    write_warc_file(all_recs, str(out / warc_name), compress=compress)
+    positions = write_warc_files(
+        recs, str(out), name_pattern=warc_pattern, rotation_size=warc_size,
+        compress=compress, warcinfo=warcinfo, warcinfo_date=launch_iso,
+    )
 
     if cdx_name:
-        lines = [r.cdx for r in cdx_lines(recs, warc_name).collect()]
+        lines = [r.cdx for r in cdx_lines_from_positions(positions).collect()]
         (out / cdx_name).write_text(
             CDX_HEADER + "\n" + "\n".join(lines) + ("\n" if lines else "")
         )
+    positions.unpersist()
 
     for r in leftover_files(spark, crawl_dir, crawl).collect():
         print(f"Unprocessed extra file: {r.file}")
@@ -95,8 +181,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--redirect-prefix", default=None)
     p.add_argument("--rewrite-links", action="store_true")
     p.add_argument("-C", "--cdx-name", default="index.cdx")
-    p.add_argument("--warc-name", default="crawl-0.warc.gz")
+    p.add_argument("-n", "--name", dest="warc_pattern", default="crawl-%d.warc.gz",
+                   help="WARC filename pattern (reference -n; %%d = file number)")
+    p.add_argument("-s", "--size", dest="warc_size", type=int,
+                   default=WARC_ROTATION_SIZE,
+                   help="WARC rotation size target in bytes (reference -s)")
     p.add_argument("--no-compress", action="store_true")
+    p.add_argument("-Z", "--timezone", default="UTC",
+                   help="timezone of the HTTrack logs (reference -Z; "
+                        "reference defaults to the system zone, this CLI to UTC "
+                        "for deterministic output)")
     # Reference default is lax (Httrack2Warc.java:81 `strict = false`;
     # missing >399-status files are skipped with a warning). --strict opts in
     # to abort-on-issue; --lax is kept as an explicit no-op alias.
@@ -117,9 +211,11 @@ def main(argv: list[str] | None = None) -> None:
         redirect_prefix=args.redirect_prefix,
         rewrite_links=args.rewrite_links,
         cdx_name=args.cdx_name,
-        warc_name=args.warc_name,
+        warc_pattern=args.warc_pattern,
+        warc_size=args.warc_size,
         compress=not args.no_compress,
         strict=args.strict,
+        timezone=args.timezone,
     )
 
 

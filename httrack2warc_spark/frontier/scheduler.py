@@ -108,8 +108,11 @@ class CrawlConfig:
     summary_every: int = 1
     parallel_commits: bool = True          # independent table commits in threads
     # "single" = one-window seq stamping (small rounds); "ranged" =
-    # range-partitioned distributed stamping (10^9-row rounds)
-    seq_mode: str = "single"
+    # range-partitioned distributed stamping (10^9-row rounds); "auto" =
+    # ranged when the round's frontier exceeds seq_single_max rows (the
+    # one-partition window is a driver-adjacent funnel at 10^9 rows)
+    seq_mode: str = "auto"
+    seq_single_max: int = 100_000
 
 
 class FrontierScheduler:
@@ -221,8 +224,14 @@ class FrontierScheduler:
         """Execute one round; returns (fetched_count, next_seq)."""
         cfg = self.cfg
         frontier = self.catalog.read("frontier")
-        if frontier.isEmpty():
+        # one metadata-cheap count job serves both the emptiness check and
+        # the auto seq-mode decision (parquet count = footer row counts)
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             return 0, next_seq
+        seq_mode = cfg.seq_mode
+        if seq_mode == "auto":
+            seq_mode = "ranged" if n_frontier > cfg.seq_single_max else "single"
 
         eligible = self._apply_robots(frontier)
         if cfg.max_depth is not None:
@@ -274,7 +283,7 @@ class FrontierScheduler:
             [F.col("priority"), F.col("parent_seq"), F.col("link_idx"),
              F.col("__robots"), F.col("url")],
             start=next_seq,
-            mode=cfg.seq_mode,
+            mode=seq_mode,
             num_partitions=cfg.num_parts,
             cache_handle=seq_caches,
         )
@@ -381,14 +390,15 @@ class FrontierScheduler:
             lambda: self.catalog.append("url_seen", new_seen_rows),
         ]
         if cfg.fetch_robots:
-            commits.append(
-                lambda: self.catalog.write(
-                    "hosts_crawled",
-                    self.catalog.read("hosts_crawled")
-                    .unionByName(fetched.select("host"))
-                    .distinct(),
-                )
+            # append-only like url_seen: only hosts first crawled this round
+            # (anti-join against the standing set) — O(delta) per round, not
+            # an O(total-hosts) rewrite+distinct
+            new_hosts = (
+                fetched.select("host")
+                .distinct()
+                .join(self.catalog.read("hosts_crawled"), "host", "left_anti")
             )
+            commits.append(lambda: self.catalog.append("hosts_crawled", new_hosts))
         merge_now = cfg.use_summaries and (
             cfg.summary_every <= 1 or (round_no + 1) % cfg.summary_every == 0
         )

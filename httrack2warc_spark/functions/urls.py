@@ -22,8 +22,8 @@ tab/newline removal, scheme+host lowercasing, default-port elision, backslash→
 special schemes, dot-segment resolution, per-component percent-encode sets (existing
 ``%`` sequences are left untouched — fixture ``page%20WITH%20%22special%22%20chars.html``
 must round-trip verbatim, and ``?page=1&query=2&FOO=3&&BaR=4&&#anchor`` keeps its query
-and fragment byte-for-byte — ``Httrack2WarcTest.java:82``), and numeric IPv4 host
-normalization. IDNA/punycode is out of scope (ASCII hosts only, documented).
+and fragment byte-for-byte — ``Httrack2WarcTest.java:82``), numeric IPv4 host
+normalization, and IDNA/punycode for non-ASCII hosts (stdlib ``encodings.idna``).
 
 Everything is exposed three ways: a plain-Python function (driver-side / tests), a
 vectorized ``pandas_udf`` (executor hot path — Arrow batches, no per-row Python from
@@ -122,6 +122,21 @@ def _normalize_ipv4(host: str) -> str | None:
     return ".".join(str((ip >> (8 * (3 - i))) & 0xFF) for i in range(4))
 
 
+def _idna_host(host: str) -> str:
+    """Punycode non-ASCII labels (WHATWG domain-to-ASCII; reference urlcanon
+    does the same for IDN hosts). Per-label so empty labels (leading/trailing
+    dots) survive; labels the codec rejects pass through unchanged."""
+    out = []
+    for lab in host.split("."):
+        if lab and any(ord(c) > 0x7E for c in lab):
+            try:
+                lab = lab.encode("idna").decode("ascii")
+            except UnicodeError:
+                pass
+        out.append(lab)
+    return ".".join(out)
+
+
 def _canonical_host(host: str) -> str:
     host = host.lower()
     # existing percent-escapes in hosts are rare; decode then re-check (WHATWG
@@ -130,6 +145,8 @@ def _canonical_host(host: str) -> str:
         host = percent_decode(host)
     if host.startswith("[") and host.endswith("]"):
         return host  # IPv6 literal: pass through (lowercased)
+    if any(ord(c) > 0x7E for c in host):
+        host = _idna_host(host)
     ipv4 = _normalize_ipv4(host)
     if ipv4 is not None:
         return ipv4

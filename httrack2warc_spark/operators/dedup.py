@@ -282,18 +282,36 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
 
     @pandas_udf(LongType())
     def _vote(arrs: pd.Series) -> pd.Series:
-        shifts = np.arange(64, dtype=np.uint64)
-
-        def one(a) -> int:
-            if a is None or len(a) == 0:
-                return 0
-            h = np.asarray(a, dtype=np.int64).astype(np.uint64)
-            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            fp = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
-            return int(np.uint64(fp).astype(np.int64))
-
-        return arrs.map(one)
+        # Vectorized across the whole Arrow batch: flatten every row's hash
+        # array into one stream, then for each of the 64 bit positions run a
+        # single segmented sum (np.add.reduceat over row offsets). No per-row
+        # Python work beyond the C-level concatenate; memory stays O(total
+        # hashes), not O(total × 64).
+        n = len(arrs)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        vals = [
+            np.asarray(a, dtype=np.int64) if a is not None else np.empty(0, np.int64)
+            for a in arrs
+        ]
+        lens = np.fromiter((v.size for v in vals), dtype=np.int64, count=n)
+        out = np.zeros(n, dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([v for v in vals if v.size]).astype(np.uint64)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            starts_nz = starts[nz]
+            lens_nz = lens[nz]
+            fp_nz = np.zeros(lens_nz.size, dtype=np.uint64)
+            for b in range(64):
+                ones = np.add.reduceat(
+                    ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64),
+                    starts_nz,
+                )
+                fp_nz |= ((2 * ones - lens_nz) > 0).astype(np.uint64) << np.uint64(b)
+            out[nz] = fp_nz
+        return pd.Series(out.astype(np.int64))
 
     return _vote(hashes)
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_seq"]
+__all__ = ["with_global_seq", "with_running_total"]
 
 
 def with_global_seq(
@@ -73,3 +73,67 @@ def with_global_seq(
         .drop("__pid", "__off")
     )
     return out
+
+
+def with_running_total(
+    df: DataFrame,
+    order: list,
+    value,
+    out_col: str = "running",
+    mode: str = "single",
+    num_partitions: int | None = None,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value`` in the total order ``order``:
+    ``out_col`` = sum of ``value`` over all strictly-earlier rows.
+
+    Same two strategies as ``with_global_seq``: ``single`` is one window
+    (small inputs); ``ranged`` is range-exchange + per-partition prefix sum +
+    a tiny collect of per-partition totals — the distributed form for
+    10^9-row inputs (used by the WARC file-rotation planner, K2).
+    """
+    value = value if not isinstance(value, str) else F.col(value)
+    if mode == "single":
+        w = (
+            Window.partitionBy(F.lit(0))
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return df.withColumn(
+            out_col, F.coalesce(F.sum(value).over(w), F.lit(0)).cast("long")
+        )
+
+    if mode != "ranged":
+        raise ValueError(mode)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.withColumn("__v", value.cast("long")).repartitionByRange(
+        n, *order
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.persist()
+    if cache_handle is not None:
+        cache_handle.append(ranged)
+    totals = (
+        ranged.groupBy("__pid").agg(F.sum("__v").alias("__t")).orderBy("__pid").collect()
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["__pid"]] = acc
+        acc += r["__t"]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(off_df, "__pid")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.sum("__v").over(w), F.lit(0)) + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off", "__v")
+    )

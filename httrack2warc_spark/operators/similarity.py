@@ -12,16 +12,21 @@
   deterministically (hash-sampled corpus rows), every vector assigned to its
   nearest centroid (broadcast), queries probe the ``nprobe`` nearest cells.
 
-All math stays in Spark expressions; hyperplanes/centroids are small driver
-arrays folded into literal columns (broadcast by codegen), never per-row
-Python.
+Projection math (vector × hyperplane/centroid matrix) runs in vectorized
+pandas UDFs — one Arrow batch → one numpy matmul; never per-row Python and
+never ``dim×bits×tables`` literal expression trees (at dim 768 those are
+megabytes of plan). Exact re-rank dot products on the (small) candidate sets
+stay JVM-side (``zip_with``/``aggregate``).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 __all__ = ["cosine", "brute_force_topk", "lsh_ann_topk", "ivf_topk"]
 
@@ -75,29 +80,29 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n: int, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n, dim))
+def _sign_buckets_udf(bits: int, num_tables: int, seed: int):
+    """array<long> of ``num_tables`` packed sign-bucket ids per vector.
 
+    One Arrow batch → one ``(n, dim) @ (dim, bits)`` matmul per table. The
+    hyperplane matrices are regenerated from ``(seed+t, dim)`` inside the UDF
+    — deterministic on every executor, no driver collect to learn ``dim``, no
+    literal expression tree in the plan."""
 
-def _sign_bucket(vec_col: Column, planes: np.ndarray) -> Column:
-    """Pack sign(v·h_i) bits into one long bucket id."""
-    bits = []
-    for i, h in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in h]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        arr = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dim = arr.shape[1]
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = np.zeros((arr.shape[0], num_tables), dtype=np.int64)
+        for t in range(num_tables):
+            planes = np.random.default_rng(seed + t).standard_normal((bits, dim))
+            signs = ((arr @ planes.T) >= 0).astype(np.uint64)
+            out[:, t] = (signs << shifts).sum(axis=1).astype(np.int64)
+        return pd.Series(list(out))
+
+    return buckets
 
 
 def lsh_ann_topk(
@@ -107,7 +112,7 @@ def lsh_ann_topk(
     id_col: str,
     k: int = 10,
     query_id_col: str = "query_id",
-    dim: int | None = None,
+    dim: int | None = None,  # kept for API compat; inferred per Arrow batch
     bits: int = 12,
     num_tables: int = 4,
     seed: int = 42,
@@ -115,35 +120,17 @@ def lsh_ann_topk(
     """Random-hyperplane LSH: per table, corpus and queries bucket on the
     packed sign bits; equal buckets are candidates; candidates re-ranked
     exactly. Shuffles on (table, bucket) — 8-byte keys regardless of dim."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-
-    c_buckets = []
-    q_buckets = []
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, bits, seed + t)
-        c_buckets.append(
-            corpus.select(
-                F.col(id_col),
-                F.col(vec_col).alias("__cv"),
-                F.lit(t).alias("table"),
-                _sign_bucket(F.col(vec_col), planes).alias("bucket"),
-            )
-        )
-        q_buckets.append(
-            queries.select(
-                F.col(query_id_col),
-                F.col(vec_col).alias("__qv"),
-                F.lit(t).alias("table"),
-                _sign_bucket(F.col(vec_col), planes).alias("bucket"),
-            )
-        )
-    c_all = c_buckets[0]
-    for x in c_buckets[1:]:
-        c_all = c_all.unionByName(x)
-    q_all = q_buckets[0]
-    for x in q_buckets[1:]:
-        q_all = q_all.unionByName(x)
+    bucket_fn = _sign_buckets_udf(bits, num_tables, seed)
+    c_all = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        F.posexplode(bucket_fn(F.col(vec_col))).alias("table", "bucket"),
+    )
+    q_all = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.posexplode(bucket_fn(F.col(vec_col))).alias("table", "bucket"),
+    )
 
     cand = (
         c_all.join(F.broadcast(q_all), ["table", "bucket"])
@@ -181,39 +168,43 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF: deterministic hash-sampled centroids; vectors partition by nearest
     centroid; queries probe the nprobe nearest cells; exact re-rank inside."""
-    # centroids = first n_cells corpus rows by xxhash64(id) — deterministic sample
+    # centroids = n_cells corpus rows with the smallest xxhash64(id) — a
+    # deterministic pseudo-random sample. orderBy+limit(small) plans as
+    # TakeOrderedAndProject: a per-partition size-n_cells heap + driver merge,
+    # NOT a global sort/exchange (verified in PLANS.md).
     cents = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
         .limit(n_cells)
         .collect()
     )
-    cent_vecs = [list(r[1]) for r in cents]
+    # (n_cells, dim) matrix shipped in the UDF closure (~n_cells·dim·8 bytes);
+    # similarity ranking = one batch matmul, ties broken by cell index asc
+    # (stable argsort) — same order as the former (-cos, cell) struct sort.
+    cent_mat = np.array([list(r[1]) for r in cents], dtype=np.float64)
+    inv_cnorm = 1.0 / np.maximum(np.linalg.norm(cent_mat, axis=1), 1e-300)
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    (-_dot(vec, F.array(*[F.lit(float(x)) for x in cv]))
-                     / _norm(F.array(*[F.lit(float(x)) for x in cv]))).alias("d"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, cv in enumerate(cent_vecs)
-            ]
-        )
-        return F.slice(F.array_sort(scored), 1, n)
+    def _nearest_cells_udf(n: int):
+        @pandas_udf(ArrayType(IntegerType()))
+        def nearest(vecs: pd.Series) -> pd.Series:
+            if not len(vecs):
+                return pd.Series([], dtype=object)
+            arr = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            sims = (arr @ cent_mat.T) * inv_cnorm[None, :]
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n].astype(np.int32)
+            return pd.Series(list(order))
+
+        return nearest
 
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__cv"),
-        nearest_cells(F.col(vec_col), 1)[0]["cell"].alias("cell"),
+        _nearest_cells_udf(1)(F.col(vec_col))[0].alias("cell"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv"),
-        F.explode(
-            F.transform(nearest_cells(F.col(vec_col), nprobe), lambda s: s["cell"])
-        ).alias("cell"),
+        F.explode(_nearest_cells_udf(nprobe)(F.col(vec_col))).alias("cell"),
     )
     cand = c.join(F.broadcast(q), "cell").dropDuplicates([query_id_col, id_col])
     scored = cand.select(

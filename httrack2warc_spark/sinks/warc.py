@@ -33,13 +33,19 @@ from httrack2warc_spark.sources.mime import resolve_mime
 
 __all__ = [
     "ENGINE_SOFTWARE",
+    "WARC_ROTATION_SIZE",
     "format_warcinfo",
     "remove_transfer_encoding",
     "fix_content_length",
     "warc_records",
+    "assign_warc_files",
+    "write_warc_files",
     "cdx_lines",
+    "cdx_lines_from_positions",
     "write_warc_file",
 ]
+
+WARC_ROTATION_SIZE = 1 << 30  # reference default (Httrack2Warc.java:76)
 
 ENGINE_SOFTWARE = "httrack2warc https://github.com/nla/httrack2warc"
 
@@ -92,6 +98,7 @@ def warc_records(
     exclusions: list[str] | None = None,
     redirect_prefix: str | None = None,
     strict: bool = False,
+    timezone: str = "UTC",
 ) -> DataFrame:
     """crawl_log → one row per WARC record:
     (seq, sub, record_type, url, warc_date, warc_header, body, content_type,
@@ -110,7 +117,16 @@ def warc_records(
     content_type = resolve_mime(F.col("mime"), F.col("filename"))
     digest = F.when(exists, sha1_base32_udf(F.col("payload")))
     body_len = F.when(exists, F.length("payload")).otherwise(F.lit(0)).cast("long")
-    warc_date = F.date_format(F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    # P7: HTTrack logs carry zone-less local datetimes; the reference
+    # interprets them in a configurable zone and emits UTC instants
+    # (`record.getTimestamp().atZone(timezone).toInstant()`,
+    # Httrack2Warc.java:76,205; CLI -Z, Main.java:86-89)
+    ts_utc = (
+        F.col("timestamp")
+        if timezone in (None, "UTC")
+        else F.to_utc_timestamp(F.col("timestamp"), timezone)
+    )
+    warc_date = F.date_format(ts_utc, "yyyy-MM-dd'T'HH:mm:ss'Z'")
 
     # P13: headerless ≥300 → fabricate (Httrack2Warc.java:222-227)
     fabricated = F.concat(
@@ -333,8 +349,12 @@ def warcinfo_record(spark, warcinfo: str, launch_iso: str) -> DataFrame:
 def cdx_lines(records: DataFrame, warc_filename: str = "crawl-0.warc.gz") -> DataFrame:
     """P17/K3/O1 — 11-field CDX lines from response/resource records, globally
     sorted byte-wise (C locale == Spark's binary string ordering on ASCII).
-    Offsets/lengths refer to the *uncompressed* serialized record (this engine
-    archives into tables, not gzip members; the column set is format-parity).
+
+    This is the *table-sink* variant: records drained to tables have no WARC
+    byte position, so S is the uncompressed serialized length and V/g are
+    placeholders. When materializing real WARC files, use ``write_warc_files``
+    + ``cdx_lines_from_positions`` — those carry the true compressed member
+    offset/length and the rotated filename (``CdxWriter.java:80-92``).
     """
     resp = records.where(F.col("sub").isin(0, 3))
     ts = F.regexp_replace(F.col("warc_date"), r"[-T:Z]", "")
@@ -352,15 +372,158 @@ def cdx_lines(records: DataFrame, warc_filename: str = "crawl-0.warc.gz") -> Dat
     return resp.select(line.alias("cdx")).orderBy("cdx")
 
 
+def cdx_lines_from_positions(positions: DataFrame) -> DataFrame:
+    """11-field CDX from ``write_warc_files`` output: S = compressed member
+    length, V = member start offset, g = the rotated file the record landed in
+    (``CdxWriter.java:80-92``; positions from ``WarcWriter.java:142-156``)."""
+    resp = positions.where(F.col("sub").isin(0, 3))
+    ts = F.regexp_replace(F.col("warc_date"), r"[-T:Z]", "")
+    line = F.concat_ws(
+        " ",
+        F.col("url"), ts, F.col("url"), F.col("content_type"),
+        F.col("status").cast("string"),
+        F.coalesce(F.col("digest"), F.lit("-")),
+        F.lit("-"), F.lit("-"),
+        F.col("length").cast("string"),
+        F.col("offset").cast("string"),
+        F.col("filename"),
+    )
+    return resp.select(line.alias("cdx")).orderBy("cdx")
+
+
+def assign_warc_files(records: DataFrame, rotation_size: int,
+                      mode: str = "single") -> DataFrame:
+    """K2 rotation plan: add ``file_no`` so that (a) every record of a seq
+    group lands in the same file (the reference only rotates between groups,
+    ``Httrack2Warc.java:199-203``, ``RotatingFile.java:42-54``) and (b) a new
+    file starts once the previous one passed ``rotation_size`` bytes.
+
+    The reference rotates on *compressed* position; compressed size is unknown
+    before writing, so the plan uses cumulative uncompressed record-group
+    bytes — same bound semantics (files overshoot by at most one group),
+    deterministic, and computable as a distributed prefix sum (``ranged``
+    mode) rather than a sequential writer.
+    """
+    from httrack2warc_spark.operators.sequence import with_running_total
+
+    gsize = F.sum(F.length("warc_header") + F.length("body") + F.lit(4))
+    groups = records.groupBy("seq").agg(gsize.alias("__gsize"))
+    before = with_running_total(
+        groups, [F.col("seq")], F.col("__gsize"), out_col="__before", mode=mode
+    )
+    raw_idx = before.withColumn(
+        "__fidx", F.floor(F.col("__before") / F.lit(rotation_size)).cast("int")
+    )
+    # densify: an oversized group can skip floor values, but the reference's
+    # filename counter increments by 1 per rotation (RotatingFile.java:48-51)
+    from pyspark.sql import Window
+
+    dense = Window.orderBy("__fidx")  # #files rows — tiny
+    idx_map = (
+        raw_idx.select("__fidx").distinct()
+        .withColumn("file_no", F.dense_rank().over(dense) - 1)
+    )
+    assigned = raw_idx.join(F.broadcast(idx_map), "__fidx").select("seq", "file_no")
+    return records.join(assigned, "seq")
+
+
+_POSITIONS_SCHEMA = (
+    "seq long, sub int, url string, warc_date string, content_type string, "
+    "status int, digest string, offset long, length long, filename string"
+)
+
+
+def write_warc_files(
+    records: DataFrame,
+    out_dir: str,
+    name_pattern: str = "crawl-%d.warc.gz",
+    rotation_size: int = WARC_ROTATION_SIZE,
+    compress: bool = True,
+    warcinfo: str | None = None,
+    warcinfo_date: str | None = None,
+    assign_mode: str = "single",
+) -> DataFrame:
+    """K1+K2+K3 materializer: write size-rotated ``.warc.gz`` files (one gzip
+    member per record, ``Compression.java:24-42``) and RETURN the per-record
+    byte positions (offset/length/filename) for CDX emission.
+
+    Spark-first shape: the rotation plan is a distributed prefix sum
+    (``assign_warc_files``), then ``groupBy(file_no).applyInPandas`` writes
+    each output file in its own task — at 100 TB that is thousands of ~1 GiB
+    files written in parallel (out_dir must be shared storage on a cluster).
+    Each file starts with its own warcinfo record, like the reference's
+    post-rotation ``writeWarcinfoRecord`` (``Httrack2Warc.java:200-203``).
+
+    Returns the positions DataFrame (materialized eagerly so the files exist
+    on return).
+    """
+    import gzip
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    assigned = assign_warc_files(records, rotation_size, mode=assign_mode)
+    info_bytes = warcinfo.encode("utf-8") if warcinfo is not None else None
+    info_date = warcinfo_date or "1970-01-01T00:00:00Z"
+
+    def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["seq", "sub"])
+        file_no = int(pdf["file_no"].iloc[0])
+        fname = name_pattern % file_no
+        rows = []
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            def emit(payload: bytes) -> tuple[int, int]:
+                start = f.tell()
+                # mtime=0: byte-deterministic members (replayable output)
+                f.write(gzip.compress(payload, mtime=0) if compress else payload)
+                return start, f.tell() - start
+
+            if info_bytes is not None:
+                import hashlib
+
+                h = hashlib.md5((fname + "|warcinfo").encode()).hexdigest()
+                rid = f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+                hdr = (
+                    "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: "
+                    + info_date
+                    + "\r\nWARC-Record-ID: " + rid
+                    + "\r\nContent-Type: application/warc-fields\r\nContent-Length:"
+                    + str(len(info_bytes))
+                    + "\r\n\r\n"
+                )
+                emit(hdr.encode("utf-8") + info_bytes + b"\r\n\r\n")
+            for r in pdf.itertuples(index=False):
+                start, length = emit(
+                    r.warc_header.encode("utf-8") + bytes(r.body) + b"\r\n\r\n"
+                )
+                rows.append(
+                    (r.seq, r.sub, r.url, r.warc_date, r.content_type,
+                     r.status, r.digest, start, length, fname)
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["seq", "sub", "url", "warc_date", "content_type",
+                     "status", "digest", "offset", "length", "filename"],
+        )
+
+    positions = assigned.groupBy("file_no").applyInPandas(
+        write_one, schema=_POSITIONS_SCHEMA
+    )
+    # eager: the files must exist when this returns; cache so callers reusing
+    # the positions (CDX emission) don't re-write the files
+    positions = positions.persist()
+    positions.count()
+    return positions
+
+
 def write_warc_file(records: DataFrame, path: str, compress: bool = True) -> None:
-    """Test-scale materializer: serialize ordered records into one WARC file
-    (per-record gzip members like the reference's Compression.GZIP,
-    ``Compression.java:24-42``). Production drains records to Iceberg instead;
-    this exists for parity tests that re-read the WARC."""
+    """Single-file materializer (no rotation) kept for parity tests that
+    re-read one WARC. ``records`` should already include the warcinfo row."""
     import gzip
 
     rows = records.orderBy("seq", "sub").select("warc_header", "body").collect()
     with open(path, "wb") as f:
         for r in rows:
             payload = r.warc_header.encode("utf-8") + bytes(r.body) + b"\r\n\r\n"
-            f.write(gzip.compress(payload) if compress else payload)
+            f.write(gzip.compress(payload, mtime=0) if compress else payload)

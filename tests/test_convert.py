@@ -29,6 +29,97 @@ def test_convert_end_to_end(spark, crawl_dir, tmp_path):
     assert body == sorted(body) and len(body) == 14  # 7 responses + 7 redirects
 
 
+def test_convert_rotation_and_cdx_offsets(spark, crawl_dir, tmp_path):
+    """K2+K3 golden: with a small size target the converter rotates into
+    several WARC files, each starting with its own warcinfo record
+    (Httrack2Warc.java:199-203), and every CDX line's (V offset, S length,
+    g filename) seeks back to a gzip member whose record matches the line's
+    URL and digest (CdxWriter.java:80-92, WarcWriter.java:142-156)."""
+    convert(
+        spark,
+        crawl_dir,
+        str(tmp_path),
+        exclusions=[".*/another"],
+        redirect_prefix="http://prefix.example.org/",
+        warc_size=4096,  # force several rotations on the 29-record fixture
+    )
+    warcs = sorted(tmp_path.glob("crawl-*.warc.gz"))
+    assert len(warcs) > 1
+    # consecutive numbering from 0
+    assert [w.name for w in warcs] == [
+        f"crawl-{i}.warc.gz" for i in range(len(warcs))
+    ]
+    for w in warcs:
+        first = gzip.decompress(w.read_bytes())
+        assert first.startswith(b"WARC/1.0\r\nWARC-Type: warcinfo\r\n")
+
+    lines = (tmp_path / "index.cdx").read_text().splitlines()[1:]
+    assert lines == sorted(lines) and len(lines) == 14
+    for line in lines:
+        fields = line.split(" ")
+        url, digest, s_len, v_off, g_file = (
+            fields[0], fields[5], int(fields[8]), int(fields[9]), fields[10]
+        )
+        data = (tmp_path / g_file).read_bytes()
+        member = gzip.decompress(data[v_off : v_off + s_len])
+        assert member.startswith(b"WARC/1.0\r\n")
+        assert f"WARC-Target-URI: {url}\r\n".encode() in member
+        if digest != "-":
+            assert f"sha1:{digest}".encode() in member
+    # record-group atomicity: a URL's response+request+metadata share a file
+    by_url: dict[str, set] = {}
+    for line in lines:
+        f = line.split(" ")
+        by_url.setdefault(f[0], set()).add(f[10])
+    assert all(len(v) == 1 for v in by_url.values())
+
+
+def test_convert_tarball_source(spark, crawl_dir, tmp_path):
+    """S11 (Httrack2Warc.java:92-147): a .tar.gz crawl archive — even with the
+    crawl nested under extra directories and unreadable permissions —
+    extracts, locates hts-cache, and reproduces the directory conversion."""
+    import os
+    import tarfile
+
+    tb = tmp_path / "crawl.tar.gz"
+    with tarfile.open(tb, "w:gz") as tf:
+        tf.add(crawl_dir, arcname="archive/nested/testcrawl")
+    outdir = tmp_path / "out"
+    recs = convert(
+        spark,
+        str(tb),
+        str(outdir),
+        exclusions=[".*/another"],
+        redirect_prefix="http://prefix.example.org/",
+    )
+    assert recs.count() == 29
+    assert (outdir / "crawl-0.warc.gz").exists()
+    lines = (outdir / "index.cdx").read_text().splitlines()
+    assert len(lines) == 15
+
+
+def test_warc_records_timezone_shift(spark, crawl_dir):
+    """P7 (Main.java:86-89, Httrack2Warc.java:76,205): HTTrack's zone-less
+    log timestamps interpreted in -Z's zone shift every WARC-Date by the
+    zone offset when converted to UTC instants."""
+    from datetime import datetime, timedelta
+
+    from httrack2warc_spark.sinks.warc import warc_records
+    from httrack2warc_spark.sources.htslogs import read_crawl_meta
+
+    meta = read_crawl_meta(crawl_dir)
+    crawl = read_crawl(spark, crawl_dir)
+    utc = warc_records(crawl, meta)
+    shifted = warc_records(crawl, meta, timezone="Etc/GMT-10")  # == UTC+10
+    a = {(r.seq, r.sub): r.warc_date for r in utc.collect()}
+    b = {(r.seq, r.sub): r.warc_date for r in shifted.collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    fmt = "%Y-%m-%dT%H:%M:%SZ"
+    for k in a:
+        da, db = datetime.strptime(a[k], fmt), datetime.strptime(b[k], fmt)
+        assert da - db == timedelta(hours=10)
+
+
 def test_leftover_audit(spark, crawl_dir):
     crawl = read_crawl(spark, crawl_dir)
     left = {r.file for r in leftover_files(spark, crawl_dir, crawl).collect()}

@@ -63,6 +63,24 @@ def test_canonicalize_normalization():
     assert canonicalize_url("http://example.com/x#fr ag") == "http://example.com/x#fr%20ag"
 
 
+def test_canonicalize_idna_hosts():
+    """Non-ASCII hosts punycode like WHATWG domain-to-ASCII (urlcanon parity);
+    already-encoded and trailing-dot hosts pass through stably."""
+    from httrack2warc_spark.functions.urls import canonicalize_url
+
+    assert (
+        canonicalize_url("http://münchen.example.de/path")
+        == "http://xn--mnchen-3ya.example.de/path"
+    )
+    assert canonicalize_url("HTTP://日本語.JP/x") == "http://xn--wgv71a119e.jp/x"
+    # idempotent: canonical output canonicalizes to itself
+    assert (
+        canonicalize_url("http://xn--mnchen-3ya.example.de/path")
+        == "http://xn--mnchen-3ya.example.de/path"
+    )
+    assert canonicalize_url("http://café.fr./") == "http://xn--caf-dma.fr./"
+
+
 def test_strip_protocol_and_header_key():
     assert strip_protocol("https://a.b/c") == "a.b/c"
     assert strip_protocol("http://a.b/c") == "a.b/c"
