@@ -436,6 +436,65 @@ def image_invariant_q(spark, sf_dir):
     ).select("image_id", "fmt").orderBy("image_id")
 
 
+def image_resize_q(spark, sf_dir):
+    """Multimodal resize over the deterministic image table (rows-only:
+    binary payloads). Asserts shape by re-decoding inside the plan."""
+    from httrack2warc_spark.frontier.synth import generate_images
+    from httrack2warc_spark.functions.images import resize_images
+
+    imgs = generate_images(spark, 64, w=16, h=16)
+    out = resize_images(imgs, 8, 8)
+    return out.where(F.col("resized_ok")).select(
+        "image_id", "w", "h", "fmt"
+    ).orderBy("image_id")
+
+
+def image_features_q(spark, sf_dir):
+    """Image feature extraction (channel means, luminance std, 8-bin
+    histogram, pHash) — rows-only."""
+    from httrack2warc_spark.frontier.synth import generate_images
+    from httrack2warc_spark.functions.images import image_features
+
+    imgs = generate_images(spark, 64, w=16, h=16)
+    out = image_features(imgs)
+    return out.where(F.col("decoded")).select(
+        "image_id",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("std_lum", 4).alias("std_lum"),
+        "phash",
+    ).orderBy("image_id")
+
+
+def frame_sample_q(spark, sf_dir):
+    """Video frame sampling (fake container, real mapInPandas fan-out) —
+    rows-only."""
+    from httrack2warc_spark.functions.images import frame_sample, synth_video
+
+    vids = spark.createDataFrame(
+        [(f"vid-{i}", synth_video(f"vid-{i}", 16, 16, 12)) for i in range(16)],
+        "video_id string, bytes binary",
+    )
+    return frame_sample(vids, every_k=4).select(
+        "video_id", "frame_idx", "phash"
+    ).orderBy("video_id", "frame_idx")
+
+
+def embedding_neardup_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute-force baseline, value-checked
+    against DuckDB list_cosine_similarity)."""
+    from httrack2warc_spark.operators.dedup import embedding_neardup_candidates
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    # operator pre-filter slightly below the cut, final filter on the rounded
+    # value — identical boundary semantics to the oracle's rounded filter
+    out = embedding_neardup_candidates(emb, "v", "vec_id", threshold=0.45 - 1e-6)
+    return out.select(
+        "a", "b", F.round("cosine", 6).alias("cosine")
+    ).where(F.col("cosine") >= 0.45).orderBy("a", "b")
+
+
 def frontier_crawl_q(spark, sf_dir):
     """The scheduler itself on a generated 2-host web (rows-only check)."""
     from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler, generate_web
@@ -481,6 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": simhash_neardup_q,
         "lsh_ann": lsh_ann_q,
         "image_invariant": image_invariant_q,
+        "image_resize": image_resize_q,
+        "image_features": image_features_q,
+        "frame_sample": frame_sample_q,
+        "embedding_neardup": embedding_neardup_q,
         "frontier_crawl": frontier_crawl_q,
     }
 
@@ -774,8 +837,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_guess
             FROM counts ORDER BY doc_id
         """,
+        "embedding_neardup": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(x.e, y.e), 6) AS cosine
+            FROM v x JOIN v y ON x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.45
+            ORDER BY a, b
+        """,
         # minhash_neardup / simhash_neardup / lsh_ann / ivf_ann /
-        # image_invariant / frontier_crawl: engine-specific hash
-        # families, binary payloads or iterative crawl state — rows-only
-        # checks (driver's weaker gate).
+        # image_invariant / image_resize / image_features / frame_sample /
+        # frontier_crawl: engine-specific hash families, binary payloads or
+        # iterative crawl state — rows-only checks (driver's weaker gate).
     }

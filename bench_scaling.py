@@ -58,7 +58,10 @@ summaries = build_summaries(
     add_partition_and_hashes(seen, "url_key", PARTS), PARTS,
     capacity_per_part=max(N_SEEN // PARTS * 2, 1000)).persist()
 summaries.count()
-seen = seen.persist(); seen.count()
+# hash-partitioned on the join key, like the engine's bucketed url_seen
+# storage (sinks/tables.py bucketed filesets): the exact-confirm anti-join
+# reads the seen side co-partitioned, exchanging only the probe hits
+seen = seen.repartition(64, "url_key").persist(); seen.count()
 
 # raw candidates: half re-discoveries (ids < N_SEEN), half new; messy forms
 raw = spark.range(N_CAND).select(
@@ -190,6 +193,26 @@ magnitude, so the end-to-end efficiency converges to the dataflow number.
 Identical visit order at both levels is enforced by the deterministic
 (priority, parent_seq, link_idx, url) total ordering
 (pytest tests/test_scheduler.py, tests/test_sequence.py).
+
+## 3. What moved the dataflow efficiency from 0.71 (round 1) to ≥0.8
+
+Measured by per-stage event-log breakdown (experiments/stage_times.py) and
+A/B variants (experiments/scaling_lab.py), min-of-3 in a warm JVM:
+
+1. **AQE advisory partition size 64MB → 8MB** (session.py). The 8M-row
+   post-canonicalize shuffle coalesced to ~10 fat partitions — 1.25 task
+   waves at 8 cores and a hard parallelism cap beyond; the Python (Arrow)
+   probe stage wants fine-grained tasks. This single config moved the A/B
+   from 0.775 to 0.92 in the lab (baseline 117.3→41.3 s became 119.2→32.2 s).
+2. **Seen set read co-partitioned on the join key**, modeling the engine's
+   bucketed url_seen storage (sinks/tables.py bucketed filesets; the
+   scheduler's confirm anti-join reads them exchange-free — verified by plan
+   in tests/test_bucketed_seen.py). Removed the per-round reshuffle of the
+   full seen set: 41.3 → 38.1 s at 4N, +0.06 efficiency.
+3. Rejected after measurement: persisting the top-k output before the ranged
+   seq exchange (the suspected range-sampler recompute does not exist under
+   AQE — stages are materialized before sampling; the extra cache write cost
+   13% at N).
 """
     Path("BENCH").mkdir(exist_ok=True)
     Path("BENCH/BASELINE.md").write_text(md)

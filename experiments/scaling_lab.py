@@ -23,8 +23,14 @@ N_SEEN, N_HOSTS, PARTS = N_CAND // 2, 10_000, 64
 from httrack2warc_spark import get_spark
 from pyspark.sql import functions as F
 
+extra = {}
+if variant in ("E",):
+    # AQE's 64MB advisory size coalesces the ~800MB post-canonicalize shuffle
+    # to ~10 partitions — a parallelism cap (1.25 waves at 8 cores, starvation
+    # at 32+). 8MB keeps Python-UDF-heavy reduce stages fine-grained.
+    extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "8m"
 spark = get_spark(app_name=f"lab-{variant}-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=64)
+                  shuffle_partitions=64, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 
 from httrack2warc_spark.functions.urls import (
@@ -41,7 +47,7 @@ summaries = build_summaries(
     add_partition_and_hashes(seen, "url_key", PARTS), PARTS,
     capacity_per_part=max(N_SEEN // PARTS * 2, 1000)).persist()
 summaries.count()
-if variant in ("C", "D"):
+if variant in ("C", "D", "E"):
     seen = seen.repartition(64, "url_key")
 seen = seen.persist(); seen.count()
 

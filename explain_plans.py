@@ -69,6 +69,43 @@ def main() -> None:
         )
     )
 
+    # bucketed url_seen confirm join (Iceberg bucket-partitioning stand-in)
+    import tempfile
+
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="plans_bucketed_"))
+    cat.write(
+        "url_seen",
+        seen.withColumn("url", F.col("url_key")).withColumn(
+            "enqueued_round", F.lit(0)
+        ),
+        bucket_by=("url_key", 16),
+    )
+    fs = cat.read_filesets("url_seen")[0]
+    sections.append(
+        (
+            "bucketed confirm anti-join (url_seen fileset)",
+            "seen side = bucketed scan (Bucketed: true), NO Exchange/Sort under "
+            "it; only the probe side exchanges (merge hint forces the "
+            "at-scale SMJ shape — with a tiny probe AQE broadcasts instead)",
+            grab(cand.join(fs.select("url_key").hint("merge"), "url_key", "left_anti")),
+        )
+    )
+
+    # ANN plans after the hygiene pass: no .first()/collect before the
+    # candidate join; bucket/cell assignment is one ArrowEvalPython node
+    for name, expect in [
+        ("lsh_ann", "ArrowEvalPython (batch matmul buckets) → posexplode → "
+                    "bucket join; no literal hyperplane trees"),
+        ("ivf_ann", "TakeOrderedAndProject centroid sample (no global sort); "
+                    "ArrowEvalPython cell assignment"),
+        ("minhash_neardup", "JVM-side signatures; capped band buckets; "
+                            "8-byte bucket-key self-join"),
+        ("embedding_neardup", "JVM-side zip_with dot products, range self-join"),
+    ]:
+        sections.append((name, expect, grab(qs[name](spark, sf_dir))))
+
     out = ["# PLANS — formatted physical plans of the key operators\n"]
     for name, expect, plan in sections:
         out.append(f"## {name}\n\nExpected shape: {expect}\n\n```\n{plan}```\n")

@@ -113,6 +113,11 @@ class CrawlConfig:
     # one-partition window is a driver-adjacent funnel at 10^9 rows)
     seq_mode: str = "auto"
     seq_single_max: int = 100_000
+    # store url_seen as Spark-bucketed filesets on url_key (Iceberg bucket
+    # partitioning stand-in): the exact-confirm anti-join reads them with no
+    # exchange/sort on the seen side — at 10^10 keys the per-round reshuffle
+    # of the whole seen set is the scale killer this removes
+    bucketed_seen: bool = True
 
 
 class FrontierScheduler:
@@ -140,6 +145,9 @@ class FrontierScheduler:
         self.image_table = image_table
 
     # ------------------------------------------------------------------ utils
+    def _seen_bucket(self) -> tuple[str, int] | None:
+        return ("url_key", self.cfg.num_parts) if self.cfg.bucketed_seen else None
+
     def _canonicalize(self, df: DataFrame, url_col: str) -> DataFrame:
         return (
             df.withColumn("url", canonicalize_urls_udf(F.col(url_col)))
@@ -189,7 +197,7 @@ class FrontierScheduler:
         seen = frontier.select(
             "url_key", "url", F.lit(0).alias("enqueued_round")
         )
-        self.catalog.write("url_seen", seen)
+        self.catalog.write("url_seen", seen, bucket_by=self._seen_bucket())
         if cfg.use_summaries:
             hashed = add_partition_and_hashes(seen, "url_key", cfg.num_parts)
             summ = merge_summaries(
@@ -347,8 +355,13 @@ class FrontierScheduler:
             .select("url_key", "url")
             .withColumn("enqueued_round", F.lit(round_no + 1))
         )
+        # bucketed path: confirm anti-join per fileset (exchange-free bucketed
+        # scans on the seen side; see _anti_join_all)
+        seen_confirm = (
+            self.catalog.read_filesets("url_seen") if cfg.bucketed_seen else seen
+        )
         new_frontier = filter_new_urls(
-            candidates, seen, summaries, "url_key",
+            candidates, seen_confirm, summaries, "url_key",
             cfg.num_parts, cfg.summary_fpp, unsummarized=tail,
             dedup_order=["parent_seq", "link_idx", "url"],
         )
@@ -387,7 +400,9 @@ class FrontierScheduler:
         new_seen_rows = new_seen_rows.persist()
         commits = [
             lambda: self.catalog.write("frontier", next_frontier),
-            lambda: self.catalog.append("url_seen", new_seen_rows),
+            lambda: self.catalog.append(
+                "url_seen", new_seen_rows, bucket_by=self._seen_bucket()
+            ),
         ]
         if cfg.fetch_robots:
             # append-only like url_seen: only hosts first crawled this round

@@ -56,8 +56,14 @@ __all__ = [
     "decode_image",
     "phash64",
     "psnr",
+    "resize_bilinear",
+    "resize_images",
+    "image_features",
     "synth_pixels",
     "synth_caption",
+    "synth_video",
+    "video_decode_frames",
+    "frame_sample",
     "with_decode_check",
 ]
 
@@ -234,6 +240,154 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 20 * math.log10(255.0 / math.sqrt(mse))
+
+
+# --- resize (real, pure numpy) ------------------------------------------------
+
+
+def resize_bilinear(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Real bilinear resample (align-corners=False convention, like PIL/cv2).
+    Pure numpy — no per-pixel Python: gather four neighbor planes and blend."""
+    h, w = pixels.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return pixels.copy()
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    p = pixels.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Multimodal pipeline op: decode → bilinear resize → re-encode (same
+    fmt), via ``mapInPandas`` (Arrow batches; numpy kernels). Rows whose
+    format can't be decoded in this sandbox (real jpeg/gif) pass through
+    unchanged with ``resized_ok = false`` — quarantine, never crash the job.
+    """
+    out_schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "resized_ok boolean"
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    dec = decode_image(r.bytes, r.fmt)
+                    res = resize_bilinear(dec, out_h, out_w)
+                    rows.append(
+                        (r.image_id, encode_image(res, r.fmt), out_w, out_h,
+                         r.fmt, True)
+                    )
+                except NotImplementedError:
+                    rows.append((r.image_id, r.bytes, r.w, r.h, r.fmt, False))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "resized_ok"]
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        work, schema=out_schema
+    )
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Feature extraction for dedup/quality: per-channel mean/std, an 8-bin
+    luminance histogram (L1-normalized) and the 64-bit pHash — one
+    ``mapInPandas`` pass, numpy kernels per Arrow batch."""
+    out_schema = (
+        "image_id string, mean_r double, mean_g double, mean_b double, "
+        "std_lum double, lum_hist array<double>, phash long, decoded boolean"
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(r.bytes, r.fmt).astype(np.float64)
+                    lum = px.mean(axis=2)
+                    hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+                    hist = (hist / max(1, lum.size)).tolist()
+                    rows.append(
+                        (r.image_id, float(px[..., 0].mean()),
+                         float(px[..., 1].mean()), float(px[..., 2].mean()),
+                         float(lum.std()), hist, phash64(px.astype(np.uint8)),
+                         True)
+                    )
+                except NotImplementedError:
+                    rows.append((r.image_id, None, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "mean_r", "mean_g", "mean_b",
+                         "std_lum", "lum_hist", "phash", "decoded"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        work, schema=out_schema
+    )
+
+
+# --- video frame sampling (real plumbing, documented fake container) ----------
+
+_VID_SIG = b"FVID"
+
+
+def synth_video(video_id: str, w: int = 16, h: int = 16, n_frames: int = 12) -> bytes:
+    """DETERMINISTIC FAKE video container (no ffmpeg in this sandbox — the
+    codec is fake, the Spark-side plumbing is real): ``FVID`` + (h, w, n) +
+    zlib(raw RGB frames). Frame f = synth_pixels of ``id#f`` → reproducible."""
+    frames = np.stack(
+        [synth_pixels(f"{video_id}#f{f}", w, h) for f in range(n_frames)]
+    )
+    return _VID_SIG + struct.pack(">III", h, w, n_frames) + zlib.compress(
+        frames.tobytes()
+    )
+
+
+def video_decode_frames(data: bytes) -> np.ndarray:
+    if data[:4] != _VID_SIG:
+        raise NotImplementedError("real video decode requires ffmpeg (absent here)")
+    h, w, n = struct.unpack(">III", data[4:16])
+    return np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(
+        n, h, w, 3
+    )
+
+
+def frame_sample(videos: DataFrame, every_k: int = 4) -> DataFrame:
+    """Multimodal frame sampler: decode the container, keep every k-th frame,
+    emit one row per sampled frame (frame re-encoded as PNG + its pHash).
+    ``mapInPandas`` — the batch shape is (video rows in) → (frame rows out),
+    the standard fan-out for video at 100 TB (frames repartition downstream).
+    """
+    out_schema = (
+        "video_id string, frame_idx int, png binary, phash long"
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    frames = video_decode_frames(r.bytes)
+                except NotImplementedError:
+                    continue  # quarantine undecodable containers
+                for idx in range(0, frames.shape[0], every_k):
+                    fr = frames[idx]
+                    rows.append((r.video_id, idx, png_encode(fr), phash64(fr)))
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "png", "phash"]
+            )
+
+    return videos.select("video_id", "bytes").mapInPandas(work, schema=out_schema)
 
 
 # --- deterministic synthetic content -----------------------------------------

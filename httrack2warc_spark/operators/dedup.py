@@ -28,6 +28,7 @@ __all__ = [
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
     "simhash64",
+    "simhash64_of_hashes",
     "simhash_dedup",
     "embedding_neardup_candidates",
 ]
@@ -66,15 +67,58 @@ def exact_dedup(df: DataFrame, cols: list[str], order, tiebreak: list | None = N
 # ---------------------------------------------------------------------------
 
 
-def _shingles(text: Column, n: int) -> Column:
-    """Word n-gram shingles of normalized text, as an array<string> (JVM-side:
-    lower → strip non-word → split → sliding windows via transform over indices)."""
-    words = F.split(F.trim(F.regexp_replace(F.lower(text), r"[^\w\s]+", " ")), r"\s+")
-    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), count - F.lit(1))
-    return F.when(count <= 0, F.array()).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+def _word_array(text: Column) -> Column:
+    """Normalized word array: lower → strip non-word → split → drop empties."""
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(text), r"[^\w\s]+", " ")), r"\s+"),
+        lambda w: F.length(w) > 0,
     )
+
+
+def _shingles_of(words: Column, n: int) -> Column:
+    """Sliding word n-grams via ``zip_with`` over shifted copies of the array.
+
+    Deliberately NOT the transform-over-indices formulation: any expression
+    referenced inside a higher-order-function *lambda body* is re-evaluated
+    PER ELEMENT, so `transform(idx, i -> slice(words, i, n))` turns an inline
+    `words` tree into O(len²) per document — and Catalyst's CollapseProject
+    can re-inline even a materialized column (measured: 6.4 s vs 0.66 s at
+    sf0.1). Here ``words`` appears only in argument positions (evaluated once
+    per row); zip_with pads the shorter side with null, which marks and drops
+    incomplete tail shingles."""
+    cur = words
+    for k in range(1, n):
+        shifted = F.slice(
+            words, k + 1, F.greatest(F.size(words) - k, F.lit(0))
+        )
+        cur = F.zip_with(
+            cur,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None).cast("string")
+            ).otherwise(F.concat(a, F.lit(" "), b)),
+        )
+    return F.filter(cur, lambda x: x.isNotNull())
+
+
+def _with_shingle_hashes(df: DataFrame, text_col: str, n: int,
+                         out: str = "__h") -> DataFrame:
+    """df + ``out`` = array<long> of xxhash64(shingle) — words, shingles and
+    hashes each materialized as their own column so every downstream
+    per-element lambda references a cheap attribute (see _shingles_of)."""
+    return (
+        df.withColumn("__words", _word_array(F.col(text_col)))
+        .withColumn("__sh", _shingles_of(F.col("__words"), n))
+        .withColumn(out, F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+        .drop("__words", "__sh")
+    )
+
+
+def _shingles(text: Column, n: int) -> Column:
+    """Inline-shingle Column (API compat / small inputs). For anything hot,
+    use the materialized two-step (``_with_shingle_hashes``) — the inline
+    form re-evaluates the split tree per element (see _shingles_of)."""
+    return _shingles_of(_word_array(text), n)
 
 
 def minhash_signatures(
@@ -87,29 +131,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per row, entirely JVM-side.
 
-    Each of the ``num_hashes`` permutations is ``min(xxhash64(shingle, seed=i))``
-    — xxhash64 with a per-slot seed column is a family of independent 64-bit
-    hashes; no Python, no explode, no shuffle. Empty docs get MAX_LONG slots.
-
-    The shingle array is materialized as its own column first so the
-    ``num_hashes`` min-expressions reference one computed attribute instead of
-    inlining (and re-evaluating) the tokenization ``num_hashes`` times.
+    Shingles are string-hashed ONCE (``xxhash64(shingle)`` → array<long>,
+    materialized — see ``_with_shingle_hashes``); each of the ``num_hashes``
+    permutations is then ``min(xxhash64(h, seed=i))`` over the longs — the
+    standard one-strong-hash + cheap-rehash MinHash family. Long-rehashing is
+    ~an order of magnitude cheaper than hashing the shingle strings
+    ``num_hashes`` times. No Python, no explode, no shuffle. Empty docs get
+    MAX_LONG slots.
     """
 
     def _sig_fn(i: int):
-        return lambda s: F.xxhash64(s, F.lit(i))
+        return lambda h: F.xxhash64(h, F.lit(i))
 
-    with_sh = df.withColumn("__sh", _shingles(F.col(text_col), shingle_n))
+    with_h = _with_shingle_hashes(df, text_col, shingle_n)
     sig = F.array(
         *[
             F.coalesce(
-                F.array_min(F.transform(F.col("__sh"), _sig_fn(i))),
+                F.array_min(F.transform(F.col("__h"), _sig_fn(i))),
                 F.lit(2**63 - 1),
             )
             for i in range(num_hashes)
         ]
     )
-    return with_sh.withColumn(sig_col, sig).drop("__sh")
+    return with_h.withColumn(sig_col, sig).drop("__h")
 
 
 def minhash_lsh_candidates(
@@ -150,11 +194,12 @@ def minhash_lsh_candidates(
         ).alias("band", "bucket"),
     )
     if max_bucket_size is not None:
-        counts = band_buckets.groupBy("band", "bucket").agg(
-            F.count("*").alias("__n")
-        )
+        # window count over the same (band, bucket) partitioning the self-join
+        # shuffles on — the count piggybacks on that single exchange instead
+        # of a separate aggregate+join round trip (measured −6 s at sf0.1)
+        wc = Window.partitionBy("band", "bucket")
         band_buckets = (
-            band_buckets.join(counts, ["band", "bucket"])
+            band_buckets.withColumn("__n", F.count("*").over(wc))
             .where(F.col("__n") <= max_bucket_size)
             .drop("__n")
         )
@@ -242,9 +287,13 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|−|A∩B|. Quadratic in the worst case — meant for verification
     at modest candidate volume, not as the 100 TB primary (that's MinHash+LSH).
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias("sh"),
+    sh = (
+        df.withColumn("__words", _word_array(F.col(text_col)))
+        .withColumn("__sh", _shingles_of(F.col("__words"), shingle_n))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.col("__sh"))).alias("sh"),
+        )
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     inter = (
@@ -274,11 +323,19 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash: shingling + per-shingle xxhash64 stay JVM-side
-    (codegen); the 64-way bit vote runs in a vectorized pandas UDF over the
-    hash arrays (numpy bit-unpack — one Arrow pass; the pure-Column
-    formulation needs 64 aggregate scans per row and is ~50× slower)."""
-    hashes = F.transform(_shingles(text, shingle_n), lambda s: F.xxhash64(s))
+    """64-bit SimHash of inline-shingled text (API compat; for the hot path
+    use ``simhash64_of_hashes`` over a materialized hash column — see
+    ``_shingles_of`` for why inline shingling is quadratic)."""
+    return simhash64_of_hashes(
+        F.transform(_shingles(text, shingle_n), lambda s: F.xxhash64(s))
+    )
+
+
+def simhash64_of_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from an array<long> of shingle hashes: the 64-way bit
+    vote runs in a vectorized pandas UDF over the hash arrays (numpy
+    segmented sums — one Arrow pass; the pure-Column formulation needs 64
+    aggregate scans per row and is ~50× slower)."""
 
     @pandas_udf(LongType())
     def _vote(arrs: pd.Series) -> pd.Series:
@@ -337,7 +394,9 @@ def simhash_dedup(
         .drop("__rn", "__th")
     )
     width = 64 // blocks
-    fp = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("fp"))
+    fp = _with_shingle_hashes(df, text_col, shingle_n).select(
+        F.col(id_col), simhash64_of_hashes(F.col("__h")).alias("fp")
+    )
     blocked = fp.select(
         id_col,
         "fp",

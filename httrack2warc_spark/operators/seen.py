@@ -344,9 +344,25 @@ def probe_summaries(candidates_hashed: DataFrame, summaries: DataFrame,
     )
 
 
+def _anti_join_all(df: DataFrame, seen, key_col: str) -> DataFrame:
+    """Anti-join ``df`` against one seen table or a list of seen filesets.
+
+    The list form is the bucketed-storage path: each fileset is a bucketed
+    scan carrying HashPartitioning(key, n), so every chained SortMergeJoin
+    reads the (big) seen side with NO exchange and NO sort — only the
+    (small, shrinking) probe-hit side is exchanged per link. A plain union
+    would discard the bucketing metadata and re-shuffle the whole seen set
+    every round — the classic 10^10-row iterative-state trap.
+    """
+    seen_list = seen if isinstance(seen, list) else [seen]
+    for s in seen_list:
+        df = df.join(s.select(key_col), key_col, "left_anti")
+    return df
+
+
 def filter_new_urls(
     candidates: DataFrame,
-    seen_exact: DataFrame,
+    seen_exact,
     summaries: DataFrame | None,
     key_col: str,
     num_parts: int,
@@ -358,6 +374,10 @@ def filter_new_urls(
 
     new = probe-misses ∪ (probe-hits ⟂ exact-seen). Without summaries it
     degrades to the plain anti-join (correct, just slower at scale).
+
+    ``seen_exact``: the exact seen table, or a LIST of fileset DataFrames
+    (from ``TableCatalog.read_filesets`` of a bucketed table) — the confirm
+    join then runs per fileset against exchange-free bucketed scans.
 
     ``unsummarized``: seen keys appended *after* the summaries were last
     merged. Probe-misses are anti-joined against this (small) tail, which
@@ -375,9 +395,7 @@ def filter_new_urls(
             from httrack2warc_spark.operators.dedup import first_occurrence
 
             hashed = first_occurrence(hashed, key_col, dedup_order)
-        return hashed.join(seen_exact.select(key_col), key_col, "left_anti").drop(
-            "part", "h1", "h2"
-        )
+        return _anti_join_all(hashed, seen_exact, key_col).drop("part", "h1", "h2")
     probed = probe_summaries(
         hashed, summaries, fpp,
         dedup_key=key_col if dedup_order is not None else None,
@@ -387,5 +405,5 @@ def filter_new_urls(
     if unsummarized is not None:
         misses = misses.join(unsummarized.select(key_col), key_col, "left_anti")
     hits = probed.where(F.col("maybe_seen"))
-    confirmed_new = hits.join(seen_exact.select(key_col), key_col, "left_anti")
+    confirmed_new = _anti_join_all(hits, seen_exact, key_col)
     return misses.unionByName(confirmed_new).drop("part", "h1", "h2", "maybe_seen")

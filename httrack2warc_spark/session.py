@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's default 64MB advisory size coalesces post-shuffle stages that
+        # feed Python (Arrow) kernels to a handful of fat partitions — a hard
+        # parallelism cap (measured: the 8M-row probe stage coalesced to 10
+        # tasks, capping N→4N scaling efficiency at 0.77; 8MB restores 0.92,
+        # see BENCH/BASELINE.md). Python-UDF stages want fine-grained tasks.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_MAX_RECORDS_PER_BATCH)
         .config("spark.sql.session.timeZone", "UTC")

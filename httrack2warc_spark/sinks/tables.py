@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from pathlib import Path
@@ -74,39 +75,98 @@ class TableCatalog:
         os.replace(tmp, self._current_ptr(name))  # atomic publish
 
     def _write_fileset(self, name: str, df: DataFrame,
-                       partition_by: list[str] | None = None) -> str:
+                       partition_by: list[str] | None = None,
+                       bucket_by: tuple[str, int] | None = None) -> str | dict:
         path = self._table_dir(name) / "data" / uuid.uuid4().hex[:12]
+        if bucket_by is not None:
+            # Spark-native bucketed external table: the scan reports
+            # HashPartitioning(col, n) so joins/cogroups keyed on ``col``
+            # read this fileset WITHOUT an exchange (and without a sort —
+            # one file per bucket via the explicit repartition). This is the
+            # parquet stand-in for Iceberg bucket partitioning +
+            # storage-partitioned joins at 10^10-row url_seen scale.
+            col, n = bucket_by
+            tbl = f"h2w_{re.sub('[^a-z0-9]', '_', name.lower())}_{uuid.uuid4().hex[:12]}"
+            (
+                df.repartition(n, col)
+                .write.mode("overwrite")
+                .bucketBy(n, col)
+                .sortBy(col)
+                .option("path", str(path))
+                .saveAsTable(tbl)
+            )
+            return {"path": str(path), "table": tbl, "bucket_col": col, "buckets": n}
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(str(path))
         return str(path)
 
+    def _ensure_bucket_table(self, entry: dict) -> DataFrame:
+        """Re-register a bucketed fileset table if this session doesn't know it
+        (session catalogs are in-memory; resume happens in a fresh session)."""
+        tbl = entry["table"]
+        if not self.spark.catalog.tableExists(tbl):
+            schema = self.spark.read.parquet(entry["path"]).schema
+            ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY (`{entry['bucket_col']}`) "
+                f"SORTED BY (`{entry['bucket_col']}`) "
+                f"INTO {entry['buckets']} BUCKETS "
+                f"LOCATION '{entry['path']}'"
+            )
+        return self.spark.table(tbl)
+
+    def _fileset_df(self, entry: str | dict) -> DataFrame:
+        if isinstance(entry, dict):
+            return self._ensure_bucket_table(entry)
+        return self.spark.read.parquet(entry)
+
     # -- public API ----------------------------------------------------------
     def write(self, name: str, df: DataFrame,
-              partition_by: list[str] | None = None) -> None:
+              partition_by: list[str] | None = None,
+              bucket_by: tuple[str, int] | None = None) -> None:
         self._table_dir(name).mkdir(parents=True, exist_ok=True)
-        self._commit(name, [self._write_fileset(name, df, partition_by)])
+        self._commit(name, [self._write_fileset(name, df, partition_by, bucket_by)])
 
-    def append(self, name: str, df: DataFrame) -> None:
+    def append(self, name: str, df: DataFrame,
+               bucket_by: tuple[str, int] | None = None) -> None:
         version = self._current_version(name)
         if version is None:
-            self.write(name, df)
+            self.write(name, df, bucket_by=bucket_by)
             return
         prior = self._manifest(name, version)["files"]
-        self._commit(name, prior + [self._write_fileset(name, df)])
+        self._commit(
+            name, prior + [self._write_fileset(name, df, bucket_by=bucket_by)]
+        )
 
     def exists(self, name: str) -> bool:
         return self._current_version(name) is not None
 
-    def read(self, name: str) -> DataFrame:
+    def _files(self, name: str) -> list:
         version = (
             self._pinned.get(name) if self._pinned is not None else None
         ) or self._current_version(name)
         if version is None:
             raise FileNotFoundError(f"table {name} has no committed version")
-        files = self._manifest(name, version)["files"]
-        return self.spark.read.parquet(*files)
+        return self._manifest(name, version)["files"]
+
+    def read(self, name: str) -> DataFrame:
+        files = self._files(name)
+        if not any(isinstance(f, dict) for f in files):
+            return self.spark.read.parquet(*files)
+        dfs = [self._fileset_df(f) for f in files]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read_filesets(self, name: str) -> list[DataFrame]:
+        """One DataFrame per committed fileset. For bucketed tables each keeps
+        its HashPartitioning metadata (a union would discard it) — callers
+        that join per-fileset get the exchange-free bucketed scans."""
+        return [self._fileset_df(f) for f in self._files(name)]
 
     def snapshot(self, tag: str, extra: dict | None = None) -> None:
         versions = {

@@ -76,3 +76,75 @@ def test_generate_images_invariant(spark):
     assert all(r.phash_ok for r in rows)
     lossy = [r for r in rows if r.fmt == "jpeg"]
     assert lossy and all(r.psnr_db >= 40.0 for r in lossy)
+
+
+def test_resize_bilinear_identity_and_shape():
+    from httrack2warc_spark.functions.images import resize_bilinear, synth_pixels
+
+    px = synth_pixels("img-1", 32, 24)
+    same = resize_bilinear(px, 24, 32)
+    assert (same == px).all()
+    small = resize_bilinear(px, 12, 16)
+    assert small.shape == (12, 16, 3)
+    # downscale of a smooth gradient stays within the original value range
+    assert small.min() >= px.min() and small.max() <= px.max()
+    # deterministic
+    assert (resize_bilinear(px, 12, 16) == small).all()
+
+
+def test_resize_images_spark(spark):
+    from httrack2warc_spark.frontier.synth import generate_images
+    from httrack2warc_spark.functions.images import (
+        decode_image,
+        resize_images,
+    )
+    from pyspark.sql import functions as F
+
+    imgs = generate_images(spark, 16, w=16, h=16)
+    out = resize_images(imgs, 8, 8)
+    rows = out.collect()
+    assert len(rows) == 16
+    ok = [r for r in rows if r.resized_ok]
+    assert ok, "at least the png/qimg rows must resize"
+    for r in ok:
+        assert (r.w, r.h) == (8, 8)
+        assert decode_image(bytes(r.bytes), r.fmt).shape == (8, 8, 3)
+
+
+def test_image_features_spark(spark):
+    from httrack2warc_spark.frontier.synth import generate_images
+    from httrack2warc_spark.functions.images import image_features
+
+    imgs = generate_images(spark, 16, w=16, h=16)
+    feats = {r.image_id: r for r in image_features(imgs).collect()}
+    assert len(feats) == 16
+    decoded = [f for f in feats.values() if f.decoded]
+    assert decoded
+    for f in decoded:
+        assert 0 <= f.mean_r <= 255 and 0 <= f.std_lum <= 128
+        assert abs(sum(f.lum_hist) - 1.0) < 1e-9 and len(f.lum_hist) == 8
+
+
+def test_frame_sample_spark(spark):
+    from httrack2warc_spark.functions.images import (
+        frame_sample,
+        phash64,
+        png_decode,
+        synth_pixels,
+        synth_video,
+    )
+
+    vids = spark.createDataFrame(
+        [(f"vid-{i}", synth_video(f"vid-{i}", 8, 8, 10)) for i in range(3)],
+        "video_id string, bytes binary",
+    )
+    rows = frame_sample(vids, every_k=4).collect()
+    # 10 frames sampled every 4 => indices 0,4,8 per video
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.video_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 4, 8] for v in by_vid.values())
+    r0 = next(r for r in rows if r.video_id == "vid-1" and r.frame_idx == 4)
+    ref = synth_pixels("vid-1#f4", 8, 8)
+    assert (png_decode(bytes(r0.png)) == ref).all()
+    assert r0.phash == phash64(ref)
