@@ -50,6 +50,9 @@ def main() -> None:
         "embedding_topk",
         "lsh_ann",
         "image_invariant",
+        "image_resize",
+        "image_features",
+        "frame_sample",
     ]
 
     timings: dict[str, float] = {}

@@ -231,12 +231,12 @@ class FrontierScheduler:
     def run_round(self, round_no: int, next_seq: int) -> tuple[int, int]:
         """Execute one round; returns (fetched_count, next_seq)."""
         cfg = self.cfg
-        frontier = self.catalog.read("frontier")
-        # one metadata-cheap count job serves both the emptiness check and
-        # the auto seq-mode decision (parquet count = footer row counts)
-        n_frontier = frontier.count()
+        # emptiness + auto seq-mode sizing from parquet footers — driver-side
+        # metadata, no Spark job
+        n_frontier = self.catalog.row_count("frontier")
         if n_frontier == 0:
             return 0, next_seq
+        frontier = self.catalog.read("frontier")
         seq_mode = cfg.seq_mode
         if seq_mode == "auto":
             seq_mode = "ranged" if n_frontier > cfg.seq_single_max else "single"
@@ -315,9 +315,10 @@ class FrontierScheduler:
             "image_id",
             (F.col("__robots") == 0).alias("is_robots"),
         )
-        self.catalog.append("crawl_log", log_rows)
-
-        n_fetched = fetched.count()
+        log_entry = self.catalog.append("crawl_log", log_rows)
+        # the append just materialized every fetched row (through the cache);
+        # its footer count replaces a separate fetched.count() job
+        n_fetched = self.catalog.fileset_row_count(log_entry)
         next_seq += n_fetched
 
         # ---- discovery --------------------------------------------------

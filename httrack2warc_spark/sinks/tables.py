@@ -126,20 +126,41 @@ class TableCatalog:
     # -- public API ----------------------------------------------------------
     def write(self, name: str, df: DataFrame,
               partition_by: list[str] | None = None,
-              bucket_by: tuple[str, int] | None = None) -> None:
+              bucket_by: tuple[str, int] | None = None) -> str | dict:
         self._table_dir(name).mkdir(parents=True, exist_ok=True)
-        self._commit(name, [self._write_fileset(name, df, partition_by, bucket_by)])
+        entry = self._write_fileset(name, df, partition_by, bucket_by)
+        self._commit(name, [entry])
+        return entry
 
     def append(self, name: str, df: DataFrame,
-               bucket_by: tuple[str, int] | None = None) -> None:
+               bucket_by: tuple[str, int] | None = None) -> str | dict:
         version = self._current_version(name)
         if version is None:
-            self.write(name, df, bucket_by=bucket_by)
-            return
+            return self.write(name, df, bucket_by=bucket_by)
         prior = self._manifest(name, version)["files"]
-        self._commit(
-            name, prior + [self._write_fileset(name, df, bucket_by=bucket_by)]
-        )
+        entry = self._write_fileset(name, df, bucket_by=bucket_by)
+        self._commit(name, prior + [entry])
+        return entry
+
+    @staticmethod
+    def fileset_row_count(entry: str | dict) -> int:
+        """Row count straight from the parquet footers — driver-side metadata,
+        NO Spark job. The per-round `count()` actions this replaces were a
+        measurable share of the fixed ~1 s/job local-mode round latency."""
+        import pyarrow.parquet as pq
+
+        path = entry["path"] if isinstance(entry, dict) else entry
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+        return total
+
+    def row_count(self, name: str) -> int:
+        """Table row count from footers (no Spark job). Exact for append-only
+        tables (every committed row is live)."""
+        return sum(self.fileset_row_count(e) for e in self._files(name))
 
     def exists(self, name: str) -> bool:
         return self._current_version(name) is not None

@@ -38,3 +38,58 @@ def test_scheduler_golden_ranged(spark, tmp_path):
     )
     log = sched.run(seeds=["http://test.example.org/"])
     assert [r.url for r in log.orderBy("seq").collect()] == GOLDEN_VISIT_ORDER
+
+
+def test_running_total_ranged_equals_single(spark):
+    from pyspark.sql import functions as F
+
+    from httrack2warc_spark.operators.sequence import with_running_total
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11 + 1) for i in range(5000)], "k int, v int"
+    )
+    a = {
+        r.k: r.running
+        for r in with_running_total(df, [F.col("k")], F.col("v"), mode="single").collect()
+    }
+    caches = []
+    b = {
+        r.k: r.running
+        for r in with_running_total(
+            df, [F.col("k")], F.col("v"), mode="ranged", num_partitions=8,
+            cache_handle=caches,
+        ).collect()
+    }
+    for c in caches:
+        c.unpersist()
+    assert a == b
+    assert a[0] == 0 and a[1] == ((0 * 37) % 11 + 1)
+
+
+def test_assign_warc_files_dense_and_atomic(spark):
+    """K2: an oversized record group may skip floor boundaries, but file
+    numbers must stay consecutive from 0 (RotatingFile seq += 1), and all
+    subs of a seq group share one file."""
+    from pyspark.sql import functions as F
+
+    from httrack2warc_spark.sinks.warc import assign_warc_files
+
+    rows = []
+    for seq in range(10):
+        size = 5000 if seq == 3 else 100  # group 3 is ~12x the rotation size
+        rows.append((seq, 0, "h" * 10, bytes(size)))
+        rows.append((seq, 1, "h" * 10, bytes(20)))
+    records = spark.createDataFrame(
+        rows, "seq long, sub int, warc_header string, body binary"
+    )
+    out = assign_warc_files(records, rotation_size=400).collect()
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r.seq, set()).add(r.file_no)
+    assert all(len(v) == 1 for v in by_seq.values())  # group atomicity
+    file_nos = sorted({r.file_no for r in out})
+    assert file_nos == list(range(len(file_nos)))  # consecutive from 0
+    assert len(file_nos) > 1
+    # order-preserving: file numbers are monotone in seq
+    seq_file = sorted((s, next(iter(v))) for s, v in by_seq.items())
+    assert [f for _, f in seq_file] == sorted(f for _, f in seq_file)
