@@ -118,6 +118,10 @@ class CrawlConfig:
     # exchange/sort on the seen side — at 10^10 keys the per-round reshuffle
     # of the whole seen set is the scale killer this removes
     bucketed_seen: bool = True
+    # size-tiered compaction threshold for url_seen filesets: the confirm
+    # anti-join chains one join per fileset, so unbounded appends make the
+    # chain O(rounds); compaction merges the small tails (never the big base)
+    seen_compact_max: int = 6
 
 
 class FrontierScheduler:
@@ -399,6 +403,14 @@ class FrontierScheduler:
         # jobs from multiple threads; inputs are persisted, so each commit is
         # a cheap cached scan + write).
         new_seen_rows = new_seen_rows.persist()
+        # materialize the discovery pipeline ONCE before the parallel commits:
+        # this count fills both caches (new_seen_rows and, as its dependency,
+        # new_frontier). Without it the concurrent commits race to compute the
+        # same un-filled cache and each runs the full pipeline (measured: the
+        # frontier and metrics commits together spent 71 s of a 64 s crawl).
+        self.spark.sparkContext.setJobDescription("discovery:materialize")
+        new_seen_rows.count()
+        self.spark.sparkContext.setJobDescription(None)
         commits = [
             lambda: self.catalog.write("frontier", next_frontier),
             lambda: self.catalog.append(
@@ -488,6 +500,11 @@ class FrontierScheduler:
             for c in commits:
                 c()
 
+        if cfg.bucketed_seen:
+            self.catalog.compact_small(
+                "url_seen", bucket_by=self._seen_bucket(),
+                max_filesets=cfg.seen_compact_max,
+            )
         if merge_now:
             self._summary_covered_round = round_no + 1
         self.catalog.snapshot(

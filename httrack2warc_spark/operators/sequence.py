@@ -54,9 +54,11 @@ def with_global_seq(
     ranged = ranged.persist()
     if cache_handle is not None:
         cache_handle.append(ranged)
+    df.sparkSession.sparkContext.setJobDescription("seq:ranged-offsets")
     counts = (
         ranged.groupBy("__pid").agg(F.count("*").alias("__n")).orderBy("__pid").collect()
     )
+    df.sparkSession.sparkContext.setJobDescription(None)
     offsets, acc = {}, start
     for r in counts:
         offsets[r["__pid"]] = acc

@@ -78,6 +78,14 @@ class TableCatalog:
                        partition_by: list[str] | None = None,
                        bucket_by: tuple[str, int] | None = None) -> str | dict:
         path = self._table_dir(name) / "data" / uuid.uuid4().hex[:12]
+        # thread-local: labels this commit's jobs in the UI/event log
+        self.spark.sparkContext.setJobDescription(f"catalog:{name}")
+        try:
+            return self._write_fileset_inner(name, df, partition_by, bucket_by, path)
+        finally:
+            self.spark.sparkContext.setJobDescription(None)
+
+    def _write_fileset_inner(self, name, df, partition_by, bucket_by, path):
         if bucket_by is not None:
             # Spark-native bucketed external table: the scan reports
             # HashPartitioning(col, n) so joins/cogroups keyed on ``col``
@@ -188,6 +196,29 @@ class TableCatalog:
         its HashPartitioning metadata (a union would discard it) — callers
         that join per-fileset get the exchange-free bucketed scans."""
         return [self._fileset_df(f) for f in self._files(name)]
+
+    def compact_small(self, name: str, bucket_by: tuple[str, int] | None = None,
+                      max_filesets: int = 6) -> bool:
+        """Size-tiered compaction: when the manifest holds more than
+        ``max_filesets`` filesets, rewrite all but the largest one into a
+        single new fileset (union read → one write) and commit the two-entry
+        manifest. The big base fileset is NEVER rewritten — per-round appends
+        merge at O(sum-of-small-tails), not O(total), which is what keeps a
+        10^10-row append-only table compactable at all. (Iceberg's rewrite-
+        data-files action, in miniature.) Returns True if it compacted."""
+        files = self._files(name)
+        if len(files) <= max_filesets:
+            return False
+        sized = sorted(files, key=self.fileset_row_count)
+        base, small = sized[-1], sized[:-1]
+        dfs = [self._fileset_df(f) for f in small]
+        merged = dfs[0]
+        for d in dfs[1:]:
+            merged = merged.unionByName(d)
+        entry = self._write_fileset(name, merged, bucket_by=bucket_by)
+        # preserve manifest order semantics: base first, then the merged tail
+        self._commit(name, [base, entry])
+        return True
 
     def snapshot(self, tag: str, extra: dict | None = None) -> None:
         versions = {

@@ -79,6 +79,32 @@ def test_filter_new_urls_with_fileset_list(spark, tmp_path):
     assert out == {f"s.com/{i}" for i in range(300, 400)}
 
 
+def test_compact_small_keeps_base_and_rows(spark, tmp_path):
+    """Size-tiered compaction: merges everything but the largest fileset into
+    one; row set unchanged; the big base entry is reused verbatim (never
+    rewritten)."""
+    cat = TableCatalog(spark, str(tmp_path))
+    cat.write("url_seen", _seen_df(spark, 1000), bucket_by=("url_key", 4))
+    base_entry = cat._files("url_seen")[0]
+    for i in range(5):
+        cat.append(
+            "url_seen",
+            spark.createDataFrame(
+                [(f"t{i}.com/{j}", f"http://t{i}.com/{j}", i) for j in range(10)],
+                "url_key string, url string, enqueued_round int",
+            ),
+            bucket_by=("url_key", 4),
+        )
+    assert len(cat._files("url_seen")) == 6
+    assert cat.compact_small("url_seen", bucket_by=("url_key", 4), max_filesets=3)
+    files = cat._files("url_seen")
+    assert len(files) == 2
+    assert files[0] == base_entry  # base never rewritten
+    assert cat.read("url_seen").count() == 1050
+    assert cat.row_count("url_seen") == 1050
+    assert not cat.compact_small("url_seen", bucket_by=("url_key", 4), max_filesets=3)
+
+
 def test_bucket_table_reregisters_after_catalog_loss(spark, tmp_path):
     """Session catalogs are in-memory; a fresh session (resume) must be able
     to re-register the bucketed fileset tables from the manifest."""
