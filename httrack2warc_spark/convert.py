@@ -75,6 +75,7 @@ def convert(
     compress: bool = True,
     strict: bool = False,
     timezone: str = "UTC",
+    warcinfo_extra: list[str] | None = None,
 ) -> DataFrame:
     """Returns the WARC-record DataFrame after writing warc/cdx files.
 
@@ -93,7 +94,7 @@ def convert(
         result = _convert_dir(
             spark, crawl_dir, output_dir, exclusions, redirect_prefix,
             rewrite_links, cdx_name, warc_pattern, warc_size, compress, strict,
-            timezone,
+            timezone, warcinfo_extra,
         )
         if tmp_root is not None:
             # the extracted files vanish below; pin the returned records
@@ -118,6 +119,7 @@ def _convert_dir(
     compress: bool,
     strict: bool,
     timezone: str = "UTC",
+    warcinfo_extra: list[str] | None = None,
 ) -> DataFrame:
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -148,7 +150,10 @@ def _convert_dir(
 
         launch = launch.replace(tzinfo=ZoneInfo(timezone)).astimezone(_tzutc.utc)
     launch_iso = launch.strftime("%Y-%m-%dT%H:%M:%SZ")
-    warcinfo = format_warcinfo(meta)
+    # reference -I/--warcinfo: extra "KEY: VALUE" lines prepended
+    # (Httrack2Warc.java:384-386, Main.java:92-94)
+    extra = "".join(line + "\r\n" for line in (warcinfo_extra or []))
+    warcinfo = format_warcinfo(meta, extra=extra)
     info = warcinfo_record(spark, warcinfo, launch_iso)
     all_recs = info.unionByName(recs)
 
@@ -187,6 +192,9 @@ def main(argv: list[str] | None = None) -> None:
                    default=WARC_ROTATION_SIZE,
                    help="WARC rotation size target in bytes (reference -s)")
     p.add_argument("--no-compress", action="store_true")
+    p.add_argument("-I", "--warcinfo", action="append", default=[],
+                   help="extra 'KEY: VALUE' line for the warcinfo record "
+                        "(reference -I; repeatable)")
     p.add_argument("-Z", "--timezone", default="UTC",
                    help="timezone of the HTTrack logs (reference -Z; "
                         "reference defaults to the system zone, this CLI to UTC "
@@ -216,6 +224,7 @@ def main(argv: list[str] | None = None) -> None:
         compress=not args.no_compress,
         strict=args.strict,
         timezone=args.timezone,
+        warcinfo_extra=args.warcinfo,
     )
 
 

@@ -98,6 +98,22 @@ def test_convert_tarball_source(spark, crawl_dir, tmp_path):
     assert len(lines) == 15
 
 
+def test_convert_warcinfo_extra_lines(spark, crawl_dir, tmp_path):
+    """-I/--warcinfo (Main.java:92-94): extra lines land at the top of every
+    warcinfo record, before the software lines."""
+    convert(
+        spark,
+        crawl_dir,
+        str(tmp_path),
+        warcinfo_extra=["operator: National Library", "isPartOf: test-crawl"],
+    )
+    data = gzip.decompress((tmp_path / "crawl-0.warc.gz").read_bytes())
+    body = data.split(b"\r\n\r\n", 1)[1]
+    assert body.startswith(
+        b"operator: National Library\r\nisPartOf: test-crawl\r\nsoftware: HTTrack/"
+    )
+
+
 def test_warc_records_timezone_shift(spark, crawl_dir):
     """P7 (Main.java:86-89, Httrack2Warc.java:76,205): HTTrack's zone-less
     log timestamps interpreted in -Z's zone shift every WARC-Date by the
