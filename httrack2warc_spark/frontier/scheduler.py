@@ -122,6 +122,12 @@ class CrawlConfig:
     # anti-join chains one join per fileset, so unbounded appends make the
     # chain O(rounds); compaction merges the small tails (never the big base)
     seen_compact_max: int = 6
+    # "auto": disable AQE while rounds are small (<= seq_single_max frontier
+    # rows) — per-stage adaptive replanning costs a driver round-trip per
+    # exchange, which dominates latency-bound small rounds (measured: 12-round
+    # 100k-URL crawl 49 s with AQE, 39 s without); big rounds get AQE back
+    # (skew joins, runtime coalescing). "on"/"off" force it.
+    aqe_mode: str = "auto"
 
 
 class FrontierScheduler:
@@ -244,6 +250,15 @@ class FrontierScheduler:
         seq_mode = cfg.seq_mode
         if seq_mode == "auto":
             seq_mode = "ranged" if n_frontier > cfg.seq_single_max else "single"
+        if cfg.aqe_mode == "auto":
+            self.spark.conf.set(
+                "spark.sql.adaptive.enabled",
+                "true" if n_frontier > cfg.seq_single_max else "false",
+            )
+        elif cfg.aqe_mode in ("on", "off"):
+            self.spark.conf.set(
+                "spark.sql.adaptive.enabled", "true" if cfg.aqe_mode == "on" else "false"
+            )
 
         eligible = self._apply_robots(frontier)
         if cfg.max_depth is not None:
@@ -539,9 +554,13 @@ class FrontierScheduler:
             self.start(seeds)
             round_no, next_seq = 0, 0
 
-        while round_no < self.cfg.max_rounds:
-            fetched, next_seq = self.run_round(round_no, next_seq)
-            if fetched == 0:
-                break
-            round_no += 1
+        aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            while round_no < self.cfg.max_rounds:
+                fetched, next_seq = self.run_round(round_no, next_seq)
+                if fetched == 0:
+                    break
+                round_no += 1
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         return self.catalog.read("crawl_log").orderBy("seq")
