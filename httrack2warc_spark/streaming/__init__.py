@@ -1,3 +1,7 @@
 """Structured Streaming surface of the engine."""
 
+from httrack2warc_spark.streaming.dedup_stream import (  # noqa: F401
+    streaming_exact_dedup,
+    streaming_sessionize,
+)
 from httrack2warc_spark.streaming.frontier_stream import run_discovery_stream  # noqa: F401

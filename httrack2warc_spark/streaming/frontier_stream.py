@@ -72,19 +72,20 @@ def run_discovery_stream(
             cand, seen, summaries, "url_key", num_parts
         ).persist()
 
-        catalog.write(
+        # O(delta) appends, same discipline as the batch scheduler — a
+        # read+union+write here would rewrite the full frontier/seen state
+        # every micro-batch (the iterative-state trap, continuously)
+        catalog.append(
             "frontier",
-            catalog.read("frontier").unionByName(
-                new_rows.select(
-                    "url", "url_key", "host", "depth", "priority",
-                    "parent_seq", "link_idx", "referrer",
-                )
+            new_rows.select(
+                "url", "url_key", "host", "depth", "priority",
+                "parent_seq", "link_idx", "referrer",
             ),
         )
         new_seen = new_rows.select(
             "url_key", "url", F.lit(-1).alias("enqueued_round")
         )
-        catalog.write("url_seen", seen.unionByName(new_seen))
+        catalog.append("url_seen", new_seen)
         if use_summaries:
             catalog.write(
                 "seen_summary",

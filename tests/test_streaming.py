@@ -54,3 +54,72 @@ def test_streaming_discovery(spark, tmp_path):
     assert len(new1) == 1  # canonicalization collapsed the case variant
     # the duplicate seed was not re-enqueued
     assert frontier.where(F.col("url_key") == "test.example.org/").count() == 1
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark plumbing: duplicates inside the
+    watermark window collapse to one row across micro-batches."""
+    from httrack2warc_spark.streaming import streaming_exact_dedup
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    rows = [
+        {"url_key": "a.com/x", "ts": "2024-01-01T10:00:00"},
+        {"url_key": "a.com/x", "ts": "2024-01-01T10:00:05"},
+        {"url_key": "b.com/y", "ts": "2024-01-01T10:00:10"},
+        {"url_key": "b.com/y", "ts": "2024-01-01T10:01:00"},
+        {"url_key": "c.com/z", "ts": "2024-01-01T10:02:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("url_key string, ts string")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_exact_dedup(stream, ["url_key"], "ts", delay="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_d"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.url_key for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert got == {"a.com/x", "b.com/y", "c.com/z"}
+    assert spark.sql("SELECT count(*) n FROM dedup_out").collect()[0].n == 3
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    """session_window aggregation: a >30min gap splits sessions; counts per
+    closed session match the batch sessionize semantics."""
+    from httrack2warc_spark.streaming import streaming_sessionize
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T10:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T10:10:00"},
+        {"user_id": 1, "ts": "2024-01-01T11:30:00"},  # > 30 min gap: session 2
+        {"user_id": 2, "ts": "2024-01-01T10:05:00"},
+        # advances the watermark past 12:10 so user 1's second session closes;
+        # this event's own session stays open and is NOT emitted (append mode)
+        {"user_id": 3, "ts": "2024-01-01T13:00:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("user_id int, ts string")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_sessionize(stream, "ts", "user_id", gap="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got == {(1, 2), (1, 1), (2, 1)}
