@@ -292,6 +292,17 @@ def quality_score_q(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def quality_full_q(spark, sf_dir):
+    """The composite C4/Gopher-style quality score (length band + stopword
+    presence − punctuation excess), value-checked end to end."""
+    from httrack2warc_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
 def lang_id_q(spark, sf_dir):
     from httrack2warc_spark.functions.text import lang_id
 
@@ -530,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": sessionize_q,
         "token_count": token_count_q,
         "quality_score": quality_score_q,
+        "quality_full": quality_full_q,
         "lang_id": lang_id_q,
         "mime_resolution": mime_resolution_q,
         "strip_protocol": strip_protocol_q,
@@ -806,6 +818,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
             ORDER BY a, b
+        """,
+        "quality_full": r"""
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), m AS (
+                SELECT doc_id, text, len(w) AS n_tok,
+                       len(list_filter(w, x -> list_contains(
+                           ['the','and','of','to','in','is','that','for','with','a'],
+                           x))) AS n_stop
+                FROM toks
+            )
+            SELECT doc_id,
+                   round(
+                       (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                       + least((CASE WHEN n_tok > 0
+                                     THEN n_stop::DOUBLE / n_tok ELSE 0.0 END) * 4, 0.4)
+                       + (0.2 - least((CASE WHEN length(text) > 0 THEN
+                           (length(text) - length(regexp_replace(text,
+                               '[^0-9a-zA-Z_ \t\n\r]', '', 'g')))::DOUBLE
+                           / length(text) ELSE 0.0 END) * 2, 0.2)), 6) AS quality
+            FROM m ORDER BY doc_id
         """,
         "lang_id": r"""
             WITH toks AS (
