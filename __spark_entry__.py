@@ -372,7 +372,10 @@ def ngram_jaccard_q(spark, sf_dir):
     from httrack2warc_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+    # hot-shingle cap engaged (no-op at fixture DF ≪ 1000, identical Jaccard;
+    # guards the d² pair blowup on a degenerate common shingle at scale)
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5,
+                              max_shingle_df=1000)
     return out.select(
         "a", "b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("a", "b")
@@ -491,16 +494,22 @@ def frame_sample_q(spark, sf_dir):
 
 
 def embedding_neardup_q(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (brute-force baseline, value-checked
-    against DuckDB list_cosine_similarity)."""
-    from httrack2warc_spark.operators.dedup import embedding_neardup_candidates
+    """Embedding-cosine near-dup pairs via the LSH-bucketed scale path
+    (equi-join on (table, bucket) keys — no cartesian/inequality join in the
+    plan), exact-cosine re-rank, value-checked against DuckDB
+    list_cosine_similarity. Recall vs the brute-force oracle is exact at
+    fixture scale with these (bits, num_tables, seed) — deterministic, see
+    operators.dedup.embedding_neardup_lsh."""
+    from httrack2warc_spark.operators.dedup import embedding_neardup_lsh
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
     )
     # operator pre-filter slightly below the cut, final filter on the rounded
     # value — identical boundary semantics to the oracle's rounded filter
-    out = embedding_neardup_candidates(emb, "v", "vec_id", threshold=0.45 - 1e-6)
+    out = embedding_neardup_lsh(
+        emb, "v", "vec_id", threshold=0.45 - 1e-6, bits=2, num_tables=32
+    )
     return out.select(
         "a", "b", F.round("cosine", 6).alias("cosine")
     ).where(F.col("cosine") >= 0.45).orderBy("a", "b")

@@ -8,6 +8,15 @@ Runs the engine's representative queries at $SPARK_GRAFT_SF_DIR (default
 Extra keys: "frontier_urls_per_sec" (the BASELINE.json target metric measured
 on a generated crawl), "cpus". Scaling evidence across two parallelism levels
 is produced by bench_scaling.py → BENCH/BASELINE.md.
+
+Noise protocol: this container shares a host with co-tenants (load average
+8-12 with zero local processes is routine), so single-shot wall-clocks swing
+±2x. Every number here is therefore a min over repeated runs in a warm JVM:
+queries run in two full passes (spark.catalog.clearCache() between passes so
+plan-equality caching can't fake the second pass), and the frontier crawl —
+the BASELINE.json target metric — runs three times against fresh state dirs.
+Per-run raw values and the host load average are recorded in the JSON so
+round-over-round comparisons can see the variance.
 """
 
 from __future__ import annotations
@@ -24,6 +33,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    load_start = os.getloadavg()
 
     from httrack2warc_spark import get_spark
 
@@ -55,18 +65,26 @@ def main() -> None:
         "frame_sample",
     ]
 
-    timings: dict[str, float] = {}
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    for name in headline:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    timings: dict[str, float] = {}
+    for pass_no in range(2):
+        for name in headline:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            if pass_no == 1:
+                print(f"# {name}: {n} rows in {timings[name]}s (min of 2)",
+                      file=sys.stderr)
+        # drop anything a query persisted so pass 2 re-executes the real plan
+        spark.catalog.clearCache()
 
-    # frontier throughput (the BASELINE.json target metric)
+    # frontier throughput (the BASELINE.json target metric): min-of-3 in the
+    # warm JVM, fresh state catalog per run, identical deterministic input.
     from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler, generate_web
     from httrack2warc_spark.sinks.tables import TableCatalog
     import tempfile
@@ -77,21 +95,39 @@ def main() -> None:
     web.pages = web.pages.persist()
     web.links = web.links.persist()
     web.pages.count(), web.links.count()
-    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="bench_crawl_"))
-    sched = FrontierScheduler(
-        spark, cat, web,
-        CrawlConfig(num_parts=int(cpus), max_rounds=12,
-                    default_host_budget=100_000, fetch_robots=False,
-                    summary_capacity_per_part=500_000, summary_every=3),
-    )
-    t0 = time.time()
-    log = sched.run(seeds=seeds)
-    n_urls = log.count()
-    crawl_sec = time.time() - t0
-    timings["frontier_crawl"] = round(crawl_sec, 3)
-    urls_per_sec = round(n_urls / crawl_sec, 1)
-    print(f"# frontier: {n_urls} urls in {crawl_sec:.1f}s = {urls_per_sec}/s",
-          file=sys.stderr)
+
+    frontier_runs = []
+    n_urls = 0
+    for rep in range(3):
+        cat = TableCatalog(spark, tempfile.mkdtemp(prefix=f"bench_crawl{rep}_"))
+        sched = FrontierScheduler(
+            spark, cat, web,
+            CrawlConfig(num_parts=int(cpus), max_rounds=12,
+                        default_host_budget=100_000, fetch_robots=False,
+                        summary_capacity_per_part=500_000, summary_every=3),
+        )
+        t0 = time.time()
+        log = sched.run(seeds=seeds)
+        n_urls = log.count()
+        crawl_sec = time.time() - t0
+        frontier_runs.append({"sec": round(crawl_sec, 3),
+                              "urls_per_sec": round(n_urls / crawl_sec, 1),
+                              "load_avg_1m": round(os.getloadavg()[0], 1)})
+        print(f"# frontier run {rep + 1}/3: {n_urls} urls in {crawl_sec:.1f}s "
+              f"= {frontier_runs[-1]['urls_per_sec']}/s "
+              f"(load {frontier_runs[-1]['load_avg_1m']})", file=sys.stderr)
+        spark.catalog.clearCache()
+        # re-cache + materialize the (identical) input before the next run so
+        # concurrent stages never race to fill the cache (CLAUDE.md)
+        web.pages = web.pages.persist()
+        web.links = web.links.persist()
+        web.pages.count(), web.links.count()
+
+    best = min(frontier_runs, key=lambda r: r["sec"])
+    timings["frontier_crawl"] = best["sec"]
+    urls_per_sec = best["urls_per_sec"]
+    print(f"# frontier best-of-3: {n_urls} urls in {best['sec']}s "
+          f"= {urls_per_sec}/s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -103,6 +139,11 @@ def main() -> None:
         "cpus": int(cpus),
         "frontier_urls_per_sec": urls_per_sec,
         "frontier_urls": n_urls,
+        "frontier_runs": frontier_runs,
+        "protocol": "min-of-2 per query (clearCache between passes), "
+                    "min-of-3 frontier, warm JVM; multi-tenant host",
+        "load_avg_start": [round(x, 1) for x in load_start],
+        "load_avg_end": [round(x, 1) for x in os.getloadavg()],
     }))
 
 

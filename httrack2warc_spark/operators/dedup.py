@@ -31,6 +31,7 @@ __all__ = [
     "simhash64_of_hashes",
     "simhash_dedup",
     "embedding_neardup_candidates",
+    "embedding_neardup_lsh",
 ]
 
 # ---------------------------------------------------------------------------
@@ -280,12 +281,24 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
 
     explode(shingles) → self-join on shingle → per-pair intersection count →
     |A∪B| = |A|+|B|−|A∩B|. Quadratic in the worst case — meant for verification
     at modest candidate volume, not as the 100 TB primary (that's MinHash+LSH).
+
+    ``max_shingle_df`` guards the classic hot-shingle blowup: a shingle shared
+    by d documents emits d² join pairs, so one stop-word 3-gram across 10^5
+    docs is 10^10 rows. Shingles with document frequency > the cap are dropped
+    from the shingle universe BEFORE the self-join — i.e. Jaccard is computed
+    over the DF-filtered universe (both intersection AND set sizes), the same
+    semantics as stop-word removal: self-consistent, deterministic, and
+    identical to unfiltered Jaccard whenever no shingle exceeds the cap. The
+    doc-frequency count is a window over the same ``sh`` partitioning the
+    self-join shuffles on, so it piggybacks on that exchange (the
+    minhash_lsh_candidates trick) instead of a separate aggregate+join.
     """
     sh = (
         df.withColumn("__words", _word_array(F.col(text_col)))
@@ -295,6 +308,13 @@ def ngram_jaccard_pairs(
             F.explode(F.array_distinct(F.col("__sh"))).alias("sh"),
         )
     )
+    if max_shingle_df is not None:
+        wdf = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(wdf))
+            .where(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("l")
@@ -461,6 +481,84 @@ def embedding_neardup_candidates(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
             (dot / (F.col("l.nrm") * F.col("r.nrm"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bits: int = 2,
+    num_tables: int = 32,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing —
+    the scale path: candidates come from equi-joins on 8-byte (table, bucket)
+    keys, never a cartesian/inequality join; exact cosine re-ranks candidates
+    only.
+
+    Per-table collision probability for a pair at angle θ is (1−θ/π)^bits, so
+    the miss probability after ``num_tables`` independent tables is
+    (1−(1−θ/π)^bits)^num_tables. The defaults (bits=2, num_tables=32) put the
+    miss below 1e-7 for cosine ≥ 0.45 — recall is deterministic given ``seed``
+    (hyperplanes are regenerated from it inside the UDF) and verified exact
+    against the brute-force baseline at fixture scale
+    (tests/test_similarity.py). At corpus scale raise ``bits`` (smaller
+    buckets, cheaper join) and ``num_tables`` to taste; ``max_bucket_size``
+    caps degenerate buckets exactly like minhash_lsh_candidates.
+
+    Shuffle profile: explode multiplies rows by num_tables but each row is
+    (id, table, bucket) — 24 bytes; the candidate self-join and the distinct
+    both shuffle those narrow rows; vectors are joined back only for the
+    surviving candidate pairs.
+    """
+    from .similarity import _sign_buckets_udf
+
+    bucket_fn = _sign_buckets_udf(bits, num_tables, seed)
+    bk = df.select(
+        F.col(id_col),
+        F.posexplode(bucket_fn(F.col(vec_col))).alias("table", "bucket"),
+    )
+    if max_bucket_size is not None:
+        wc = Window.partitionBy("table", "bucket")
+        bk = (
+            bk.withColumn("__n", F.count("*").over(wc))
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    cand = (
+        bk.alias("l")
+        .join(
+            bk.alias("r"),
+            on=[
+                F.col("l.table") == F.col("r.table"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+    v = df.select(F.col(id_col), F.col(vec_col).alias("__v"), norm.alias("__nrm"))
+    va = v.select(F.col(id_col).alias("a"), F.col("__v").alias("__va"),
+                  F.col("__nrm").alias("__na"))
+    vb = v.select(F.col(id_col).alias("b"), F.col("__v").alias("__vb"),
+                  F.col("__nrm").alias("__nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a", "b", (dot / (F.col("__na") * F.col("__nb"))).alias("cosine")
         )
         .where(F.col("cosine") >= threshold)
     )
