@@ -312,9 +312,13 @@ def lang_id_q(spark, sf_dir):
     )
 
 
+_MIME_EXTS = [".html", ".css", ".gif", ".xyz", ".xls", ".flv"]
+
+
 def mime_resolution_q(spark, sf_dir):
     """P10 chain: filename derived from documents.source; mime only set for
-    even doc_ids — exercises all three chain arms."""
+    even doc_ids — exercises all three chain arms, including full-table
+    long-tail extensions (.xls, .flv) and the octet-stream fallback (.xyz)."""
     from httrack2warc_spark.sources.mime import resolve_mime
 
     docs = _t(spark, sf_dir, "documents")
@@ -325,8 +329,8 @@ def mime_resolution_q(spark, sf_dir):
             F.lit("site/"),
             F.col("source"),
             F.element_at(
-                F.array(F.lit(".html"), F.lit(".css"), F.lit(".gif"), F.lit(".xyz")),
-                (F.col("doc_id") % 4 + 1).cast("int"),
+                F.array(*[F.lit(e) for e in _MIME_EXTS]),
+                (F.col("doc_id") % len(_MIME_EXTS) + 1).cast("int"),
             ),
         ).alias("filename"),
     )
@@ -574,17 +578,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _mime_case_sql() -> str:
-    from httrack2warc_spark.sources.mime import BUILTIN_MIME
+def _mime_values_sql() -> str:
+    """The FULL 1,529-entry extension table as a VALUES list (the DuckDB twin
+    of the folded literal map in sources.mime.resolve_mime)."""
+    from httrack2warc_spark.sources.mime import FULL_MIME
 
-    whens = "\n".join(
-        f"WHEN '{k}' THEN '{v}'" for k, v in BUILTIN_MIME.items()
-    )
-    return (
-        "COALESCE(CASE WHEN mime_in IS NOT NULL AND mime_in <> '' THEN mime_in END, "
-        f"CASE lower(regexp_extract(filename, '([^.]*)$', 1)) {whens} END, "
-        "'application/octet-stream')"
-    )
+    return ", ".join(f"('{k}', '{v}')" for k, v in sorted(FULL_MIME.items()))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -772,15 +771,24 @@ def oracle_sql() -> dict[str, str]:
             FROM toks ORDER BY doc_id
         """,
         "mime_resolution": f"""
-            WITH d AS (
+            WITH mimes(ext, mime_by_ext) AS (VALUES {_mime_values_sql()}),
+            d AS (
                 SELECT doc_id,
                        CASE WHEN doc_id % 2 = 0 THEN 'text/x-given' END AS mime_in,
                        'site/' || source ||
-                           (['.html', '.css', '.gif', '.xyz'])[(doc_id % 4 + 1)::INT]
+                           ({_MIME_EXTS!r})[(doc_id % {len(_MIME_EXTS)} + 1)::INT]
                            AS filename
                 FROM documents
             )
-            SELECT doc_id, {_mime_case_sql()} AS mime FROM d ORDER BY doc_id
+            SELECT doc_id,
+                   COALESCE(
+                       CASE WHEN mime_in IS NOT NULL AND mime_in <> ''
+                            THEN mime_in END,
+                       m.mime_by_ext,
+                       'application/octet-stream') AS mime
+            FROM d LEFT JOIN mimes m
+              ON m.ext = lower(regexp_extract(filename, '([^.]*)$', 1))
+            ORDER BY doc_id
         """,
         "strip_protocol": """
             SELECT doc_id,

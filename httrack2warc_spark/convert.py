@@ -76,6 +76,8 @@ def convert(
     strict: bool = False,
     timezone: str = "UTC",
     warcinfo_extra: list[str] | None = None,
+    redirect_file: str | None = None,
+    cdx11: bool = True,
 ) -> DataFrame:
     """Returns the WARC-record DataFrame after writing warc/cdx files.
 
@@ -83,6 +85,12 @@ def convert(
     1 GiB size target (``Httrack2Warc.java:75-76``, ``RotatingFile.java``).
     The emitted CDX carries real compressed member offsets/lengths and the
     per-record rotated filename.
+
+    ``redirect_file``: when set together with ``redirect_prefix``, synthetic
+    redirect records (sub=3) go into their own rotated WARC set starting with
+    its own warcinfo, while both sets share the one CDX — the reference's
+    ``--redirect-file`` (``Httrack2Warc.java:155,161-163``, ``Main.java:113-116``).
+    ``cdx11=False`` emits the 9-field legacy CDX (``CdxWriter.java:85-90``).
     """
     import os
     import shutil
@@ -94,7 +102,7 @@ def convert(
         result = _convert_dir(
             spark, crawl_dir, output_dir, exclusions, redirect_prefix,
             rewrite_links, cdx_name, warc_pattern, warc_size, compress, strict,
-            timezone, warcinfo_extra,
+            timezone, warcinfo_extra, redirect_file, cdx11,
         )
         if tmp_root is not None:
             # the extracted files vanish below; pin the returned records
@@ -104,6 +112,53 @@ def convert(
     finally:
         if tmp_root is not None:
             shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def _resolve_timezone(tz: str | None) -> str | None:
+    """Accept ``system`` as a timezone value (the reference's default is the
+    system zone, ``Httrack2Warc.java:76``; this engine defaults to UTC for
+    determinism — ADVICE r2). Resolves to an IANA name when the host exposes
+    one, else to a fixed ``±HH:MM`` offset."""
+    if tz != "system":
+        return tz
+    import os
+    import re as _re
+
+    name = os.environ.get("TZ", "").lstrip(":")
+    if name and "/" in name:
+        return name
+    try:
+        link = os.readlink("/etc/localtime")
+        m = _re.search(r"zoneinfo/(.+)$", link)
+        if m:
+            return m.group(1)
+    except OSError:
+        pass
+    try:
+        return Path("/etc/timezone").read_text().strip() or "UTC"
+    except OSError:
+        pass
+    from datetime import datetime
+
+    off = datetime.now().astimezone().utcoffset()
+    total = int(off.total_seconds()) if off else 0
+    sign = "+" if total >= 0 else "-"
+    total = abs(total)
+    return f"{sign}{total // 3600:02d}:{total % 3600 // 60:02d}"
+
+
+def _tzinfo_of(tz: str):
+    """tzinfo for either an IANA name or a ``±HH:MM`` fixed offset."""
+    import re as _re
+    from datetime import timedelta, timezone as _dt_tz
+
+    m = _re.fullmatch(r"([+-])(\d{2}):(\d{2})", tz)
+    if m:
+        delta = timedelta(hours=int(m.group(2)), minutes=int(m.group(3)))
+        return _dt_tz(delta if m.group(1) == "+" else -delta)
+    from zoneinfo import ZoneInfo
+
+    return ZoneInfo(tz)
 
 
 def _convert_dir(
@@ -120,9 +175,12 @@ def _convert_dir(
     strict: bool,
     timezone: str = "UTC",
     warcinfo_extra: list[str] | None = None,
+    redirect_file: str | None = None,
+    cdx11: bool = True,
 ) -> DataFrame:
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
+    timezone = _resolve_timezone(timezone)
     meta = read_crawl_meta(crawl_dir)
     crawl = read_crawl(spark, crawl_dir)
 
@@ -146,9 +204,8 @@ def _convert_dir(
     launch = meta.launch_time
     if timezone not in (None, "UTC"):
         from datetime import timezone as _tzutc
-        from zoneinfo import ZoneInfo
 
-        launch = launch.replace(tzinfo=ZoneInfo(timezone)).astimezone(_tzutc.utc)
+        launch = launch.replace(tzinfo=_tzinfo_of(timezone)).astimezone(_tzutc.utc)
     launch_iso = launch.strftime("%Y-%m-%dT%H:%M:%SZ")
     # reference -I/--warcinfo: extra "KEY: VALUE" lines prepended
     # (Httrack2Warc.java:384-386, Main.java:92-94)
@@ -157,17 +214,36 @@ def _convert_dir(
     info = warcinfo_record(spark, warcinfo, launch_iso)
     all_recs = info.unionByName(recs)
 
+    # --redirect-file: sub=3 records get their own rotated WARC set (with its
+    # own warcinfo); the CDX still covers both sets, exactly like the
+    # reference's shared CdxWriter (Httrack2Warc.java:155,161-163)
+    split_redirects = redirect_file is not None and redirect_prefix is not None
+    main_recs = recs.where(F.col("sub") != 3) if split_redirects else recs
+
     positions = write_warc_files(
-        recs, str(out), name_pattern=warc_pattern, rotation_size=warc_size,
+        main_recs, str(out), name_pattern=warc_pattern, rotation_size=warc_size,
         compress=compress, warcinfo=warcinfo, warcinfo_date=launch_iso,
     )
+    redirect_positions = None
+    if split_redirects:
+        redirect_positions = write_warc_files(
+            recs.where(F.col("sub") == 3), str(out),
+            name_pattern=redirect_file, rotation_size=warc_size,
+            compress=compress, warcinfo=warcinfo, warcinfo_date=launch_iso,
+        )
 
     if cdx_name:
-        lines = [r.cdx for r in cdx_lines_from_positions(positions).collect()]
+        pos_all = (
+            positions if redirect_positions is None
+            else positions.unionByName(redirect_positions)
+        )
+        lines = [r.cdx for r in cdx_lines_from_positions(pos_all, cdx11=cdx11).collect()]
         (out / cdx_name).write_text(
             CDX_HEADER + "\n" + "\n".join(lines) + ("\n" if lines else "")
         )
     positions.unpersist()
+    if redirect_positions is not None:
+        redirect_positions.unpersist()
 
     for r in leftover_files(spark, crawl_dir, crawl).collect():
         print(f"Unprocessed extra file: {r.file}")
@@ -184,8 +260,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("-x", "--exclude", action="append", default=[],
                    help="URL exclusion regex (full match; repeatable)")
     p.add_argument("--redirect-prefix", default=None)
+    p.add_argument("--redirect-file", default=None,
+                   help="write synthetic redirect records to their own WARC "
+                        "set with this name/pattern (reference --redirect-file; "
+                        "requires --redirect-prefix)")
     p.add_argument("--rewrite-links", action="store_true")
     p.add_argument("-C", "--cdx-name", default="index.cdx")
+    p.add_argument("--cdx9", action="store_true",
+                   help="emit the 9-field legacy CDX format "
+                        "(CdxWriter.java:85-90) instead of CDX-11")
     p.add_argument("-n", "--name", dest="warc_pattern", default="crawl-%d.warc.gz",
                    help="WARC filename pattern (reference -n; %%d = file number)")
     p.add_argument("-s", "--size", dest="warc_size", type=int,
@@ -198,7 +281,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("-Z", "--timezone", default="UTC",
                    help="timezone of the HTTrack logs (reference -Z; "
                         "reference defaults to the system zone, this CLI to UTC "
-                        "for deterministic output)")
+                        "for deterministic output — pass 'system' for the "
+                        "reference behavior)")
     # Reference default is lax (Httrack2Warc.java:81 `strict = false`;
     # missing >399-status files are skipped with a warning). --strict opts in
     # to abort-on-issue; --lax is kept as an explicit no-op alias.
@@ -225,6 +309,8 @@ def main(argv: list[str] | None = None) -> None:
         strict=args.strict,
         timezone=args.timezone,
         warcinfo_extra=args.warcinfo,
+        redirect_file=args.redirect_file,
+        cdx11=not args.cdx9,
     )
 
 

@@ -79,17 +79,37 @@ def format_warcinfo(meta: CrawlMeta, extra: str = "") -> str:
 
 
 def _rec_id(*cols) -> F.Column:
-    """Deterministic urn:uuid from md5 (uuid-shaped hex)."""
+    """Deterministic urn:uuid from md5, with valid RFC 4122 version-4 bits.
+
+    The reference uses ``UUID.randomUUID()`` (``Httrack2Warc.java:184``);
+    determinism is a north_rule requirement here, so the hex is content-
+    derived — but the version nibble is forced to ``4`` and the variant
+    nibble to ``8|9|a|b`` so strict WARC validators accept the IDs."""
     h = F.md5(F.concat_ws("|", *cols))
+    variant = F.element_at(
+        F.array(F.lit("8"), F.lit("9"), F.lit("a"), F.lit("b")),
+        (F.conv(F.substring(h, 17, 1), 16, 10).cast("int") % 4) + 1,
+    )
     return F.concat(
         F.lit("<urn:uuid:"),
         F.substring(h, 1, 8), F.lit("-"),
         F.substring(h, 9, 4), F.lit("-"),
-        F.substring(h, 13, 4), F.lit("-"),
-        F.substring(h, 17, 4), F.lit("-"),
+        F.lit("4"), F.substring(h, 14, 3), F.lit("-"),
+        variant, F.substring(h, 18, 3), F.lit("-"),
         F.substring(h, 21, 12),
         F.lit(">"),
     )
+
+
+def _py_rec_id(key: str) -> str:
+    """Driver-side twin of ``_rec_id`` (same md5 → RFC 4122 v4 shaping)."""
+    import hashlib
+    import uuid
+
+    digest = bytearray(hashlib.md5(key.encode()).digest())
+    digest[6] = (digest[6] & 0x0F) | 0x40  # version 4
+    digest[8] = (digest[8] & 0x3F) | 0x80  # variant 10xx
+    return f"<urn:uuid:{uuid.UUID(bytes=bytes(digest))}>"
 
 
 def warc_records(
@@ -334,7 +354,7 @@ def warcinfo_record(spark, warcinfo: str, launch_iso: str) -> DataFrame:
     header = (
         "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: "
         + launch_iso
-        + "\r\nWARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000000>\r\n"
+        + "\r\nWARC-Record-ID: " + _py_rec_id(warcinfo + "|" + launch_iso) + "\r\n"
         + "Content-Type: application/warc-fields\r\nContent-Length:"
         + str(len(body))
         + "\r\n\r\n"
@@ -346,9 +366,13 @@ def warcinfo_record(spark, warcinfo: str, launch_iso: str) -> DataFrame:
     )
 
 
-def cdx_lines(records: DataFrame, warc_filename: str = "crawl-0.warc.gz") -> DataFrame:
-    """P17/K3/O1 — 11-field CDX lines from response/resource records, globally
+def cdx_lines(records: DataFrame, warc_filename: str = "crawl-0.warc.gz",
+              cdx11: bool = True) -> DataFrame:
+    """P17/K3/O1 — CDX lines from response/resource records, globally
     sorted byte-wise (C locale == Spark's binary string ordering on ASCII).
+
+    ``cdx11=False`` emits the 9-field legacy format (``CdxWriter.java:85-90``:
+    drops the second ``-`` and the length field).
 
     This is the *table-sink* variant: records drained to tables have no WARC
     byte position, so S is the uncompressed serialized length and V/g are
@@ -356,39 +380,35 @@ def cdx_lines(records: DataFrame, warc_filename: str = "crawl-0.warc.gz") -> Dat
     + ``cdx_lines_from_positions`` — those carry the true compressed member
     offset/length and the rotated filename (``CdxWriter.java:80-92``).
     """
-    resp = records.where(F.col("sub").isin(0, 3))
-    ts = F.regexp_replace(F.col("warc_date"), r"[-T:Z]", "")
     rec_len = (F.length("warc_header") + F.length("body") + F.lit(4)).cast("long")
-    line = F.concat_ws(
-        " ",
-        F.col("url"), ts, F.col("url"), F.col("content_type"),
-        F.col("status").cast("string"),
-        F.coalesce(F.col("digest"), F.lit("-")),
-        F.lit("-"), F.lit("-"),
-        rec_len.cast("string"),
-        F.lit("0"),
-        F.lit(warc_filename),
-    )
-    return resp.select(line.alias("cdx")).orderBy("cdx")
+    return _cdx_of(records, rec_len, F.lit(0).cast("long"),
+                   F.lit(warc_filename), cdx11)
 
 
-def cdx_lines_from_positions(positions: DataFrame) -> DataFrame:
-    """11-field CDX from ``write_warc_files`` output: S = compressed member
-    length, V = member start offset, g = the rotated file the record landed in
-    (``CdxWriter.java:80-92``; positions from ``WarcWriter.java:142-156``)."""
-    resp = positions.where(F.col("sub").isin(0, 3))
+def cdx_lines_from_positions(positions: DataFrame, cdx11: bool = True) -> DataFrame:
+    """CDX from ``write_warc_files`` output: S = compressed member length,
+    V = member start offset, g = the rotated file the record landed in
+    (``CdxWriter.java:80-92``; positions from ``WarcWriter.java:142-156``).
+    ``cdx11=False`` → 9-field legacy format (``CdxWriter.java:85-90``)."""
+    return _cdx_of(positions, F.col("length"), F.col("offset"),
+                   F.col("filename"), cdx11)
+
+
+def _cdx_of(df: DataFrame, length, offset, filename, cdx11: bool) -> DataFrame:
+    resp = df.where(F.col("sub").isin(0, 3))
     ts = F.regexp_replace(F.col("warc_date"), r"[-T:Z]", "")
-    line = F.concat_ws(
-        " ",
+    common = [
         F.col("url"), ts, F.col("url"), F.col("content_type"),
         F.col("status").cast("string"),
         F.coalesce(F.col("digest"), F.lit("-")),
-        F.lit("-"), F.lit("-"),
-        F.col("length").cast("string"),
-        F.col("offset").cast("string"),
-        F.col("filename"),
-    )
-    return resp.select(line.alias("cdx")).orderBy("cdx")
+        F.lit("-"),
+    ]
+    if cdx11:
+        fields = common + [F.lit("-"), length.cast("string"),
+                           offset.cast("string"), filename]
+    else:  # 9-field legacy: no second '-', no compressed length
+        fields = common + [offset.cast("string"), filename]
+    return resp.select(F.concat_ws(" ", *fields).alias("cdx")).orderBy("cdx")
 
 
 def assign_warc_files(records: DataFrame, rotation_size: int,
@@ -470,7 +490,13 @@ def write_warc_files(
     def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["seq", "sub"])
         file_no = int(pdf["file_no"].iloc[0])
-        fname = name_pattern % file_no
+        if "%d" in name_pattern:
+            fname = name_pattern % file_no
+        elif file_no == 0:  # a literal name (e.g. --redirect-file redirects.warc.gz)
+            fname = name_pattern
+        else:  # rotation overflow of a literal name: suffix before the extension
+            stem, dot, ext = name_pattern.partition(".")
+            fname = f"{stem}-{file_no}{dot}{ext}"
         rows = []
         with open(os.path.join(out_dir, fname), "wb") as f:
             def emit(payload: bytes) -> tuple[int, int]:
@@ -480,10 +506,7 @@ def write_warc_files(
                 return start, f.tell() - start
 
             if info_bytes is not None:
-                import hashlib
-
-                h = hashlib.md5((fname + "|warcinfo").encode()).hexdigest()
-                rid = f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+                rid = _py_rec_id(fname + "|warcinfo")
                 hdr = (
                     "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: "
                     + info_date

@@ -6,10 +6,14 @@ substring after the *last* dot (``MimeTypes.java:50-57``) and the resolution
 chain is record.mime → extension lookup → ``application/octet-stream``
 (``Httrack2Warc.java:186-189``).
 
-Here: a compact built-in table of the common web types (the fixture corpus
-uses only a handful) + a loader for any Apache-style ``mime.types`` file the
-deployment provides. Exposed as a small DataFrame meant for a broadcast join
-(P10/J5), or as a scalar ``coalesce`` chain via ``resolve_mime``.
+Here: ``FULL_MIME`` (mime_data.py) carries the complete public table — 1,529
+extensions generated from the Debian ``media-types`` data, the same
+public-domain Apache lineage as the reference's bundled resource — overlaid
+so the common web types keep the reference's values. ``BUILTIN_MIME`` remains
+the compact core subset (used where a tiny literal map is preferable). A
+loader accepts any Apache-style ``mime.types`` file the deployment provides.
+Exposed as a DataFrame meant for a broadcast join (P10/J5), or as a scalar
+``coalesce`` chain via ``resolve_mime``.
 """
 
 from __future__ import annotations
@@ -17,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["BUILTIN_MIME", "mime_table", "load_mime_types", "resolve_mime"]
+from httrack2warc_spark.sources.mime_data import FULL_MIME
+
+__all__ = ["BUILTIN_MIME", "FULL_MIME", "mime_table", "load_mime_types",
+           "resolve_mime"]
 
 BUILTIN_MIME: dict[str, str] = {
     "html": "text/html", "htm": "text/html", "xhtml": "application/xhtml+xml",
@@ -51,20 +58,24 @@ def load_mime_types(path: str) -> dict[str, str]:
 
 
 def mime_table(spark: SparkSession, extra_file: str | None = None) -> DataFrame:
-    table = dict(BUILTIN_MIME)
+    table = dict(FULL_MIME)
     if extra_file:
         table.update(load_mime_types(extra_file))
     return spark.createDataFrame(list(table.items()), "ext string, mime_by_ext string")
 
 
+# one literal "ext:mime,ext:mime,..." string — str_to_map of literals folds to
+# a single constant map in the plan (no 1,529-entry create_map expression tree)
+_FULL_MIME_LITERAL = ",".join(f"{k}:{v}" for k, v in sorted(FULL_MIME.items()))
+
+
 def resolve_mime(mime_col: Column, filename_col: Column) -> Column:
-    """P10 as a pure-Column coalesce chain using the builtin table as a map
-    literal (stays inside codegen; use the broadcast-join form for big custom
-    tables). Extension = substring after the last '.', lowercased."""
-    pairs: list[Column] = []
-    for k, v in BUILTIN_MIME.items():
-        pairs.extend([F.lit(k), F.lit(v)])
-    mime_map = F.create_map(*pairs)
+    """P10 as a pure-Column coalesce chain over the FULL table as a folded map
+    literal (stays inside codegen). Extension = substring after the last '.',
+    lowercased (``MimeTypes.java:50-57``). At corpus scale prefer the
+    broadcast-join form (``mime_table`` + J5) — a literal-map probe is a
+    linear scan per row, the broadcast hash join is O(1)."""
+    mime_map = F.str_to_map(F.lit(_FULL_MIME_LITERAL), F.lit(","), F.lit(":"))
     ext = F.lower(F.substring_index(filename_col, ".", -1))
     return F.coalesce(
         F.when(mime_col.isNotNull() & (mime_col != ""), mime_col),

@@ -170,3 +170,112 @@ def test_scheduler_image_drain(spark, tmp_path):
         ~F.col("decoded_ok") | ~F.col("caption_ok") | ~F.col("phash_ok")
     ).count()
     assert bad == 0
+
+
+def test_convert_redirect_file(spark, crawl_dir, tmp_path):
+    """--redirect-file (Httrack2Warc.java:155,161-163, Main.java:113-116):
+    synthetic redirects land in their own WARC set starting with its own
+    warcinfo; the main set has none; the shared CDX still covers both and the
+    concatenated record sequence (by CDX identity) matches the single-set
+    golden run."""
+    recs = convert(
+        spark,
+        crawl_dir,
+        str(tmp_path),
+        exclusions=[".*/another"],
+        redirect_prefix="http://prefix.example.org/",
+        redirect_file="redirects.warc.gz",
+    )
+    assert recs.count() == 29
+    main = gzip.decompress((tmp_path / "crawl-0.warc.gz").read_bytes())
+    redir = gzip.decompress((tmp_path / "redirects.warc.gz").read_bytes())
+    assert main.startswith(b"WARC/1.0\r\nWARC-Type: warcinfo\r\n")
+    assert redir.startswith(b"WARC/1.0\r\nWARC-Type: warcinfo\r\n")
+    assert b"prefix.example.org" not in main
+    # all 7 synthetic redirects, and only them, in the redirect set
+    assert redir.count(b"WARC-Type: response") == 7
+    assert redir.count(b"WARC-Target-URI: http://prefix.example.org/") == 7
+    lines = (tmp_path / "index.cdx").read_text().splitlines()[1:]
+    assert len(lines) == 14 and lines == sorted(lines)
+    redirect_lines = [l for l in lines if l.startswith("http://prefix.")]
+    assert len(redirect_lines) == 7
+    assert all(l.split(" ")[10] == "redirects.warc.gz" for l in redirect_lines)
+    assert all(l.split(" ")[10] == "crawl-0.warc.gz"
+               for l in lines if not l.startswith("http://prefix."))
+    # every CDX line still seeks to its record in the right file
+    for line in lines:
+        f = line.split(" ")
+        member = gzip.decompress(
+            (tmp_path / f[10]).read_bytes()[int(f[9]): int(f[9]) + int(f[8])]
+        )
+        assert f"WARC-Target-URI: {f[0]}\r\n".encode() in member
+
+
+def test_convert_cdx9_legacy_format(spark, crawl_dir, tmp_path):
+    """CDX 9-field legacy toggle (CdxWriter.java:85-90): drops the second '-'
+    and the length field; V offset and g filename remain the last two."""
+    convert(
+        spark,
+        crawl_dir,
+        str(tmp_path),
+        exclusions=[".*/another"],
+        redirect_prefix="http://prefix.example.org/",
+        cdx11=False,
+    )
+    lines = (tmp_path / "index.cdx").read_text().splitlines()
+    body = lines[1:]
+    assert len(body) == 14 and body == sorted(body)
+    for line in body:
+        f = line.split(" ")
+        assert len(f) == 9, line
+        # url date url mime status digest - offset filename
+        assert f[6] == "-" and f[8].endswith(".warc.gz")
+        int(f[7])  # offset parses
+
+
+def test_record_ids_are_valid_rfc4122(spark, crawl_dir):
+    """Deterministic record IDs must still carry RFC 4122 v4 version/variant
+    bits so strict WARC validators accept them (reference: UUID.randomUUID)."""
+    import re
+    import uuid
+
+    from httrack2warc_spark.sinks.warc import warc_records
+    from httrack2warc_spark.sources.htslogs import read_crawl_meta
+
+    meta = read_crawl_meta(crawl_dir)
+    recs = warc_records(read_crawl(spark, crawl_dir), meta)
+    ids = set()
+    for r in recs.collect():
+        for m in re.finditer(r"<urn:uuid:([0-9a-f-]{36})>", r.warc_header):
+            ids.add(m.group(1))
+    assert len(ids) >= 8
+    for s in ids:
+        u = uuid.UUID(s)
+        assert u.version == 4 and u.variant == uuid.RFC_4122, s
+
+
+def test_full_mime_table_long_tail(spark):
+    """Long-tail extensions resolve to the reference's bundled-table answers
+    (reference resource mime.types; MimeTypesTest.java pattern), not
+    octet-stream."""
+    from httrack2warc_spark.sources.mime import FULL_MIME, resolve_mime
+
+    assert FULL_MIME["xls"] == "application/vnd.ms-excel"
+    assert FULL_MIME["flv"] == "video/x-flv"
+    assert FULL_MIME["wmv"] == "video/x-ms-wmv"
+    assert len(FULL_MIME) > 1000
+    rows = spark.createDataFrame(
+        [("a/report.xls",), ("b/movie.flv",), ("c/clip.wmv",),
+         ("d/foo.bar.jpg",), ("e/unknown.zzz",)], "filename string"
+    ).select(
+        "filename",
+        resolve_mime(F.lit(None).cast("string"), F.col("filename")).alias("mime"),
+    ).collect()
+    got = {r.filename.split("/")[0]: r.mime for r in rows}
+    assert got == {
+        "a": "application/vnd.ms-excel",
+        "b": "video/x-flv",
+        "c": "video/x-ms-wmv",
+        "d": "image/jpeg",   # last-dot extension rule (MimeTypes.java:50-57)
+        "e": "application/octet-stream",
+    }
