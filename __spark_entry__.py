@@ -519,6 +519,101 @@ def embedding_neardup_q(spark, sf_dir):
     ).where(F.col("cosine") >= 0.45).orderBy("a", "b")
 
 
+def header_surgery_q(spark, sf_dir):
+    """P8+P9 value-checked: Transfer-Encoding strip (leading-whitespace-
+    tolerant, case-insensitive, multiline) + Content-Length rewrite to the
+    actual body length, over constructed per-doc headers covering all arms."""
+    from httrack2warc_spark.sinks.warc import fix_content_length, remove_transfer_encoding
+
+    docs = _t(spark, sf_dir, "documents")
+    te = F.element_at(
+        F.array(
+            F.lit("Transfer-Encoding: chunked\r\n"),
+            F.lit("  transfer-ENCODING\t: gzip, pizza\r\n"),
+            F.lit(""),
+        ),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    hdr = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Length: 99999\r\n"),
+        te,
+        F.lit("Content-Type: text/html\r\n\r\n"),
+    )
+    out = fix_content_length(
+        remove_transfer_encoding(hdr), F.col("n_chars").cast("long")
+    )
+    return docs.select("doc_id", out.alias("header")).orderBy("doc_id")
+
+
+def percent_codecs_q(spark, sf_dir):
+    """P2+P3 value-checked: HTTrack mode-0 percent-encode (controls, space,
+    quote, non-ASCII bytes, backslash→slash) and the tolerant char-wise
+    decode (invalid/truncated escapes pass through literally)."""
+    from httrack2warc_spark.functions.urls import percent_decode_udf, percent_encode_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    enc_in = F.concat(
+        F.lit('a "b\tc é\\'), F.col("source"), F.lit(" "),
+        F.col("doc_id").cast("string"),
+    )
+    dec_in = F.concat(
+        F.lit("p%41q%20r~s%7E."), F.col("source"), F.lit("%zz%4")
+    )
+    return docs.select(
+        "doc_id",
+        percent_encode_udf(enc_in).alias("encoded"),
+        percent_decode_udf(dec_in).alias("decoded"),
+    ).orderBy("doc_id")
+
+
+def cdx_format_q(spark, sf_dir):
+    """P17 value-checked: 11-field CDX line formatting from positions —
+    timestamp squashing, digest '-' fallback, request-record (sub=1)
+    exclusion, global byte sort."""
+    from httrack2warc_spark.sinks.warc import cdx_lines_from_positions
+
+    docs = _t(spark, sf_dir, "documents")
+    positions = docs.select(
+        F.col("doc_id").alias("seq"),
+        (F.col("doc_id") % 3).cast("int").alias("sub"),  # 1 ⇒ excluded
+        F.concat(F.lit("http://ex.org/"), F.col("source"), F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("2020-05-04T03:02:0"),
+                 (F.col("doc_id") % 10).cast("string"),
+                 F.lit("Z")).alias("warc_date"),
+        F.lit("text/html").alias("content_type"),
+        (F.lit(200) + (F.col("doc_id") % 2) * 101).cast("int").alias("status"),
+        F.when(F.col("doc_id") % 5 != 0,
+               F.concat(F.lit("SHA"), F.col("doc_id").cast("string"))).alias("digest"),
+        (F.col("doc_id") * 100).cast("long").alias("offset"),
+        F.col("n_chars").cast("long").alias("length"),
+        F.lit("crawl-0.warc.gz").alias("filename"),
+    )
+    return cdx_lines_from_positions(positions)
+
+
+def url_host_q(spark, sf_dir):
+    """Politeness partition key (url_host_col): scheme/userinfo/port stripped,
+    lowercased — the JVM-side kernel the scheduler keys every per-host
+    operation on."""
+    from httrack2warc_spark.functions.urls import url_host_col
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.element_at(F.array(F.lit("http://"), F.lit("https://")),
+                     (F.col("doc_id") % 2 + 1).cast("int")),
+        F.element_at(F.array(F.lit(""), F.lit("user@"), F.lit("u:p@")),
+                     (F.col("doc_id") % 3 + 1).cast("int")),
+        F.lit("WWW."), F.col("source"), F.lit(".Example.COM"),
+        F.element_at(F.array(F.lit(""), F.lit(":8080")),
+                     (F.col("doc_id") % 2 + 1).cast("int")),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id", url_host_col(url).alias("host")
+    ).orderBy("doc_id")
+
+
 def frontier_crawl_q(spark, sf_dir):
     """The scheduler itself on a generated 2-host web (rows-only check)."""
     from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler, generate_web
@@ -569,6 +664,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": image_features_q,
         "frame_sample": frame_sample_q,
         "embedding_neardup": embedding_neardup_q,
+        "header_surgery": header_surgery_q,
+        "percent_codecs": percent_codecs_q,
+        "cdx_format": cdx_format_q,
+        "url_host": url_host_q,
         "frontier_crawl": frontier_crawl_q,
     }
 
@@ -899,6 +998,71 @@ def oracle_sql() -> dict[str, str]:
             FROM v x JOIN v y ON x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.45
             ORDER BY a, b
+        """,
+        "header_surgery": r"""
+            WITH h AS (
+                SELECT doc_id, n_chars,
+                       'HTTP/1.1 200 OK' || chr(13)||chr(10) ||
+                       'Content-Length: 99999' || chr(13)||chr(10) ||
+                       (['Transfer-Encoding: chunked' || chr(13)||chr(10),
+                         '  transfer-ENCODING' || chr(9) || ': gzip, pizza'
+                             || chr(13)||chr(10),
+                         ''])[(doc_id % 3 + 1)::INT] ||
+                       'Content-Type: text/html' || chr(13)||chr(10)
+                           || chr(13)||chr(10) AS hdr
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(hdr,
+                           '(?im)^[ ' || chr(9) || ']*Transfer-Encoding[ '
+                               || chr(9) || ']*:.*' || chr(13)||chr(10),
+                           '', 'g'),
+                       '(?im)^[ ' || chr(9) || ']*Content-Length[ '
+                           || chr(9) || ']*:.*' || chr(13)||chr(10),
+                       'Content-Length: ' || n_chars || chr(13)||chr(10),
+                       'g') AS header
+            FROM h ORDER BY doc_id
+        """,
+        "percent_codecs": r"""
+            SELECT doc_id,
+                   replace(replace(replace(replace(replace(
+                       'a "b' || chr(9) || 'c é\' || source || ' ' || doc_id,
+                       '\', '/'), 'é', '%c3%a9'), '"', '%22'),
+                       chr(9), '%09'), ' ', '%20') AS encoded,
+                   replace(replace(replace(
+                       'p%41q%20r~s%7E.' || source || '%zz%4',
+                       '%41', 'A'), '%20', ' '), '%7E', '~') AS decoded
+            FROM documents ORDER BY doc_id
+        """,
+        "cdx_format": """
+            SELECT url || ' ' ||
+                   regexp_replace(warc_date, '[-TZ:]', '', 'g') || ' ' ||
+                   url || ' text/html ' || status || ' ' ||
+                   COALESCE(digest, '-') || ' - - ' ||
+                   n_chars || ' ' || "offset" || ' crawl-0.warc.gz' AS cdx
+            FROM (
+                SELECT 'http://ex.org/' || source || '/' || doc_id AS url,
+                       '2020-05-04T03:02:0' || (doc_id % 10) || 'Z' AS warc_date,
+                       200 + (doc_id % 2) * 101 AS status,
+                       CASE WHEN doc_id % 5 <> 0 THEN 'SHA' || doc_id END AS digest,
+                       doc_id * 100 AS "offset",
+                       n_chars, doc_id % 3 AS sub
+                FROM documents
+            )
+            WHERE sub IN (0, 3)
+            ORDER BY cdx
+        """,
+        "url_host": """
+            SELECT doc_id,
+                   lower(regexp_extract(
+                       (['http://', 'https://'])[(doc_id % 2 + 1)::INT] ||
+                       (['', 'user@', 'u:p@'])[(doc_id % 3 + 1)::INT] ||
+                       'WWW.' || source || '.Example.COM' ||
+                       (['', ':8080'])[(doc_id % 2 + 1)::INT] ||
+                       '/p/' || doc_id,
+                       '^(?:https?://)?(?:[^/?#]*@)?([^/?#:]*)', 1)) AS host
+            FROM documents ORDER BY doc_id
         """,
         # minhash_neardup / simhash_neardup / lsh_ann / ivf_ann /
         # image_invariant / image_resize / image_features / frame_sample /

@@ -96,7 +96,14 @@ class CrawlConfig:
     max_depth: int | None = None
     exclusions: list[str] = field(default_factory=list)  # full-match regexes (F2)
     fetch_robots: bool = True
-    salted_topk: bool = False              # skew-aware politeness variant
+    # skew-aware politeness variant: True/False force it; "auto" engages it
+    # when the frontier's average rows-per-host (both from parquet footers —
+    # no Spark job) exceeds salt_auto_threshold, i.e. when single hosts are
+    # big enough to make one reducer the per-key-top-k straggler. The salted
+    # plan is order-identical (tests/test_operators.py), so auto-switching
+    # never changes the visit order.
+    salted_topk: bool | str = "auto"
+    salt_auto_threshold: int = 50_000
     salt_buckets: int = 16
     summary_kind: str = "bloom"            # or "cuckoo"
     summary_capacity_per_part: int = 1_000_000
@@ -128,6 +135,11 @@ class CrawlConfig:
     # 100k-URL crawl 49 s with AQE, 39 s without); big rounds get AQE back
     # (skew joins, runtime coalescing). "on"/"off" force it.
     aqe_mode: str = "auto"
+    # retention: keep the last K round snapshots; older ones expire after each
+    # round and `vacuum` reclaims their filesets + stale bucketed-table
+    # registrations (Iceberg expire_snapshots + remove_orphan_files). None =
+    # keep everything (full time travel, unbounded disk over a long crawl).
+    keep_snapshots: int | None = None
 
 
 class FrontierScheduler:
@@ -153,6 +165,8 @@ class FrontierScheduler:
         self.host_budget = host_budget
         self.robots = robots
         self.image_table = image_table
+        # rounds where the skew-aware salted politeness plan engaged
+        self.salted_rounds: set[int] = set()
 
     # ------------------------------------------------------------------ utils
     def _seen_bucket(self) -> tuple[str, int] | None:
@@ -239,7 +253,18 @@ class FrontierScheduler:
 
     # ----------------------------------------------------------------- round
     def run_round(self, round_no: int, next_seq: int) -> tuple[int, int]:
-        """Execute one round; returns (fetched_count, next_seq)."""
+        """Execute one round; returns (fetched_count, next_seq).
+
+        Session confs the round toggles (AQE) are restored on exit, so calling
+        ``run_round`` directly never leaves the shared SparkSession altered
+        for unrelated queries."""
+        aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            return self._run_round(round_no, next_seq)
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+    def _run_round(self, round_no: int, next_seq: int) -> tuple[int, int]:
         cfg = self.cfg
         # emptiness + auto seq-mode sizing from parquet footers — driver-side
         # metadata, no Spark job
@@ -270,10 +295,16 @@ class FrontierScheduler:
             budget = F.coalesce(F.col("budget"), F.lit(cfg.default_host_budget))
         else:
             budget = F.lit(cfg.default_host_budget)
-        topk = salted_per_key_topk if cfg.salted_topk else per_key_topk
+        use_salted = cfg.salted_topk is True
+        if cfg.salted_topk == "auto":
+            n_hosts = max(self.catalog.row_count("hosts_crawled"), 1)
+            use_salted = n_frontier / n_hosts > cfg.salt_auto_threshold
+        if use_salted:
+            self.salted_rounds.add(round_no)
+        topk = salted_per_key_topk if use_salted else per_key_topk
         kwargs = (
             {"salt_buckets": cfg.salt_buckets, "salt_on": "url"}
-            if cfg.salted_topk
+            if use_salted
             else {}
         )
         selected = topk(eligible, "host", order, budget, **kwargs)
@@ -530,6 +561,11 @@ class FrontierScheduler:
                 "summary_covered_round": getattr(self, "_summary_covered_round", 0),
             },
         )
+        if cfg.keep_snapshots is not None:
+            # retention: expire old resume points, then reclaim the fileset
+            # dirs and h2w_* table registrations only they referenced
+            self.catalog.expire_snapshots(cfg.keep_snapshots)
+            self.catalog.vacuum()
         fetched.unpersist()
         new_frontier.unpersist()
         new_seen_rows.unpersist()

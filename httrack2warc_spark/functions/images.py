@@ -181,6 +181,18 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     raise NotImplementedError(fmt)
 
 
+def _pil_decode(data: bytes) -> np.ndarray:
+    """Real codec path (any PIL-supported container → RGB array). Only
+    reachable when PIL is installed; exercised by the skip-unless-PIL test in
+    tests/test_images.py so the first deployment isn't the first run."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGB"))
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
@@ -188,12 +200,21 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         if data[:5] == _QIMG_MAGIC:
             return qimg_decode(data)
         if HAVE_PIL:
-            raise NotImplementedError("PIL decode path not wired in this sandbox")
+            return _pil_decode(data)
         raise NotImplementedError("real JPEG decode requires PIL (absent here)")
     if fmt == "gif":
         if data[:6] == b"GIF89a":
-            w, h = struct.unpack(">II", data[6:14])
-            return np.frombuffer(zlib.decompress(data[14:]), dtype=np.uint8).reshape(h, w, 3)
+            # this repo's deterministic fake container; a REAL GIF shares the
+            # magic but fails the strict struct+zlib parse → PIL below
+            try:
+                w, h = struct.unpack(">II", data[6:14])
+                return np.frombuffer(
+                    zlib.decompress(data[14:]), dtype=np.uint8
+                ).reshape(h, w, 3)
+            except Exception:
+                pass
+        if HAVE_PIL:
+            return _pil_decode(data)
         raise NotImplementedError("real GIF decode requires PIL (absent here)")
     raise NotImplementedError(fmt)
 

@@ -11,13 +11,24 @@ an archive needs the inverse map. Reference semantics:
   mirror path up in the map, re-attach the fragment (``:76-78``), replace the
   attribute value HTML-entity-encoded in quotes (``:80-82``).
 
-Spark-first: pass 1 is a projection; its output is collected to a plain dict
-and shipped as a broadcast variable (the reference holds the same map in heap;
-for truly huge crawls switch to the explode→join→reassemble plan). Pass 2 is
-an Arrow-batched pandas UDF: regex attribute scan (stdlib stand-in for the
-Jericho HTML parser — same attribute set: href/src/action/background/cite/
-codebase/data/longdesc/profile/usemap), urllib resolution, the
-canonicalization kernel from ``functions.urls``.
+Spark-first: pass 1 is a projection. Two pass-2 strategies share one scan
+kernel (identical semantics, asserted by test):
+
+- ``broadcast`` (the reference's shape, ``LinkRewriter.java:19-25`` holds the
+  map in heap): the map collects to a dict broadcast variable; pass 2 is one
+  Arrow-batched pandas UDF — regex attribute scan (stdlib stand-in for the
+  Jericho HTML parser — same attribute set: href/src/action/background/cite/
+  codebase/data/longdesc/profile/usemap), urllib resolution, the
+  canonicalization kernel from ``functions.urls``.
+- ``distributed`` (the 100×-crawl path, where the map exceeds driver heap):
+  extract (doc → (seq, link_idx, lookup_key) rows, narrow) → equi-join the
+  link rows against the map DataFrame on the key → cogroup the resolved links
+  back with the docs on ``seq`` and re-run the same deterministic scan to
+  substitute. The only wide shuffle is the doc payloads partitioning on
+  ``seq`` once; the map itself never touches the driver.
+
+``mode="auto"`` counts the map and picks broadcast below
+``broadcast_threshold`` entries.
 
 SEMANTIC canonicalization here = WHATWG + decode of safe percent-escapes —
 for the ``http://httrack/<path>`` mirror-path namespace the WHATWG kernel is
@@ -60,7 +71,9 @@ def _mirror_key(filename: str) -> str:
 
 
 def build_url_map(crawl: DataFrame) -> DataFrame:
-    """Pass 1 as a DataFrame: (mirror_key, url)."""
+    """Pass 1 as a DataFrame: (mirror_key, url). Duplicate mirror keys (two
+    crawl rows landing on one local file) collapse deterministically to the
+    smallest url, so the broadcast dict and the distributed join agree."""
     from httrack2warc_spark.functions.urls import canonicalize_urls_udf
 
     keyed = crawl.where(F.col("filename").isNotNull()).select(
@@ -69,48 +82,100 @@ def build_url_map(crawl: DataFrame) -> DataFrame:
         ).alias("mirror_url"),
         F.col("url"),
     )
-    return keyed.select(
-        F.regexp_replace("mirror_url", r"[?#].*$", "").alias("mirror_key"), "url"
+    return (
+        keyed.select(
+            F.regexp_replace("mirror_url", r"[?#].*$", "").alias("mirror_key"), "url"
+        )
+        .groupBy("mirror_key")
+        .agg(F.min("url").alias("url"))
     )
 
 
-def rewrite_html(doc: str, filename: str, url_map: dict[str, str]) -> tuple[str, int]:
-    """Pass 2 kernel for one document. Returns (rewritten, n_rewritten)."""
-    base = "http://httrack/" + filename
+def _attr_value(m: re.Match) -> str | None:
+    return m.group(3) if m.group(3) is not None else (
+        m.group(4) if m.group(4) is not None else m.group(5)
+    )
+
+
+def _analyze_value(value: str | None, base: str):
+    """Shared scan kernel: for one attribute value, returns None (leave the
+    attribute alone) or (lookup_key, fragment, special_original) — special is
+    the ``external.html?link=`` case resolved without the map
+    (``LinkRewriter.java:66-68``)."""
+    if not value:
+        return None
+    try:
+        resolved = urljoin(base, html.unescape(value))
+    except ValueError:
+        return None
+    frag = None
+    if "#" in resolved:
+        resolved, frag = resolved.split("#", 1)
+    query = None
+    if "?" in resolved:
+        resolved, query = resolved.split("?", 1)
+    key = canonicalize_url(resolved)
+    key = re.sub(r"[?#].*$", "", key)
+    special = None
+    if key == "http://httrack/external.html" and query and query.startswith("link="):
+        special = canonicalize_url(query[len("link="):])
+    return key, frag, special
+
+
+def _substitute(doc: str, resolved: dict[int, str]) -> tuple[str, int]:
+    """Re-scan ``doc`` with the same deterministic match enumeration and
+    replace match ``i`` when ``resolved[i]`` exists. Returns (text, count)."""
+    count = 0
+    idx = -1
 
     def sub(m: re.Match) -> str:
-        nonlocal count
-        attr = m.group(1)
-        value = m.group(3) if m.group(3) is not None else (
-            m.group(4) if m.group(4) is not None else m.group(5)
-        )
-        if not value:
-            return m.group(0)
-        try:
-            resolved = urljoin(base, html.unescape(value))
-        except ValueError:
-            return m.group(0)
-        frag = None
-        if "#" in resolved:
-            resolved, frag = resolved.split("#", 1)
-        query = None
-        if "?" in resolved:
-            resolved, query = resolved.split("?", 1)
-        key = canonicalize_url(resolved)
-        key = re.sub(r"[?#].*$", "", key)
-        if key == "http://httrack/external.html" and query and query.startswith("link="):
-            original = canonicalize_url(query[len("link="):])
-        else:
-            original = url_map.get(key)
+        nonlocal count, idx
+        idx += 1
+        original = resolved.get(idx)
         if original is None:
             return m.group(0)
-        if frag is not None:
-            original += "#" + frag
         count += 1
-        return f'{attr}="{html.escape(original, quote=True)}"'
+        return f'{m.group(1)}="{html.escape(original, quote=True)}"'
 
-    count = 0
     return _ATTR_RE.sub(sub, doc), count
+
+
+def rewrite_html(doc: str, filename: str, url_map: dict[str, str]) -> tuple[str, int]:
+    """Pass 2 kernel for one document (broadcast-map path).
+    Returns (rewritten, n_rewritten)."""
+    base = "http://httrack/" + filename
+    resolved: dict[int, str] = {}
+    for i, m in enumerate(_ATTR_RE.finditer(doc)):
+        a = _analyze_value(_attr_value(m), base)
+        if a is None:
+            continue
+        key, frag, special = a
+        original = special if special is not None else url_map.get(key)
+        if original is None:
+            continue
+        resolved[i] = original + "#" + frag if frag is not None else original
+    return _substitute(doc, resolved)
+
+
+def _out_schema(crawl: DataFrame) -> StructType:
+    return StructType(
+        crawl.schema.fields
+        + [
+            StructField("rewritten", StringType(), True),
+            StructField("links_rewritten", LongType(), False),
+        ]
+    )
+
+
+def _eligible_col(doc_col: str, filename_col: str):
+    # the reference's gate: .html filename, no cache data
+    # (Httrack2Warc.java:211-217)
+    return (
+        F.col(filename_col).isNotNull()
+        & F.col(filename_col).endswith(".html")
+        & ~F.col("has_cache_data")
+        & F.col(doc_col).isNotNull()
+    )
 
 
 def rewrite_links(
@@ -118,31 +183,30 @@ def rewrite_links(
     crawl: DataFrame,
     doc_col: str = "payload",
     filename_col: str = "filename",
+    mode: str = "auto",
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Rewrites mirror links back to original URLs for cache-less .html rows
-    (the reference's gate: filename endswith .html and no cache data,
-    ``Httrack2Warc.java:211-217``). Adds ``rewritten`` (binary) and
-    ``links_rewritten`` (long) columns."""
-    url_map = {
-        r.mirror_key: r.url for r in build_url_map(crawl).collect()
-    }
+    """Rewrites mirror links back to original URLs for cache-less .html rows.
+    Adds ``rewritten`` (string) and ``links_rewritten`` (long) columns.
+
+    ``mode``: ``broadcast`` (map → driver dict → broadcast; the reference's
+    in-heap shape), ``distributed`` (extract→join→cogroup-reassemble; the map
+    never touches the driver — for crawls whose URL map exceeds driver heap),
+    or ``auto`` (count the map, broadcast below ``broadcast_threshold``)."""
+    if mode not in ("auto", "broadcast", "distributed"):
+        raise ValueError(f"unknown rewrite_links mode: {mode}")
+    map_df = build_url_map(crawl)
+    if mode == "auto":
+        map_df = map_df.persist()
+        mode = "broadcast" if map_df.count() <= broadcast_threshold else "distributed"
+
+    if mode == "distributed":
+        return _rewrite_links_distributed(crawl, map_df, doc_col, filename_col)
+
+    url_map = {r.mirror_key: r.url for r in map_df.collect()}
+    map_df.unpersist()
     bc = spark.sparkContext.broadcast(url_map)
-
-    fields = crawl.schema.fields
-    out_schema = StructType(
-        fields
-        + [
-            StructField("rewritten", StringType(), True),
-            StructField("links_rewritten", LongType(), False),
-        ]
-    )
-
-    eligible = (
-        F.col(filename_col).isNotNull()
-        & F.col(filename_col).endswith(".html")
-        & ~F.col("has_cache_data")
-        & F.col(doc_col).isNotNull()
-    )
+    out_schema = _out_schema(crawl)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         m = bc.value
@@ -160,5 +224,99 @@ def rewrite_links(
         out["links_rewritten"] = pd.array(counts, dtype="int64")
         return out
 
-    marked = crawl.withColumn("eligible__", eligible)
+    marked = crawl.withColumn("eligible__", _eligible_col(doc_col, filename_col))
     return marked.mapInPandas(lambda it: (run(pdf) for pdf in it), schema=out_schema)
+
+
+def _rewrite_links_distributed(
+    crawl: DataFrame,
+    map_df: DataFrame,
+    doc_col: str,
+    filename_col: str,
+) -> DataFrame:
+    """The explode→join→reassemble plan. Three stages:
+
+    1. extract (mapInPandas over eligible docs only): one narrow row per URI
+       attribute that analyzes to a lookup key — (seq, link_idx, key, frag,
+       special). Docs don't shuffle here; link rows are tens of bytes.
+    2. resolve: special rows already carry their original; key rows equi-join
+       ``map_df`` on ``mirror_key`` (8-byte-ish string keys; Spark picks
+       broadcast-hash automatically when the map is small, shuffle-hash/SMJ
+       when it isn't — no driver collect either way).
+    3. reassemble: cogroup docs with their resolved links on ``seq`` and rerun
+       the same deterministic scan, substituting matched indices. This is the
+       single wide shuffle (payloads keyed by seq).
+    """
+    eligible = _eligible_col(doc_col, filename_col)
+    docs = crawl.withColumn("eligible__", eligible)
+    edocs = docs.where(F.col("eligible__")).select(
+        "seq", F.col(doc_col).alias("__doc"), F.col(filename_col).alias("__fname")
+    )
+
+    link_schema = (
+        "seq long, link_idx long, key string, frag string, special string"
+    )
+
+    def extract(it):
+        for pdf in it:
+            rows = []
+            for seq, doc, fname in zip(pdf["seq"], pdf["__doc"], pdf["__fname"]):
+                base = "http://httrack/" + fname
+                text = bytes(doc).decode("iso-8859-1")
+                for i, m in enumerate(_ATTR_RE.finditer(text)):
+                    a = _analyze_value(_attr_value(m), base)
+                    if a is None:
+                        continue
+                    key, frag, special = a
+                    rows.append((seq, i, None if special is not None else key,
+                                 frag, special))
+            yield pd.DataFrame(
+                rows, columns=["seq", "link_idx", "key", "frag", "special"]
+            )
+
+    links = edocs.mapInPandas(extract, schema=link_schema)
+    special = links.where(F.col("special").isNotNull()).select(
+        "seq", "link_idx", F.col("special").alias("original"), "frag"
+    )
+    looked_up = (
+        links.where(F.col("special").isNull())
+        .join(map_df, links["key"] == map_df["mirror_key"])
+        .select("seq", "link_idx", F.col("url").alias("original"), "frag")
+    )
+    resolved = special.unionByName(looked_up).select(
+        "seq",
+        "link_idx",
+        F.when(
+            F.col("frag").isNotNull(),
+            F.concat(F.col("original"), F.lit("#"), F.col("frag")),
+        ).otherwise(F.col("original")).alias("replacement"),
+    )
+
+    out_schema = _out_schema(crawl)
+    doc_pos = [f.name for f in out_schema.fields].index(doc_col)
+
+    def reassemble(doc_pdf: pd.DataFrame, link_pdf: pd.DataFrame) -> pd.DataFrame:
+        outs, counts = [], []
+        by_seq: dict[int, dict[int, str]] = {}
+        for s, i, rep in zip(link_pdf["seq"], link_pdf["link_idx"],
+                             link_pdf["replacement"]):
+            by_seq.setdefault(int(s), {})[int(i)] = rep
+        for row in doc_pdf.itertuples(index=False):
+            if not row.eligible__:
+                outs.append(None)
+                counts.append(0)
+                continue
+            text = bytes(row[doc_pos]).decode("iso-8859-1")
+            new, n = _substitute(text, by_seq.get(int(row.seq), {}))
+            outs.append(new)
+            counts.append(n)
+        out = doc_pdf.drop(columns=["eligible__"])
+        out["rewritten"] = outs
+        out["links_rewritten"] = pd.array(counts, dtype="int64")
+        return out
+
+    return (
+        docs.groupBy("seq")
+        .cogroup(resolved.groupBy("seq"))
+        .applyInPandas(reassemble, schema=out_schema)
+    )

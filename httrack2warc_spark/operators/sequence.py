@@ -120,7 +120,8 @@ def with_running_total(
     offsets, acc = {}, 0
     for r in totals:
         offsets[r["__pid"]] = acc
-        acc += r["__t"]
+        # F.sum is null for a partition whose __v values are all null
+        acc += r["__t"] or 0
     off_df = F.broadcast(
         df.sparkSession.createDataFrame(
             [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"

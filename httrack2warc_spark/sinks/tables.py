@@ -220,6 +220,95 @@ class TableCatalog:
         self._commit(name, [base, entry])
         return True
 
+    def expire_snapshots(self, keep_last: int) -> list[str]:
+        """Delete all but the ``keep_last`` newest snapshots (by snapshot
+        timestamp). Iceberg's expire_snapshots in miniature: a snapshot that
+        nobody can roll back to no longer pins its table versions, so a later
+        ``vacuum`` can reclaim their filesets. Returns the expired tags."""
+        snapdir = self.root / "_snapshots"
+        if not snapdir.exists():
+            return []
+        tagged = sorted(
+            snapdir.glob("*.json"),
+            key=lambda p: json.loads(p.read_text()).get("ts", 0.0),
+        )
+        expired = []
+        for p in tagged[:-keep_last] if keep_last > 0 else tagged:
+            expired.append(p.stem)
+            p.unlink()
+        return expired
+
+    def vacuum(self, name: str | None = None) -> dict[str, dict]:
+        """Reclaim storage + session-catalog entries no committed reader can
+        reach (Iceberg's remove-orphan-files, in miniature): for each table,
+        the live versions are the current one, any snapshot-referenced one and
+        any pinned one; manifests of dead versions are deleted, fileset
+        directories referenced by no live manifest are removed, and stale
+        ``h2w_*`` bucketed-table registrations are dropped from the session
+        catalog. Never touches live data — safe after every compaction."""
+        import shutil
+        from collections import defaultdict
+
+        names = (
+            [name]
+            if name is not None
+            else [
+                p.name
+                for p in self.root.iterdir()
+                if p.is_dir() and p.name != "_snapshots"
+                and self._current_ptr(p.name).exists()
+            ]
+        )
+        snap_versions: dict[str, set[int]] = defaultdict(set)
+        for tag in self.list_snapshots():
+            payload = json.loads(
+                (self.root / "_snapshots" / f"{tag}.json").read_text()
+            )
+            for t, v in payload.get("tables", {}).items():
+                if v is not None:
+                    snap_versions[t].add(v)
+
+        stats: dict[str, dict] = {}
+        for nm in names:
+            cur = self._current_version(nm)
+            if cur is None:
+                continue
+            live_versions = {cur} | snap_versions.get(nm, set())
+            if self._pinned and self._pinned.get(nm):
+                live_versions.add(self._pinned[nm])
+            live_paths: set[str] = set()
+            live_tables: set[str] = set()
+            for v in live_versions:
+                mp = self._manifest_path(nm, v)
+                if not mp.exists():
+                    continue
+                for e in json.loads(mp.read_text())["files"]:
+                    live_paths.add(e["path"] if isinstance(e, dict) else e)
+                    if isinstance(e, dict):
+                        live_tables.add(e["table"])
+            n_manifests = n_filesets = n_tables = 0
+            for mp in self._table_dir(nm).glob("_v*.json"):
+                if int(mp.stem[2:]) not in live_versions:
+                    mp.unlink()
+                    n_manifests += 1
+            data_dir = self._table_dir(nm) / "data"
+            if data_dir.exists():
+                for d in data_dir.iterdir():
+                    if str(d) not in live_paths:
+                        shutil.rmtree(d, ignore_errors=True)
+                        n_filesets += 1
+            prefix = f"h2w_{re.sub('[^a-z0-9]', '_', nm.lower())}_"
+            for t in self.spark.catalog.listTables():
+                if t.name.startswith(prefix) and t.name not in live_tables:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                    n_tables += 1
+            stats[nm] = {
+                "manifests": n_manifests,
+                "filesets": n_filesets,
+                "tables": n_tables,
+            }
+        return stats
+
     def snapshot(self, tag: str, extra: dict | None = None) -> None:
         versions = {
             p.name: self._current_version(p.name)

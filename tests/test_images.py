@@ -148,3 +148,25 @@ def test_frame_sample_spark(spark):
     ref = synth_pixels("vid-1#f4", 8, 8)
     assert (png_decode(bytes(r0.png)) == ref).all()
     assert r0.phash == phash64(ref)
+
+
+def test_pil_real_jpeg_decode():
+    """Skip-unless-PIL: when a real codec library is present, decode_image
+    must route real JPEG bytes through it (the HAVE_PIL gate) and reproduce
+    the pixels within lossy tolerance."""
+    import pytest
+
+    from httrack2warc_spark.functions.images import HAVE_PIL, decode_image, psnr
+
+    if not HAVE_PIL:
+        pytest.skip("PIL not installed in this sandbox")
+    import io
+
+    from PIL import Image
+
+    pixels = synth_pixels("pil-test", 32, 32)
+    buf = io.BytesIO()
+    Image.fromarray(pixels).save(buf, format="JPEG", quality=95)
+    out = decode_image(buf.getvalue(), "jpeg")
+    assert out.shape == pixels.shape
+    assert psnr(pixels, out) >= 30.0

@@ -83,3 +83,23 @@ def test_url_map(spark, tmp_path):
     m = {r.mirror_key: r.url for r in build_url_map(crawl).collect()}
     assert m["http://httrack/t.example.org/style.css"] == "http://t.example.org/s.css"
     assert m["http://httrack/t.example.org/sub/page2.html"] == "http://t.example.org/deep?p=2"
+
+
+def test_rewrite_links_distributed_parity(spark, tmp_path):
+    """The explode->join->cogroup-reassemble plan (forced) produces byte-
+    identical rewritten docs and counts to the broadcast-map plan."""
+    crawl = read_crawl(spark, _mk_crawl(tmp_path))
+    cols = ["filename", "rewritten", "links_rewritten"]
+    bcast = {r.filename: (r.rewritten, r.links_rewritten)
+             for r in rewrite_links(spark, crawl, mode="broadcast")
+             .select(cols).collect()}
+    dist = {r.filename: (r.rewritten, r.links_rewritten)
+            for r in rewrite_links(spark, crawl, mode="distributed")
+            .select(cols).collect()}
+    assert bcast == dist and len(bcast) >= 3
+    # auto mode picks distributed when the map exceeds the threshold
+    auto = {r.filename: (r.rewritten, r.links_rewritten)
+            for r in rewrite_links(spark, crawl, mode="auto",
+                                   broadcast_threshold=1)
+            .select(cols).collect()}
+    assert auto == bcast

@@ -1,0 +1,109 @@
+"""Catalog retention: expire_snapshots + vacuum (Iceberg expire/remove-orphans
+in miniature) and the scheduler's keep_snapshots wiring; run_round leaves
+session confs untouched (ADVICE r2)."""
+
+import tempfile
+
+from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler, generate_web
+from httrack2warc_spark.sinks.tables import TableCatalog
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(f"s.com/{i}", f"http://s.com/{i}", 0) for i in range(lo, hi)],
+        "url_key string, url string, enqueued_round int",
+    )
+
+
+def test_vacuum_reclaims_dead_filesets_and_tables(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path))
+    cat.write("url_seen", _df(spark, 0, 100), bucket_by=("url_key", 4))
+    cat.snapshot("round-0")
+    for i in range(1, 5):
+        cat.append("url_seen", _df(spark, 100 * i, 100 * (i + 1)),
+                   bucket_by=("url_key", 4))
+        cat.snapshot(f"round-{i}")
+    cat.compact_small("url_seen", bucket_by=("url_key", 4), max_filesets=2)
+    cat.snapshot("round-5")  # the scheduler's order: compact, then snapshot
+    n_tables_before = sum(
+        1 for t in spark.catalog.listTables() if t.name.startswith("h2w_url_seen_")
+    )
+    # nothing reclaimable while every snapshot is retained: round-4 still
+    # pins the pre-compaction fileset list
+    assert cat.vacuum("url_seen")["url_seen"]["filesets"] == 0
+
+    cat.expire_snapshots(keep_last=1)
+    stats = cat.vacuum("url_seen")["url_seen"]
+    assert stats["filesets"] > 0 and stats["manifests"] > 0 and stats["tables"] > 0
+    n_tables_after = sum(
+        1 for t in spark.catalog.listTables() if t.name.startswith("h2w_url_seen_")
+    )
+    assert n_tables_after < n_tables_before
+    # live data intact, still bucketed-readable, still resumable
+    assert cat.read("url_seen").count() == 500
+    assert cat.row_count("url_seen") == 500
+    assert cat.list_snapshots() == ["round-5"]
+    cat.rollback_to_snapshot("round-5")
+    assert cat.read("url_seen").count() == 500
+
+
+def test_scheduler_keep_snapshots_bounds_disk(spark, tmp_path):
+    web, seeds = generate_web(spark, n_hosts=2, pages_per_host=40, out_degree=3,
+                              cross_host_every=1)
+    cat = TableCatalog(spark, str(tmp_path / "a"))
+    sched = FrontierScheduler(
+        spark, cat, web,
+        CrawlConfig(num_parts=4, max_rounds=8, fetch_robots=False,
+                    keep_snapshots=2),
+    )
+    log = sched.run(seeds=seeds)
+    n = log.count()
+    assert n > 0
+    assert len(cat.list_snapshots()) <= 2
+    # identical crawl without retention — same visit order
+    cat2 = TableCatalog(spark, str(tmp_path / "b"))
+    log2 = FrontierScheduler(
+        spark, cat2, web,
+        CrawlConfig(num_parts=4, max_rounds=8, fetch_robots=False),
+    ).run(seeds=seeds)
+    a = [(r.seq, r.url) for r in log.orderBy("seq").collect()]
+    b = [(r.seq, r.url) for r in log2.orderBy("seq").collect()]
+    assert a == b
+
+
+def test_run_round_restores_session_conf(spark, tmp_path):
+    web, seeds = generate_web(spark, n_hosts=1, pages_per_host=20, out_degree=3)
+    cat = TableCatalog(spark, str(tmp_path))
+    sched = FrontierScheduler(
+        spark, cat, web,
+        CrawlConfig(num_parts=4, max_rounds=2, fetch_robots=False,
+                    aqe_mode="auto"),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    sched.start(seeds)
+    sched.run_round(0, 0)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_salted_topk_auto_engages_on_skew(spark, tmp_path):
+    """A skewed web (every frontier row on one host) trips the driver-side
+    rows-per-host heuristic; the salted politeness plan engages and the visit
+    order is unchanged vs the plain plan."""
+    web, seeds = generate_web(spark, n_hosts=1, pages_per_host=60, out_degree=4)
+
+    def crawl(cfg_kwargs, d):
+        cat = TableCatalog(spark, str(tmp_path / d))
+        s = FrontierScheduler(
+            spark, cat, web,
+            CrawlConfig(num_parts=4, max_rounds=6, fetch_robots=False,
+                        **cfg_kwargs),
+        )
+        log = s.run(seeds=seeds)
+        return s, [(r.seq, r.url) for r in log.orderBy("seq").collect()]
+
+    s_auto, order_auto = crawl(
+        {"salted_topk": "auto", "salt_auto_threshold": 2}, "auto")
+    s_plain, order_plain = crawl({"salted_topk": False}, "plain")
+    assert s_auto.salted_rounds, "auto heuristic never engaged"
+    assert not s_plain.salted_rounds
+    assert order_auto == order_plain and len(order_auto) > 10
