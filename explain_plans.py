@@ -42,6 +42,11 @@ def main() -> None:
         ("ordinal_fifo_join", "both row_number windows + the join reuse one hash partitioning per side"),
         ("anti_join_unseen", "broadcast/shuffled left-anti join, filter pushed below"),
         ("token_count", "pure whole-stage-codegen projection, no exchange"),
+        ("embedding_neardup", "LSH-bucketed candidates: equi-joins on "
+         "(table, bucket) only — NO CartesianProduct/BroadcastNestedLoopJoin "
+         "(asserted in tests/test_dedup_similarity.py)"),
+        ("ngram_jaccard", "hot-shingle DF cap: window count over the same sh "
+         "partitioning the self-join shuffles on"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 

@@ -265,16 +265,29 @@ def main(argv: list[str] | None = None) -> None:
                         "set with this name/pattern (reference --redirect-file; "
                         "requires --redirect-prefix)")
     p.add_argument("--rewrite-links", action="store_true")
-    p.add_argument("-C", "--cdx-name", default="index.cdx")
+    p.add_argument("--cdx", "--cdx-name", dest="cdx_name", default="index.cdx",
+                   help="CDX output filename (reference --cdx; reference "
+                        "emits no CDX unless given — this CLI defaults to "
+                        "index.cdx)")
+    p.add_argument("--no-cdx", action="store_true",
+                   help="disable CDX output (the reference's default)")
     p.add_argument("--cdx9", action="store_true",
                    help="emit the 9-field legacy CDX format "
                         "(CdxWriter.java:85-90) instead of CDX-11")
+    p.add_argument("-C", "--compression", choices=["none", "gzip"],
+                   type=str.lower, default="gzip",
+                   help="WARC record compression (reference -C/--compression)")
+    p.add_argument("-q", "--quiet", action="count", default=0,
+                   help="less logging (repeatable; reference -q)")
+    p.add_argument("-v", "--verbose", action="count", default=0,
+                   help="more logging (repeatable; reference -v)")
     p.add_argument("-n", "--name", dest="warc_pattern", default="crawl-%d.warc.gz",
                    help="WARC filename pattern (reference -n; %%d = file number)")
     p.add_argument("-s", "--size", dest="warc_size", type=int,
                    default=WARC_ROTATION_SIZE,
                    help="WARC rotation size target in bytes (reference -s)")
-    p.add_argument("--no-compress", action="store_true")
+    p.add_argument("--no-compress", action="store_true",
+                   help="alias for --compression none")
     p.add_argument("-I", "--warcinfo", action="append", default=[],
                    help="extra 'KEY: VALUE' line for the warcinfo record "
                         "(reference -I; repeatable)")
@@ -295,6 +308,10 @@ def main(argv: list[str] | None = None) -> None:
     from httrack2warc_spark import get_spark
 
     spark = get_spark(app_name="httrack2warc")
+    # -q/-v (Main.java:126-134): walk the level ladder from the default
+    levels = ["ERROR", "WARN", "INFO", "DEBUG"]
+    lvl = min(max(1 + args.verbose - args.quiet, 0), len(levels) - 1)
+    spark.sparkContext.setLogLevel(levels[lvl])
     convert(
         spark,
         args.crawl_dir,
@@ -302,10 +319,10 @@ def main(argv: list[str] | None = None) -> None:
         exclusions=args.exclude,
         redirect_prefix=args.redirect_prefix,
         rewrite_links=args.rewrite_links,
-        cdx_name=args.cdx_name,
+        cdx_name=None if args.no_cdx else args.cdx_name,
         warc_pattern=args.warc_pattern,
         warc_size=args.warc_size,
-        compress=not args.no_compress,
+        compress=not args.no_compress and args.compression != "none",
         strict=args.strict,
         timezone=args.timezone,
         warcinfo_extra=args.warcinfo,

@@ -279,3 +279,16 @@ def test_full_mime_table_long_tail(spark):
         "d": "image/jpeg",   # last-dot extension rule (MimeTypes.java:50-57)
         "e": "application/octet-stream",
     }
+
+
+def test_cli_reference_flag_parity(spark, crawl_dir, tmp_path):
+    """CLI spellings match the reference (Main.java:59-140): --cdx NAME,
+    -C/--compression none|gzip, -q/-v accepted."""
+    from httrack2warc_spark.convert import main
+
+    main([crawl_dir, "-o", str(tmp_path), "--cdx", "my.cdx",
+          "-C", "NONE", "-q"])
+    warc = tmp_path / "crawl-0.warc.gz"
+    assert warc.exists() and (tmp_path / "my.cdx").exists()
+    # -C none ⇒ records are raw WARC bytes, not gzip members
+    assert warc.read_bytes().startswith(b"WARC/1.0\r\n")
