@@ -425,7 +425,11 @@ def simhash_neardup_q(spark, sf_dir):
 
 
 def lsh_ann_q(spark, sf_dir):
-    """LSH-bucketed ANN for one query (rows-only: probabilistic recall)."""
+    """LSH-bucketed ANN for one query, value-checked: with (bits=2,
+    num_tables=32) the per-neighbor miss probability at fixture similarity
+    levels is <1e-7 and deterministic given the seed, so the bucketed top-10
+    equals the brute-force oracle exactly (the embedding_neardup_lsh recall
+    argument; verified at both fixture scales)."""
     from httrack2warc_spark.operators.similarity import lsh_ann_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -436,9 +440,11 @@ def lsh_ann_q(spark, sf_dir):
     )
     out = lsh_ann_topk(
         emb.where(F.col("vec_id") != 0), queries, "v", "vec_id",
-        k=10, bits=8, num_tables=4,
+        k=10, bits=2, num_tables=32,
     )
-    return out.select("vec_id").orderBy("vec_id")
+    return out.select(
+        "vec_id", F.round("cosine_sim", 6).alias("cos_sim")
+    ).orderBy(F.col("cos_sim").desc(), "vec_id")
 
 
 def image_invariant_q(spark, sf_dir):
@@ -1064,7 +1070,17 @@ def oracle_sql() -> dict[str, str]:
                        '^(?:https?://)?(?:[^/?#]*@)?([^/?#:]*)', 1)) AS host
             FROM documents ORDER BY doc_id
         """,
-        # minhash_neardup / simhash_neardup / lsh_ann / ivf_ann /
+        "lsh_ann": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+                       AS cos_sim
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 10
+        """,
+        # minhash_neardup / simhash_neardup / ivf_ann /
         # image_invariant / image_resize / image_features / frame_sample /
         # frontier_crawl: engine-specific hash families, binary payloads or
         # iterative crawl state — rows-only checks (driver's weaker gate).
