@@ -503,6 +503,35 @@ def frame_sample_q(spark, sf_dir):
     ).orderBy("video_id", "frame_idx")
 
 
+def audio_features_q(spark, sf_dir):
+    """Audio feature extraction over a deterministic generated table (rows-
+    only: binary payloads) — real WAV codec, vectorized DSP, one quarantined
+    undecodable row proving the no-crash path."""
+    from httrack2warc_spark.functions.audio import audio_features, synth_audio
+
+    rows = [(f"au-{i}", synth_audio(f"au-{i}", 8000, 8000), "wav")
+            for i in range(32)]
+    rows.append(("au-bad", b"\xffopaque", "mp3"))
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    return audio_features(df).select(
+        "audio_id", "decoded", "rms_db", "zero_cross_rate", "fingerprint"
+    ).orderBy("audio_id")
+
+
+def audio_windows_q(spark, sf_dir):
+    """Audio window fan-out (rows-in → window-rows-out) — rows-only."""
+    from httrack2warc_spark.functions.audio import synth_audio, window_sample
+
+    df = spark.createDataFrame(
+        [(f"au-{i}", synth_audio(f"au-{i}", 8000, 16000), "wav")
+         for i in range(16)],
+        "audio_id string, bytes binary, fmt string",
+    )
+    return window_sample(df, window_ms=250, every_k=2).select(
+        "audio_id", "window_idx", "rms_db", "fingerprint"
+    ).orderBy("audio_id", "window_idx")
+
+
 def embedding_neardup_q(spark, sf_dir):
     """Embedding-cosine near-dup pairs via the LSH-bucketed scale path
     (equi-join on (table, bucket) keys — no cartesian/inequality join in the
@@ -669,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": image_resize_q,
         "image_features": image_features_q,
         "frame_sample": frame_sample_q,
+        "audio_features": audio_features_q,
+        "audio_windows": audio_windows_q,
         "embedding_neardup": embedding_neardup_q,
         "header_surgery": header_surgery_q,
         "percent_codecs": percent_codecs_q,
