@@ -114,6 +114,16 @@ class CrawlConfig:
     # this avoids rewriting multi-GB filters every round
     summary_every: int = 1
     parallel_commits: bool = True          # independent table commits in threads
+    # pipeline the non-critical tail of round r (crawl_log/metrics/image
+    # commits, snapshot, retention, unpersists) into a background task that
+    # overlaps round r+1's plan/top-k/fetch phase. Round r+1 only reads
+    # url_seen/frontier/hosts_crawled — all committed in the foreground — and
+    # makes no commit of its own until the deferred tail has been flushed, so
+    # the deferred snapshot still captures a consistent catalog. This hides
+    # ~2-4 s of fixed local-mode job latency per round (the loop is
+    # latency-bound at sandbox scale; on a real cluster the same overlap
+    # hides the commit round-trips behind hours of dataflow).
+    pipelined_commits: bool = True
     # "single" = one-window seq stamping (small rounds); "ranged" =
     # range-partitioned distributed stamping (10^9-row rounds); "auto" =
     # ranged when the round's frontier exceeds seq_single_max rows (the
@@ -167,6 +177,9 @@ class FrontierScheduler:
         self.image_table = image_table
         # rounds where the skew-aware salted politeness plan engaged
         self.salted_rounds: set[int] = set()
+        # one-round-deep deferred commit pipeline (cfg.pipelined_commits)
+        self._deferred = None
+        self._bg_pool = None
 
     # ------------------------------------------------------------------ utils
     def _seen_bucket(self) -> tuple[str, int] | None:
@@ -257,12 +270,39 @@ class FrontierScheduler:
 
         Session confs the round toggles (AQE) are restored on exit, so calling
         ``run_round`` directly never leaves the shared SparkSession altered
-        for unrelated queries."""
+        for unrelated queries; any pipelined commit tail is flushed before
+        returning, so direct callers always observe a fully-committed round
+        (``run()`` uses the non-flushing form to get the overlap)."""
+        out = self._run_round_guarded(round_no, next_seq)
+        self._flush_deferred()
+        return out
+
+    def _run_round_guarded(self, round_no: int, next_seq: int) -> tuple[int, int]:
         aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         try:
             return self._run_round(round_no, next_seq)
         finally:
             self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+    def _flush_deferred(self) -> None:
+        """Wait for (and surface errors from) the previous round's deferred
+        commit tail. Called before any commit/catalog mutation of the current
+        round, and at the end of ``run()``."""
+        fut, self._deferred = self._deferred, None
+        if fut is not None:
+            fut.result()
+
+    def _submit_deferred(self, work) -> None:
+        if self.cfg.pipelined_commits:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._bg_pool is None:
+                self._bg_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="h2w-deferred"
+                )
+            self._deferred = self._bg_pool.submit(work)
+        else:
+            work()
 
     def _run_round(self, round_no: int, next_seq: int) -> tuple[int, int]:
         cfg = self.cfg
@@ -349,6 +389,15 @@ class FrontierScheduler:
         # materialized once: reused by log append, seen update, leftover
         # anti-join and host bookkeeping without recomputing topk+fetch
         fetched = self.web.fetch(sequenced).persist()
+        self.spark.sparkContext.setJobDescription("fetch:materialize")
+        n_fetched = fetched.count()
+        self.spark.sparkContext.setJobDescription(None)
+        next_seq += n_fetched
+
+        # the previous round's deferred tail (crawl_log/metrics/images,
+        # snapshot, retention) overlapped this round's plan/top-k/fetch; it
+        # must land before this round mutates or vacuums any table
+        self._flush_deferred()
 
         log_rows = fetched.select(
             "seq",
@@ -365,11 +414,6 @@ class FrontierScheduler:
             "image_id",
             (F.col("__robots") == 0).alias("is_robots"),
         )
-        log_entry = self.catalog.append("crawl_log", log_rows)
-        # the append just materialized every fetched row (through the cache);
-        # its footer count replaces a separate fetched.count() job
-        n_fetched = self.catalog.fileset_row_count(log_entry)
-        next_seq += n_fetched
 
         # ---- discovery --------------------------------------------------
         raw_links = self.web.outlinks(fetched.where(F.col("__robots") == 1))
@@ -449,19 +493,17 @@ class FrontierScheduler:
         # jobs from multiple threads; inputs are persisted, so each commit is
         # a cheap cached scan + write).
         new_seen_rows = new_seen_rows.persist()
-        # materialize the discovery pipeline ONCE before the parallel commits:
-        # this count fills both caches (new_seen_rows and, as its dependency,
-        # new_frontier). Without it the concurrent commits race to compute the
-        # same un-filled cache and each runs the full pipeline (measured: the
-        # frontier and metrics commits together spent 71 s of a 64 s crawl).
-        self.spark.sparkContext.setJobDescription("discovery:materialize")
-        new_seen_rows.count()
-        self.spark.sparkContext.setJobDescription(None)
+        # the url_seen append runs FIRST and alone: its write scans
+        # new_seen_rows and (as its parent) new_frontier, filling BOTH caches
+        # — the discovery materializer and the critical commit in one job
+        # (replaces the former separate count(); without a pre-fill the
+        # concurrent commits race to compute the same un-filled cache and
+        # each runs the full pipeline — measured 71 s of a 64 s crawl).
+        self.catalog.append(
+            "url_seen", new_seen_rows, bucket_by=self._seen_bucket()
+        )
         commits = [
             lambda: self.catalog.write("frontier", next_frontier),
-            lambda: self.catalog.append(
-                "url_seen", new_seen_rows, bucket_by=self._seen_bucket()
-            ),
         ]
         if cfg.fetch_robots:
             # append-only like url_seen: only hosts first crawled this round
@@ -489,6 +531,7 @@ class FrontierScheduler:
             )
             commits.append(lambda: self.catalog.write("seen_summary", merged))
 
+        deferred_commits = [lambda: self.catalog.append("crawl_log", log_rows)]
         metrics = (
             add_partition_and_hashes(log_rows, "url_key", cfg.num_parts)
             .groupBy("part")
@@ -511,7 +554,7 @@ class FrontierScheduler:
                 F.coalesce("bytes", F.lit(0)).alias("bytes"),
             )
         )
-        commits.append(lambda: self.catalog.append("metrics", metrics))
+        deferred_commits.append(lambda: self.catalog.append("metrics", metrics))
 
         # ---- image payload drain (north_rule: fetched image+caption records
         # land in the table store; the per-row invariant is checked in the
@@ -533,8 +576,12 @@ class FrontierScheduler:
                 F.col("seq").alias("fetch_seq"),
                 F.col("url").alias("fetch_url"),
             )
-            commits.append(lambda: self.catalog.append("images_fetched", drained))
-            commits.append(lambda: self.catalog.append("image_checks", checked))
+            deferred_commits.append(
+                lambda: self.catalog.append("images_fetched", drained)
+            )
+            deferred_commits.append(
+                lambda: self.catalog.append("image_checks", checked)
+            )
 
         if cfg.parallel_commits:
             from concurrent.futures import ThreadPoolExecutor
@@ -553,24 +600,46 @@ class FrontierScheduler:
             )
         if merge_now:
             self._summary_covered_round = round_no + 1
-        self.catalog.snapshot(
-            f"round-{round_no}",
-            {
-                "round": round_no,
-                "next_seq": next_seq,
-                "summary_covered_round": getattr(self, "_summary_covered_round", 0),
-            },
-        )
-        if cfg.keep_snapshots is not None:
-            # retention: expire old resume points, then reclaim the fileset
-            # dirs and h2w_* table registrations only they referenced
-            self.catalog.expire_snapshots(cfg.keep_snapshots)
-            self.catalog.vacuum()
-        fetched.unpersist()
-        new_frontier.unpersist()
-        new_seen_rows.unpersist()
-        for c in seq_caches:
-            c.unpersist()
+
+        # ---- deferred tail: tables round r+1 never reads (crawl_log,
+        # metrics, image drains), then the round-r snapshot + retention and
+        # the cache releases. Runs in the background (cfg.pipelined_commits),
+        # overlapping round r+1's plan/top-k/fetch — which makes no commits
+        # until it flushes this tail, so the snapshot sees a quiescent,
+        # fully-committed catalog.
+        covered = getattr(self, "_summary_covered_round", 0)
+        seq_after = next_seq
+
+        def _tail() -> None:
+            if cfg.parallel_commits and len(deferred_commits) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=len(deferred_commits)) as p:
+                    for f in list(p.map(lambda c: c(), deferred_commits)):
+                        pass
+            else:
+                for c in deferred_commits:
+                    c()
+            self.catalog.snapshot(
+                f"round-{round_no}",
+                {
+                    "round": round_no,
+                    "next_seq": seq_after,
+                    "summary_covered_round": covered,
+                },
+            )
+            if cfg.keep_snapshots is not None:
+                # retention: expire old resume points, then reclaim the
+                # fileset dirs + h2w_* table registrations only they referenced
+                self.catalog.expire_snapshots(cfg.keep_snapshots)
+                self.catalog.vacuum()
+            fetched.unpersist()
+            new_frontier.unpersist()
+            new_seen_rows.unpersist()
+            for c in seq_caches:
+                c.unpersist()
+
+        self._submit_deferred(_tail)
         return n_fetched, next_seq
 
     # ------------------------------------------------------------------ run
@@ -593,10 +662,14 @@ class FrontierScheduler:
         aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         try:
             while round_no < self.cfg.max_rounds:
-                fetched, next_seq = self.run_round(round_no, next_seq)
+                # non-flushing form: round r's commit tail overlaps r+1
+                fetched, next_seq = self._run_round_guarded(round_no, next_seq)
                 if fetched == 0:
                     break
                 round_no += 1
         finally:
-            self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+            try:
+                self._flush_deferred()
+            finally:
+                self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         return self.catalog.read("crawl_log").orderBy("seq")
