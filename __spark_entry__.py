@@ -554,6 +554,24 @@ def embedding_neardup_q(spark, sf_dir):
     ).where(F.col("cosine") >= 0.45).orderBy("a", "b")
 
 
+def dedup_components_q(spark, sf_dir):
+    """Connected components over the embedding near-dup pair graph
+    (transitive dedup groups), value-checked against a DuckDB recursive CTE.
+    Exercises the iterative min-label propagation operator end to end."""
+    from httrack2warc_spark.operators.dedup import (
+        connected_components,
+        embedding_neardup_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    pairs = embedding_neardup_lsh(
+        emb, "v", "vec_id", threshold=0.45 - 1e-6, bits=2, num_tables=32
+    ).where(F.round("cosine", 6) >= 0.45)
+    return connected_components(pairs).orderBy("node")
+
+
 def header_surgery_q(spark, sf_dir):
     """P8+P9 value-checked: Transfer-Encoding strip (leading-whitespace-
     tolerant, case-insensitive, multiline) + Content-Length rewrite to the
@@ -701,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": audio_features_q,
         "audio_windows": audio_windows_q,
         "embedding_neardup": embedding_neardup_q,
+        "dedup_components": dedup_components_q,
         "header_surgery": header_surgery_q,
         "percent_codecs": percent_codecs_q,
         "cdx_format": cdx_format_q,
@@ -1035,6 +1054,25 @@ def oracle_sql() -> dict[str, str]:
             FROM v x JOIN v y ON x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.45
             ORDER BY a, b
+        """,
+        "dedup_components": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), pairs AS (
+                SELECT x.vec_id AS a, y.vec_id AS b
+                FROM v x JOIN v y ON x.vec_id < y.vec_id
+                WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.45
+            ), edges AS (
+                SELECT a AS x, b AS y FROM pairs
+                UNION
+                SELECT b, a FROM pairs
+            ), reach(x, y) AS (
+                SELECT x, y FROM edges
+                UNION
+                SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+            )
+            SELECT x AS node, least(x, min(y)) AS component
+            FROM reach GROUP BY x ORDER BY node
         """,
         "header_surgery": r"""
             WITH h AS (

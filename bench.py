@@ -63,6 +63,8 @@ def main() -> None:
         "image_resize",
         "image_features",
         "frame_sample",
+        "audio_features",
+        "header_surgery",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

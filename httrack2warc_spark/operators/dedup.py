@@ -32,6 +32,8 @@ __all__ = [
     "simhash_dedup",
     "embedding_neardup_candidates",
     "embedding_neardup_lsh",
+    "connected_components",
+    "dedup_by_components",
 ]
 
 # ---------------------------------------------------------------------------
@@ -562,3 +564,95 @@ def embedding_neardup_lsh(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components over a candidate-pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, component) — component = the minimum node id reachable through
+    the pair graph. The transitive-closure step a near-dup pipeline needs
+    AFTER pair generation: greedy drop-the-higher-id-of-each-pair (the
+    one-pass policy in minhash_lsh_dedup/simhash_dedup) under-merges chains
+    A~B~C; component labels make the whole chain one group.
+
+    Algorithm: iterative min-label propagation (the standard "hash-to-min" /
+    small-star contraction family for Pregel-less engines — e.g. the
+    map-reduce CC of Rastogi et al., "Finding Connected Components in
+    Map-Reduce"): each node repeatedly adopts the minimum label in its closed
+    neighborhood until fixpoint. Convergence is detected with a count of
+    changed labels per iteration; label diameter shrinks geometrically for
+    the short chains dedup graphs produce (near-dup components are shallow),
+    so iterations ≈ O(log(diameter)) and each iteration is two shuffles on
+    8-byte keys. ``localCheckpoint`` truncates the lineage per iteration —
+    an iterative plan would otherwise grow exponentially under Catalyst.
+
+    Scale: rows are (node, label) longs/strings only — never the documents;
+    at 10^10 edges each iteration is a groupBy-min on the edge list. For
+    degenerate giant components raise ``max_iterations`` (or pre-cap hot
+    buckets upstream, which bounds component diameter in practice).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # candidate label per node = min(own, min over neighbors' labels)
+        neighbor_min = (
+            edges.join(labels, edges["y"] == labels["node"])
+            .groupBy("x")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["x"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nmin"), F.col("component"))
+                 < F.col("component")).alias("__changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.where(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Keep one representative (the minimum id) per connected component of
+    the near-dup pair graph; rows in no pair survive untouched. The
+    transitive policy: A~B and B~C drops both B and C even when (A, C) was
+    never emitted as a pair."""
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -128,3 +128,25 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
             for r in ngram_jaccard_pairs(df, "text", "id", 3, 0.05,
                                          max_shingle_df=1000).collect()}
     assert unc == high
+
+
+def test_connected_components_chain(spark):
+    """A~B~C~D chains collapse to one component even though (A,D) was never a
+    pair; isolated pairs stay their own component."""
+    from httrack2warc_spark.operators.dedup import (
+        connected_components,
+        dedup_by_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "a long, b long",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20, 21, 22]],
+                                 "id long")
+    kept = {r.id for r in dedup_by_components(docs, pairs, "id").collect()}
+    assert kept == {1, 5, 10, 20}  # component minima + untouched rows
