@@ -72,3 +72,18 @@ def test_window_sample_fanout(spark):
     assert len(out) == 8
     assert {r.window_idx for r in out} == {0, 2}
     assert all(r.audio_id != "au-bad" for r in out)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra import numpy as hnp
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    hnp.arrays(np.int16, st.tuples(st.integers(1, 400), st.integers(1, 2))),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, sr):
+    sr2, out = wav_decode(wav_encode(samples, sr))
+    assert sr2 == sr and np.array_equal(out, samples)

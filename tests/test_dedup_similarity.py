@@ -150,3 +150,37 @@ def test_connected_components_chain(spark):
                                  "id long")
     kept = {r.id for r in dedup_by_components(docs, pairs, "id").collect()}
     assert kept == {1, 5, 10, 20}  # component minima + untouched rows
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_connected_components_random_graph(spark, seed):
+    """Random sparse graphs: Spark min-label propagation == a driver-side
+    union-find ground truth."""
+    import random
+
+    from httrack2warc_spark.operators.dedup import connected_components
+
+    rng = random.Random(seed)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)})
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes_in_edges = {v for e in edges for v in e}
+    truth = {v: min(u for u in nodes_in_edges if find(u) == find(v))
+             for v in nodes_in_edges}
+
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == truth
