@@ -554,6 +554,28 @@ def embedding_neardup_q(spark, sf_dir):
     ).where(F.col("cosine") >= 0.45).orderBy("a", "b")
 
 
+def clean_corpus_q(spark, sf_dir):
+    """Composite training-data cleaning pipeline, value-checked end to end:
+    language gate (en) → composite quality threshold → exact content dedup
+    (first doc_id wins) → stats projection. The single-query form of the
+    filter→score→dedup chain a corpus build runs before near-dup/LSH."""
+    from httrack2warc_spark.functions.text import lang_id, quality_score, token_count
+    from httrack2warc_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text",
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    kept = scored.where((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    deduped = exact_dedup(kept, ["text"], "doc_id")
+    return deduped.select(
+        "doc_id", F.round("quality", 6).alias("quality"), "n_tokens"
+    ).orderBy("doc_id")
+
+
 def dedup_components_q(spark, sf_dir):
     """Connected components over the embedding near-dup pair graph
     (transitive dedup groups), value-checked against a DuckDB recursive CTE.
@@ -720,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_windows": audio_windows_q,
         "embedding_neardup": embedding_neardup_q,
         "dedup_components": dedup_components_q,
+        "clean_corpus": clean_corpus_q,
         "header_surgery": header_surgery_q,
         "percent_codecs": percent_codecs_q,
         "cdx_format": cdx_format_q,
@@ -1054,6 +1077,51 @@ def oracle_sql() -> dict[str, str]:
             FROM v x JOIN v y ON x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.45
             ORDER BY a, b
+        """,
+        "clean_corpus": r"""
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), m AS (
+                SELECT doc_id, text, len(w) AS n_tok,
+                       len(list_filter(w, x -> list_contains(
+                           ['the','and','of','to','in','is','that','for','with','a'],
+                           x))) AS n_en,
+                       len(list_filter(w, x -> list_contains(
+                           ['der','die','das','und','ist','nicht','ein','mit','für','von'],
+                           x))) AS n_de,
+                       len(list_filter(w, x -> list_contains(
+                           ['el','la','los','y','es','no','una','por','que','con'],
+                           x))) AS n_es,
+                       len(list_filter(w, x -> list_contains(
+                           ['le','la','les','et','est','pas','une','pour','que','dans'],
+                           x))) AS n_fr
+                FROM toks
+            ), scored AS (
+                SELECT doc_id, text, n_tok AS n_tokens,
+                       (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                       + least((CASE WHEN n_tok > 0
+                                     THEN n_en::DOUBLE / n_tok ELSE 0.0 END) * 4, 0.4)
+                       + (0.2 - least((CASE WHEN length(text) > 0 THEN
+                           (length(text) - length(regexp_replace(text,
+                               '[^0-9a-zA-Z_ \t\n\r]', '', 'g')))::DOUBLE
+                           / length(text) ELSE 0.0 END) * 2, 0.2)) AS quality,
+                       CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+                            WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+                            WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+                            WHEN n_es >= n_fr THEN 'es'
+                            ELSE 'fr' END AS lang
+                FROM m
+            ), kept AS (
+                SELECT doc_id, quality, n_tokens,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM scored
+                WHERE lang = 'en' AND quality >= 0.5
+            )
+            SELECT doc_id, round(quality, 6) AS quality, n_tokens
+            FROM kept WHERE rn = 1 ORDER BY doc_id
         """,
         "dedup_components": """
             WITH RECURSIVE v AS (

@@ -65,6 +65,7 @@ def main() -> None:
         "frame_sample",
         "audio_features",
         "header_surgery",
+        "clean_corpus",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan
