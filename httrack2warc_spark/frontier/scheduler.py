@@ -200,15 +200,24 @@ class FrontierScheduler:
         return out
 
     def _apply_robots(self, df: DataFrame) -> DataFrame:
+        """RFC 9309 longest-match rule application. ``self.robots`` is
+        (host, disallow array<string>[, allow array<string>[, crawl_delay]])
+        — e.g. the output of ``functions.robots.robots_rules`` over fetched
+        robots.txt bodies. With no allow column this reduces to the plain
+        any-disallow-prefix block (back-compatible)."""
         if self.robots is None:
             return df
+        from httrack2warc_spark.functions.robots import rule_match_col
+
         path = F.regexp_extract(F.col("url_key"), r"^[^/]*(/.*)?$", 1)
         joined = df.join(F.broadcast(self.robots), "host", "left")
-        blocked = F.exists(
-            F.coalesce(F.col("disallow"), F.array()),
-            lambda p: path.startswith(p),
+        allow = (
+            F.col("allow") if "allow" in self.robots.columns else F.array()
         )
-        return joined.where(~blocked).drop("disallow")
+        blocked = rule_match_col(path, allow, F.col("disallow"))
+        drop = [c for c in ("allow", "disallow", "crawl_delay")
+                if c in self.robots.columns]
+        return joined.where(~blocked).drop(*drop)
 
     # ------------------------------------------------------------- lifecycle
     def start(self, seeds: list[str]) -> None:

@@ -1,0 +1,109 @@
+"""robots.txt parsing + RFC 9309 longest-match rule application."""
+
+from pyspark.sql import functions as F
+
+from httrack2warc_spark.functions.robots import (
+    apply_robots_rules,
+    parse_robots,
+    robots_rules,
+)
+
+ROBOTS = """
+# global group
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /private/pub/
+Crawl-delay: 2
+
+User-agent: GoodBot
+User-agent: OtherBot
+Disallow: /good-only/
+Allow:
+
+User-agent: MegaCrawler
+Disallow: /
+"""
+
+
+def test_parse_groups_and_ua_selection():
+    star = parse_robots(ROBOTS, "*")
+    assert star["disallow"] == ["/private/", "/tmp"]
+    assert star["allow"] == ["/private/pub/"]
+    assert star["crawl_delay"] == 2.0
+
+    good = parse_robots(ROBOTS, "GoodBot/1.2")  # substring, case-insensitive
+    assert good["disallow"] == ["/good-only/"]
+    assert good["allow"] == [] and good["crawl_delay"] is None
+    # shared UA lines form one group
+    assert parse_robots(ROBOTS, "otherbot") == good
+    # most-specific UA wins over *
+    mega = parse_robots(ROBOTS, "MegaCrawler")
+    assert mega["disallow"] == ["/"]
+    # unknown UA falls back to the * group
+    assert parse_robots(ROBOTS, "NobodyBot")["disallow"] == star["disallow"]
+
+
+def test_parse_edge_cases():
+    assert parse_robots(None) == {"allow": [], "disallow": [], "crawl_delay": None}
+    assert parse_robots("Disallow: /before-any-group/") == {
+        "allow": [], "disallow": [], "crawl_delay": None}
+    # empty Disallow: = allow all (dropped); comments stripped
+    out = parse_robots("User-agent: *\nDisallow:  # nothing\nDisallow: /x\n")
+    assert out["disallow"] == ["/x"]
+
+
+def test_dataframe_rules_and_longest_match(spark):
+    fetched = spark.createDataFrame(
+        [("a.com", ROBOTS), ("b.com", None)], "host string, body string"
+    )
+    rules = robots_rules(fetched, body_col="body")
+    r = {x.host: x for x in rules.collect()}
+    assert r["a.com"].disallow == ["/private/", "/tmp"]
+    assert r["a.com"].crawl_delay == 2.0
+    assert r["b.com"].disallow == [] and r["b.com"].allow == []
+
+    urls = spark.createDataFrame(
+        [("a.com", "a.com/private/secret.html"),
+         ("a.com", "a.com/private/pub/ok.html"),   # Allow overrides (longer)
+         ("a.com", "a.com/tmpfile"),               # /tmp prefix matches
+         ("a.com", "a.com/open/page.html"),
+         ("b.com", "b.com/anything"),
+         ("c.com", "c.com/no-rules-at-all")],
+        "host string, url_key string",
+    )
+    kept = {x.url_key for x in apply_robots_rules(urls, rules).collect()}
+    assert kept == {
+        "a.com/private/pub/ok.html",
+        "a.com/open/page.html",
+        "b.com/anything",
+        "c.com/no-rules-at-all",
+    }
+
+
+def test_scheduler_honors_allow_override(spark, tmp_path):
+    """End to end: fetched robots bodies -> robots_rules -> scheduler; the
+    allow rule re-admits a path inside a disallowed subtree."""
+    from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler, generate_web
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    web, seeds = generate_web(spark, n_hosts=1, pages_per_host=30, out_degree=4)
+    host = spark.createDataFrame([(u,) for u in seeds], "u string").select(
+        F.regexp_extract("u", r"^https?://([^/]*)", 1).alias("host")
+    ).collect()[0].host
+    body = "User-agent: *\nDisallow: /page/1\nAllow: /page/12\n"
+    rules = robots_rules(
+        spark.createDataFrame([(host, body)], "host string, body string")
+    )
+    cat = TableCatalog(spark, str(tmp_path))
+    sched = FrontierScheduler(
+        spark, cat, web,
+        CrawlConfig(num_parts=4, max_rounds=8, fetch_robots=False),
+        robots=rules,
+    )
+    visited = {r.url for r in sched.run(seeds=seeds).collect()}
+    paths = {u.split(host, 1)[1] for u in visited}
+    blocked = {p for p in paths if p.startswith("/page/1") and not p.startswith("/page/12")}
+    assert not blocked, blocked
+    assert any(p.startswith("/page/12") for p in paths)
+    assert any(not p.startswith("/page/1") for p in paths)
