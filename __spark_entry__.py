@@ -397,7 +397,7 @@ def ivf_ann_q(spark, sf_dir):
     )
     out = ivf_topk(
         emb.where(F.col("vec_id") != 0), queries, "v", "vec_id",
-        k=10, n_cells=8, nprobe=3,
+        k=10, n_cells=8, nprobe=3, kmeans_iters=2,
     )
     return out.select("vec_id").orderBy("vec_id")
 

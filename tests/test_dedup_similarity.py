@@ -184,3 +184,35 @@ def test_connected_components_random_graph(spark, seed):
     pairs = spark.createDataFrame(edges, "a long, b long")
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == truth
+
+
+def test_ivf_recall_and_kmeans_refinement(spark):
+    """Honest recall measurement: IVF with nprobe<n_cells is approximate;
+    averaged over queries its top-10 recall vs brute force must clear a floor,
+    and k-means-refined centroids must not hurt (they typically help)."""
+    from httrack2warc_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    truth = {}
+    for r in brute_force_topk(corpus, queries, "v", "vec_id", k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(iters):
+        got = {}
+        out = ivf_topk(corpus, queries, "v", "vec_id", k=10,
+                       n_cells=8, nprobe=3, kmeans_iters=iters)
+        for r in out.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(got.get(q, set()) & t) / len(t)
+                   for q, t in truth.items()) / len(truth)
+
+    r0, r2 = recall(0), recall(2)
+    assert r0 >= 0.5, r0
+    assert r2 >= r0 - 0.1, (r0, r2)  # refinement must not collapse recall
