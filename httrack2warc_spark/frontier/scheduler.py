@@ -150,6 +150,12 @@ class CrawlConfig:
     # registrations (Iceberg expire_snapshots + remove_orphan_files). None =
     # keep everything (full time travel, unbounded disk over a long crawl).
     keep_snapshots: int | None = None
+    # when set (seconds of fetch time a round represents) and the robots
+    # DataFrame carries a crawl_delay column (functions.robots.robots_rules),
+    # a host's per-round budget is additionally capped at
+    # max(1, floor(round_seconds / crawl_delay)) — the RFC-era Crawl-delay
+    # politeness contract expressed in round units.
+    round_seconds: float | None = None
 
 
 class FrontierScheduler:
@@ -344,6 +350,25 @@ class FrontierScheduler:
             budget = F.coalesce(F.col("budget"), F.lit(cfg.default_host_budget))
         else:
             budget = F.lit(cfg.default_host_budget)
+        if (
+            cfg.round_seconds is not None
+            and self.robots is not None
+            and "crawl_delay" in self.robots.columns
+        ):
+            # Crawl-delay politeness: a host granting one fetch per
+            # crawl_delay seconds gets at most round_seconds/crawl_delay
+            # fetches of a round (floor, min 1 so progress never stalls)
+            delays = self.robots.select(
+                "host", F.col("crawl_delay").alias("__cd")
+            ).where(F.col("__cd").isNotNull())
+            eligible = eligible.join(F.broadcast(delays), "host", "left")
+            cap = F.greatest(
+                F.floor(F.lit(float(cfg.round_seconds)) / F.col("__cd")),
+                F.lit(1),
+            ).cast("long")
+            budget = F.when(
+                F.col("__cd").isNotNull(), F.least(budget.cast("long"), cap)
+            ).otherwise(budget.cast("long"))
         use_salted = cfg.salted_topk is True
         if cfg.salted_topk == "auto":
             n_hosts = max(self.catalog.row_count("hosts_crawled"), 1)
@@ -357,8 +382,9 @@ class FrontierScheduler:
             else {}
         )
         selected = topk(eligible, "host", order, budget, **kwargs)
-        if "budget" in selected.columns:
-            selected = selected.drop("budget")
+        for aux in ("budget", "__cd"):
+            if aux in selected.columns:
+                selected = selected.drop(aux)
 
         # synthetic robots.txt fetch before a host's first-ever fetch (HTTrack
         # behavior: fixture new.txt row 1). The robots row clones its trigger

@@ -107,3 +107,40 @@ def test_scheduler_honors_allow_override(spark, tmp_path):
     assert not blocked, blocked
     assert any(p.startswith("/page/12") for p in paths)
     assert any(not p.startswith("/page/1") for p in paths)
+
+
+def test_crawl_delay_caps_round_budget(spark, tmp_path):
+    """Crawl-delay politeness: round_seconds=10 with crawl_delay=2 caps the
+    host at 5 fetches per round; the crawl still completes over more rounds
+    with the same total visit set."""
+    from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler, generate_web
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    web, seeds = generate_web(spark, n_hosts=1, pages_per_host=30, out_degree=4)
+    host = seeds[0].split("//")[1].split("/")[0]
+    rules = robots_rules(
+        spark.createDataFrame(
+            [(host, "User-agent: *\nCrawl-delay: 2\n")], "host string, body string"
+        )
+    )
+    cat = TableCatalog(spark, str(tmp_path / "a"))
+    sched = FrontierScheduler(
+        spark, cat, web,
+        CrawlConfig(num_parts=4, max_rounds=20, fetch_robots=False,
+                    round_seconds=10.0),
+        robots=rules,
+    )
+    log = sched.run(seeds=seeds)
+    rows = log.collect()
+    per_round = {}
+    for r in rows:
+        per_round[r.round] = per_round.get(r.round, 0) + 1
+    assert max(per_round.values()) <= 5, per_round
+    assert len(rows) == 30  # whole site still crawled
+    # uncapped reference run visits the same set, faster
+    cat2 = TableCatalog(spark, str(tmp_path / "b"))
+    log2 = FrontierScheduler(
+        spark, cat2, web,
+        CrawlConfig(num_parts=4, max_rounds=20, fetch_robots=False),
+    ).run(seeds=seeds)
+    assert {r.url for r in rows} == {r.url for r in log2.collect()}
