@@ -503,6 +503,46 @@ def frame_sample_q(spark, sf_dir):
     ).orderBy("video_id", "frame_idx")
 
 
+def warc_roundtrip_q(spark, sf_dir):
+    """Sink→source round trip, value-checked: serialize documents as WARC
+    resource records, write rotated .warc.gz files (distributed prefix-sum
+    rotation), read them back with the WARC source; (url, type, body byte
+    length) must survive the trip — the DuckDB oracle states what the
+    re-read records must be without ever touching a WARC."""
+    from httrack2warc_spark.sinks.warc import write_warc_files
+    from httrack2warc_spark.sources.warcread import read_warc
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    recs = docs.select(
+        F.col("doc_id").alias("seq"),
+        F.lit(0).alias("sub"),
+        F.lit("resource").alias("record_type"),
+        F.concat(F.lit("http://docs.example.org/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.lit("2020-05-04T03:02:01Z").alias("warc_date"),
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: "
+                  "http://docs.example.org/"),
+            F.col("doc_id").cast("string"),
+            F.lit("\r\nWARC-Date: 2020-05-04T03:02:01Z\r\nContent-Type: "
+                  "text/plain\r\nContent-Length: "),
+            F.length(F.encode("text", "UTF-8")).cast("string"),
+            F.lit("\r\n\r\n"),
+        ).alias("warc_header"),
+        F.encode("text", "UTF-8").alias("body"),
+        F.lit("text/plain").alias("content_type"),
+        F.lit(None).cast("string").alias("digest"),
+        F.lit(200).alias("status"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="warc_roundtrip_")
+    write_warc_files(recs, out_dir, name_pattern="rt-%d.warc.gz",
+                     rotation_size=64 * 1024).unpersist()
+    back = read_warc(spark, f"{out_dir}/rt-*.warc.gz")
+    return back.select(
+        "url", "record_type", F.length("body").alias("body_len")
+    ).orderBy("url")
+
+
 def audio_features_q(spark, sf_dir):
     """Audio feature extraction over a deterministic generated table (rows-
     only: binary payloads) — real WAV codec, vectorized DSP, one quarantined
@@ -740,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": frame_sample_q,
         "audio_features": audio_features_q,
         "audio_windows": audio_windows_q,
+        "warc_roundtrip": warc_roundtrip_q,
         "embedding_neardup": embedding_neardup_q,
         "dedup_components": dedup_components_q,
         "clean_corpus": clean_corpus_q,
@@ -1077,6 +1118,12 @@ def oracle_sql() -> dict[str, str]:
             FROM v x JOIN v y ON x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.45
             ORDER BY a, b
+        """,
+        "warc_roundtrip": """
+            SELECT 'http://docs.example.org/' || doc_id AS url,
+                   'resource' AS record_type,
+                   octet_length(encode(text)) AS body_len
+            FROM documents WHERE doc_id < 200 ORDER BY url
         """,
         "clean_corpus": r"""
             WITH toks AS (
