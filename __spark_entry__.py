@@ -127,6 +127,33 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
+def rollup_revenue_q(spark, sf_dir):
+    """ROLLUP grouping-sets aggregation (region → nation → total): the
+    partial-aggregate expansion shape (Expand operator) — one pass over the
+    fact emits all grouping-set rows; no per-level re-scan."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("region", "nation")
+    )
+
+
 def running_total_q(spark, sf_dir):
     """Cumulative per-customer spend in order-date order (window frame)."""
     o = _t(spark, sf_dir, "orders")
@@ -752,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q3_top_orders,
         "q5_local_volume": q5_local_volume,
         "q18_large_orders": q18_large_orders,
+        "rollup_revenue": rollup_revenue_q,
         "running_total": running_total_q,
         "ordinal_fifo_join": ordinal_fifo_join_q,
         "first_occurrence": first_occurrence_q,
@@ -857,6 +885,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 20
+        """,
+        "rollup_revenue": """
+            SELECT COALESCE(r_name, 'ALL') AS region,
+                   COALESCE(n_name, 'ALL') AS nation,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY region, nation
         """,
         "running_total": """
             SELECT o_custkey, o_orderkey,
