@@ -127,6 +127,23 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
+def pagerank_q(spark, sf_dir):
+    """PageRank power iteration (3 rounds, d=0.85) over a deterministic
+    synthetic link graph derived from events — link-based frontier priority,
+    value-checked against an unrolled DuckDB iteration."""
+    from httrack2warc_spark.operators.pagerank import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 100).alias("src"),
+        ((F.col("user_id") * 3 + F.col("event_id")) % 100).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    out = pagerank(edges, iterations=3, damping=0.85)
+    return out.select(
+        "vertex", F.round("rank", 6).alias("rank")
+    ).orderBy("vertex")
+
+
 def rollup_revenue_q(spark, sf_dir):
     """ROLLUP grouping-sets aggregation (region → nation → total): the
     partial-aggregate expansion shape (Expand operator) — one pass over the
@@ -779,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q3_top_orders,
         "q5_local_volume": q5_local_volume,
         "q18_large_orders": q18_large_orders,
+        "pagerank": pagerank_q,
         "rollup_revenue": rollup_revenue_q,
         "running_total": running_total_q,
         "ordinal_fifo_join": ordinal_fifo_join_q,
@@ -823,6 +841,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — column names aligned with the Spark results
 # ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    """Unrolled power-iteration oracle (same simplified dangling-mass formula
+    as operators.pagerank; fp sum-order differences vanish at round 6)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""r{i} AS (
+            SELECT v.vertex,
+                   (1 - 0.85) / nn.n
+                   + 0.85 * COALESCE(SUM(r{i-1}.rank / deg.deg), 0) AS rank
+            FROM v CROSS JOIN nn
+            LEFT JOIN e ON e.t = v.vertex
+            LEFT JOIN r{i-1} ON r{i-1}.vertex = e.s
+            LEFT JOIN deg ON deg.s = e.s
+            GROUP BY v.vertex, nn.n
+        )""")
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT user_id % 100 AS s,
+                   (user_id * 3 + event_id) % 100 AS t
+            FROM events
+            WHERE user_id % 100 <> (user_id * 3 + event_id) % 100
+        ), v AS (
+            SELECT s AS vertex FROM e UNION SELECT t FROM e
+        ), nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+        deg AS (SELECT s, count(*)::DOUBLE AS deg FROM e GROUP BY s),
+        r0 AS (SELECT vertex, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),
+        {", ".join(steps)}
+        SELECT vertex, round(rank, 6) AS rank
+        FROM r{iterations} ORDER BY vertex
+    """
 
 
 def _mime_values_sql() -> str:
@@ -886,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 20
         """,
+        "pagerank": _pagerank_sql(3),
         "rollup_revenue": """
             SELECT COALESCE(r_name, 'ALL') AS region,
                    COALESCE(n_name, 'ALL') AS nation,

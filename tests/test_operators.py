@@ -199,3 +199,29 @@ def test_merge_summaries_incremental(spark):
     )
     assert probed.where(~F.col("maybe_seen")).count() == 0
     assert s2.agg(F.sum("num_items")).collect()[0][0] == 200
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    """Spark power iteration == a driver-side numpy reference on a small
+    graph (same simplified dangling-mass formula)."""
+    import numpy as np
+
+    from httrack2warc_spark.operators.pagerank import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 2), (0, 2)]
+    nodes = sorted({v for e in edges for v in e})
+    n, d = len(nodes), 0.85
+    deg = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        nxt = np.full(n, (1 - d) / n)
+        for u, v in edges:
+            nxt[v] += d * r[u] / deg[u]
+        r = nxt
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {x.vertex: x.rank for x in pagerank(df, iterations=10).collect()}
+    for i, node in enumerate(nodes):
+        assert abs(got[node] - r[i]) < 1e-12, (node, got[node], r[i])
+    # a hub with more in-links outranks a leaf
+    assert got[2] > got[3]
