@@ -127,6 +127,49 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
+def median_value_q(spark, sf_dir):
+    """Exact percentile aggregation (median + p90 per event type) — Spark's
+    exact `percentile` (linear interpolation) == DuckDB quantile_cont."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def pivot_counts_q(spark, sf_dir):
+    """Pivot (event_type → columns) per user bucket — the conditional-
+    aggregation expansion; stays one pass over the fact."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", (F.col("user_id") % 10).cast("int"))
+        .groupBy("bucket")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("bucket")
+    )
+
+
+def set_ops_q(spark, sf_dir):
+    """§2.8 set operations: INTERSECT and EXCEPT of customer key sets
+    (big spenders vs BUILDING segment), unioned with a tag column."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = big.intersect(building).withColumn("tag", F.lit("both"))
+    only_big = big.exceptAll(building).withColumn("tag", F.lit("only_big"))
+    return both.unionByName(only_big).orderBy("tag", "c_custkey")
+
+
 def pagerank_q(spark, sf_dir):
     """PageRank power iteration (3 rounds, d=0.85) over a deterministic
     synthetic link graph derived from events — link-based frontier priority,
@@ -798,6 +841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "pagerank": pagerank_q,
         "rollup_revenue": rollup_revenue_q,
+        "median_value": median_value_q,
+        "pivot_counts": pivot_counts_q,
+        "set_ops": set_ops_q,
         "running_total": running_total_q,
         "ordinal_fifo_join": ordinal_fifo_join_q,
         "first_occurrence": first_occurrence_q,
@@ -937,6 +983,34 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "pagerank": _pagerank_sql(3),
+        "median_value": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "pivot_counts": """
+            SELECT (user_id % 10)::INT AS bucket,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'purchase') AS purchase
+            FROM events GROUP BY 1 ORDER BY bucket
+        """,
+        "set_ops": """
+            WITH big AS (
+                SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                WHERE o_totalprice > 200000
+            ), building AS (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            )
+            SELECT c_custkey, 'both' AS tag
+            FROM (SELECT * FROM big INTERSECT SELECT * FROM building)
+            UNION ALL
+            SELECT c_custkey, 'only_big' AS tag
+            FROM (SELECT * FROM big EXCEPT ALL SELECT * FROM building)
+            ORDER BY tag, c_custkey
+        """,
         "rollup_revenue": """
             SELECT COALESCE(r_name, 'ALL') AS region,
                    COALESCE(n_name, 'ALL') AS nation,
