@@ -72,3 +72,32 @@ def test_parse_stream_binary_safe():
     assert all(bytes(r[9]) == evil for r in rows)
     rows2 = parse_warc_stream(gzip.compress(stream), "t.warc.gz")
     assert len(rows2) == 2 and all(bytes(r[9]) == evil for r in rows2)
+
+
+def test_digest_verification_on_readback(spark, crawl_dir, tmp_path):
+    """Every stored WARC-Payload-Digest re-verifies from the re-read bytes;
+    a corrupted payload is detected."""
+    from httrack2warc_spark.sources.warcread import with_digest_check
+
+    convert(
+        spark, crawl_dir, str(tmp_path),
+        exclusions=[".*/another"],
+        redirect_prefix="http://prefix.example.org/",
+    )
+    back = with_digest_check(read_warc(spark, str(tmp_path / "crawl-0.warc.gz")))
+    rows = back.collect()
+    with_digest = [r for r in rows if r.payload_digest is not None]
+    assert len(with_digest) >= 10
+    assert all(r.digest_ok for r in with_digest)
+    assert all(r.digest_ok is None for r in rows if r.payload_digest is None)
+
+    # flip one payload byte -> that record's digest check must fail
+    sample = with_digest[3]
+    tampered = spark.createDataFrame(
+        [(sample.filename, sample.offset, sample.length, sample.record_type,
+          sample.url, sample.warc_date, sample.record_id, sample.content_type,
+          sample.payload_digest,
+          bytes(sample.body)[:-1] + bytes([bytes(sample.body)[-1] ^ 1]))],
+        back.drop("digest_ok").schema,
+    )
+    assert with_digest_check(tampered).collect()[0].digest_ok is False
