@@ -527,7 +527,7 @@ def lsh_ann_q(spark, sf_dir):
     )
     out = lsh_ann_topk(
         emb.where(F.col("vec_id") != 0), queries, "v", "vec_id",
-        k=10, bits=2, num_tables=32,
+        k=10, bits=2, num_tables=32, round_digits=6,
     )
     return out.select(
         "vec_id", F.round("cosine_sim", 6).alias("cos_sim")

@@ -646,33 +646,36 @@ class FrontierScheduler:
         seq_after = next_seq
 
         def _tail() -> None:
-            if cfg.parallel_commits and len(deferred_commits) > 1:
-                from concurrent.futures import ThreadPoolExecutor
+            try:
+                if cfg.parallel_commits and len(deferred_commits) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=len(deferred_commits)) as p:
-                    for f in list(p.map(lambda c: c(), deferred_commits)):
-                        pass
-            else:
-                for c in deferred_commits:
-                    c()
-            self.catalog.snapshot(
-                f"round-{round_no}",
-                {
-                    "round": round_no,
-                    "next_seq": seq_after,
-                    "summary_covered_round": covered,
-                },
-            )
-            if cfg.keep_snapshots is not None:
-                # retention: expire old resume points, then reclaim the
-                # fileset dirs + h2w_* table registrations only they referenced
-                self.catalog.expire_snapshots(cfg.keep_snapshots)
-                self.catalog.vacuum()
-            fetched.unpersist()
-            new_frontier.unpersist()
-            new_seen_rows.unpersist()
-            for c in seq_caches:
-                c.unpersist()
+                    with ThreadPoolExecutor(max_workers=len(deferred_commits)) as p:
+                        for f in list(p.map(lambda c: c(), deferred_commits)):
+                            pass
+                else:
+                    for c in deferred_commits:
+                        c()
+                self.catalog.snapshot(
+                    f"round-{round_no}",
+                    {
+                        "round": round_no,
+                        "next_seq": seq_after,
+                        "summary_covered_round": covered,
+                    },
+                )
+                if cfg.keep_snapshots is not None:
+                    # retention: expire old resume points, then reclaim the
+                    # fileset dirs + h2w_* registrations only they referenced
+                    self.catalog.expire_snapshots(cfg.keep_snapshots)
+                    self.catalog.vacuum()
+            finally:
+                # a failed commit must not pin the round's caches forever
+                fetched.unpersist()
+                new_frontier.unpersist()
+                new_seen_rows.unpersist()
+                for c in seq_caches:
+                    c.unpersist()
 
         self._submit_deferred(_tail)
         return n_fetched, next_seq
@@ -706,5 +709,13 @@ class FrontierScheduler:
             try:
                 self._flush_deferred()
             finally:
+                self.close()
                 self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         return self.catalog.read("crawl_log").orderBy("seq")
+
+    def close(self) -> None:
+        """Release the deferred-commit worker thread (idempotent). ``run()``
+        calls this; direct ``run_round`` drivers should too when done."""
+        pool, self._bg_pool = self._bg_pool, None
+        if pool is not None:
+            pool.shutdown(wait=True)

@@ -123,15 +123,40 @@ def robots_rules(
     ).select("host", "r.allow", "r.disallow", "r.crawl_delay")
 
 
+def _rule_to_regex(rule: Column) -> Column:
+    """Compile a robots rule path to an anchored Java regex (RFC 9309 §2.2.3):
+    ``*`` matches any char sequence, a trailing ``$`` anchors end-of-path,
+    every other char is literal. Pure-Column string surgery."""
+    anchored = rule.endswith("$")
+    core = F.when(anchored, rule.substr(F.lit(1), F.length(rule) - 1)).otherwise(rule)
+    # Escape regex metachars except '*' (kept as the wildcard marker) …
+    escaped = F.regexp_replace(core, r"([.\\+?\[\]{}()^$|])", r"\\$1")
+    # … then turn each '*' into '.*'.
+    body = F.regexp_replace(escaped, r"\*", ".*")
+    return F.concat(F.lit("^"), body, F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
+def _rule_matches(path: Column, rule: Column) -> Column:
+    """Does ``rule`` match ``path``? Literal rules (no '*', no trailing '$')
+    take the cheap prefix path; wildcard rules compile to a regex
+    (RFC 9309 §2.2.3 makes '*'/'$' support mandatory)."""
+    literal = (~rule.contains("*")) & (~rule.endswith("$"))
+    return F.when(literal, path.startswith(rule)).otherwise(
+        F.regexp_like(path, _rule_to_regex(rule))
+    )
+
+
 def _longest_match_len(rules: Column, path: Column) -> Column:
-    """Length of the longest rule that prefix-matches ``path`` (−1 if none).
+    """Length of the longest rule that matches ``path`` (−1 if none), with
+    RFC 9309 wildcard semantics. Specificity is the rule's octet length
+    (the de-facto standard — Google's parser ranks by pattern length).
     Pure-Column (whole-stage codegen): filter → transform(length) → max."""
     return F.coalesce(
         F.array_max(
             F.transform(
                 F.filter(
                     F.coalesce(rules, F.array()),
-                    lambda p: path.startswith(p),
+                    lambda p: _rule_matches(path, p),
                 ),
                 lambda p: F.length(p),
             )

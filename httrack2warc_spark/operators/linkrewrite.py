@@ -199,6 +199,10 @@ def rewrite_links(
     if mode == "auto":
         map_df = map_df.persist()
         mode = "broadcast" if map_df.count() <= broadcast_threshold else "distributed"
+        if mode == "distributed":
+            # the join below re-reads the map lazily; drop the sizing cache
+            # now (accept one recompute) rather than pin it for the session
+            map_df.unpersist()
 
     if mode == "distributed":
         return _rewrite_links_distributed(crawl, map_df, doc_col, filename_col)

@@ -116,10 +116,16 @@ def lsh_ann_topk(
     bits: int = 12,
     num_tables: int = 4,
     seed: int = 42,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: per table, corpus and queries bucket on the
     packed sign bits; equal buckets are candidates; candidates re-ranked
-    exactly. Shuffles on (table, bucket) — 8-byte keys regardless of dim."""
+    exactly. Shuffles on (table, bucket) — 8-byte keys regardless of dim.
+
+    ``round_digits``: when set, the top-k window ranks on
+    ``round(cosine, round_digits)`` with id tie-break — so a SQL oracle that
+    rounds before ranking selects the identical row set even when two
+    neighbors at the k boundary differ only past the rounding precision."""
     bucket_fn = _sign_buckets_udf(bits, num_tables, seed)
     c_all = corpus.select(
         F.col(id_col),
@@ -145,9 +151,12 @@ def lsh_ann_topk(
             / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
         ).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col)
+    rank_key = (
+        F.round(F.col("cosine_sim"), round_digits)
+        if round_digits is not None
+        else F.col("cosine_sim")
     )
+    w = Window.partitionBy(query_id_col).orderBy(rank_key.desc(), F.col(id_col))
     return (
         scored.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= k)

@@ -268,24 +268,49 @@ class TableCatalog:
                 if v is not None:
                     snap_versions[t].add(v)
 
-        stats: dict[str, dict] = {}
-        for nm in names:
+        def _live(nm: str):
+            """(versions, fileset paths, h2w registrations) a committed
+            reader of ``nm`` can still reach."""
             cur = self._current_version(nm)
             if cur is None:
-                continue
-            live_versions = {cur} | snap_versions.get(nm, set())
+                return None
+            versions = {cur} | snap_versions.get(nm, set())
             if self._pinned and self._pinned.get(nm):
-                live_versions.add(self._pinned[nm])
-            live_paths: set[str] = set()
-            live_tables: set[str] = set()
-            for v in live_versions:
+                versions.add(self._pinned[nm])
+            paths: set[str] = set()
+            tables: set[str] = set()
+            for v in versions:
                 mp = self._manifest_path(nm, v)
                 if not mp.exists():
                     continue
                 for e in json.loads(mp.read_text())["files"]:
-                    live_paths.add(e["path"] if isinstance(e, dict) else e)
+                    paths.add(e["path"] if isinstance(e, dict) else e)
                     if isinstance(e, dict):
-                        live_tables.add(e["table"])
+                        tables.add(e["table"])
+            return versions, paths, tables
+
+        # Registration names are sanitized (h2w_<name>_...), so one table's
+        # prefix can be a prefix of another's (e.g. "foo" vs "foo_bar").
+        # Protect against cross-table drops by sparing every registration any
+        # LIVE table references — across the whole catalog, not just `names`.
+        all_names = [
+            p.name for p in self.root.iterdir()
+            if p.is_dir() and p.name != "_snapshots"
+            and self._current_ptr(p.name).exists()
+        ]
+        global_live_tables: set[str] = set()
+        live_by_name: dict[str, tuple] = {}
+        for nm in set(all_names) | set(names):
+            info = _live(nm)
+            if info is not None:
+                live_by_name[nm] = info
+                global_live_tables |= info[2]
+
+        stats: dict[str, dict] = {}
+        for nm in names:
+            if nm not in live_by_name:
+                continue
+            live_versions, live_paths, _ = live_by_name[nm]
             n_manifests = n_filesets = n_tables = 0
             for mp in self._table_dir(nm).glob("_v*.json"):
                 if int(mp.stem[2:]) not in live_versions:
@@ -299,7 +324,7 @@ class TableCatalog:
                         n_filesets += 1
             prefix = f"h2w_{re.sub('[^a-z0-9]', '_', nm.lower())}_"
             for t in self.spark.catalog.listTables():
-                if t.name.startswith(prefix) and t.name not in live_tables:
+                if t.name.startswith(prefix) and t.name not in global_live_tables:
                     self.spark.sql(f"DROP TABLE IF EXISTS {t.name}")
                     n_tables += 1
             stats[nm] = {

@@ -81,6 +81,38 @@ def test_dataframe_rules_and_longest_match(spark):
     }
 
 
+def test_wildcard_rules(spark):
+    """RFC 9309 §2.2.3: '*' matches any char sequence, trailing '$' anchors
+    end-of-path; regex metachars inside rules stay literal."""
+    rules = robots_rules(spark.createDataFrame(
+        [("w.com",
+          "User-agent: *\n"
+          "Disallow: /private*\n"       # prefix wildcard
+          "Disallow: /*.php$\n"         # extension anchor
+          "Disallow: /a*b/c\n"          # mid-rule wildcard
+          "Disallow: /lit.eral\n"       # '.' must stay literal
+          "Allow: /private-ok*\n")],    # allow wildcard, longer rule wins
+        "host string, body string"))
+    urls = [
+        ("w.com/private/x.html", False),     # /private* blocks
+        ("w.com/privateX", False),           # wildcard ≠ literal prefix only
+        ("w.com/private-ok/page", True),     # allow rule longer → allowed
+        ("w.com/index.php", False),          # /*.php$ blocks
+        ("w.com/index.php?q=1", True),       # $ anchored: query tail escapes
+        ("w.com/index.phpx", True),          # $ anchored
+        ("w.com/aXYZb/c", False),            # mid wildcard
+        ("w.com/ab/c", False),               # '*' matches empty too
+        ("w.com/litXeral", True),            # '.' is literal, not regex any
+        ("w.com/lit.eral", False),
+        ("w.com/open/page", True),
+    ]
+    df = spark.createDataFrame(
+        [(u.split("/", 1)[0], u) for u, _ in urls], "host string, url_key string")
+    kept = {r.url_key for r in apply_robots_rules(df, rules).collect()}
+    for u, allowed in urls:
+        assert (u in kept) == allowed, (u, allowed, kept)
+
+
 def test_scheduler_honors_allow_override(spark, tmp_path):
     """End to end: fetched robots bodies -> robots_rules -> scheduler; the
     allow rule re-admits a path inside a disallowed subtree."""
