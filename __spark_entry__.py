@@ -473,7 +473,12 @@ def ngram_jaccard_q(spark, sf_dir):
 
 
 def ivf_ann_q(spark, sf_dir):
-    """IVF-style ANN for one query vector (rows-only: probabilistic recall)."""
+    """IVF ANN for one query vector, value-checked: full probe
+    (nprobe == n_cells) makes every cell a candidate cell, so IVF equals
+    brute force deterministically — the k-means refinement moves centroids
+    but can't change the candidate set. Ranked on round(cosine, 6) with id
+    tie-break, the same ordering key as the brute-force DuckDB oracle
+    (partial-probe recall is covered by tests/test_dedup_similarity.py)."""
     from httrack2warc_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -484,30 +489,44 @@ def ivf_ann_q(spark, sf_dir):
     )
     out = ivf_topk(
         emb.where(F.col("vec_id") != 0), queries, "v", "vec_id",
-        k=10, n_cells=8, nprobe=3, kmeans_iters=2,
+        k=10, n_cells=8, nprobe=8, kmeans_iters=2, round_digits=6,
     )
-    return out.select("vec_id").orderBy("vec_id")
+    return out.select(
+        "vec_id", F.round("cosine_sim", 6).alias("cos_sim")
+    ).orderBy(F.col("cos_sim").desc(), "vec_id")
 
 
 def minhash_neardup_q(spark, sf_dir):
-    """MinHash+LSH near-dup survivors over documents (no SQL oracle — hash
-    family is engine-specific; driver records the rows-only check)."""
+    """MinHash+LSH near-dup survivors, value-checked: candidates from LSH,
+    verified with EXACT Jaccard over the distinct shingle sets (the standard
+    production shape). With rows_per_band=1 × 32 bands a true pair at
+    J ≥ 0.5 is missed only if the pair disagrees on all 32 minhash slots —
+    P ≤ 0.5³² ≈ 2e-10, deterministic given the fixed seed — so the survivor
+    set equals the all-pairs exact-Jaccard rule the DuckDB oracle computes
+    (the lsh_ann exact-recall parameterization argument, verified at both
+    fixture scales)."""
     from httrack2warc_spark.operators.dedup import minhash_lsh_dedup
 
     docs = _t(spark, sf_dir, "documents")
     out = minhash_lsh_dedup(
-        docs, "text", "doc_id", num_hashes=32, shingle_n=3, bands=8,
-        rows_per_band=4, threshold=0.8, max_bucket_size=1000,
+        docs, "text", "doc_id", num_hashes=32, shingle_n=3, bands=32,
+        rows_per_band=1, threshold=0.5, max_bucket_size=1000, verify="exact",
     )
     return out.select("doc_id").orderBy("doc_id")
 
 
 def simhash_neardup_q(spark, sf_dir):
-    """SimHash near-dup survivors (rows-only check)."""
+    """SimHash near-dup survivors, value-checked: hamming_threshold=3 ≤
+    blocks−1=3 makes the pigeonhole blocking EXACT (any pair within the
+    threshold shares an identical 16-bit block — no probabilistic recall),
+    and hash_family="md5" makes the per-shingle hashes reproducible in
+    DuckDB, so the oracle recomputes the identical fingerprints and the
+    identical survivor set."""
     from httrack2warc_spark.operators.dedup import simhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    out = simhash_dedup(docs, "text", "doc_id", shingle_n=3, hamming_threshold=3, blocks=4)
+    out = simhash_dedup(docs, "text", "doc_id", shingle_n=3,
+                        hamming_threshold=3, blocks=4, hash_family="md5")
     return out.select("doc_id").orderBy("doc_id")
 
 
@@ -1429,8 +1448,105 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id
             LIMIT 10
         """,
-        # minhash_neardup / simhash_neardup / ivf_ann /
+        "ivf_ann": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+                       AS cos_sim
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 10
+        """,
+        # minhash_neardup: survivors of the all-pairs exact-Jaccard ≥ 0.5 rule
+        # over exact-dup representatives (engine: LSH candidates at certain
+        # fixture-scale recall + exact verify — see minhash_neardup_q).
+        "minhash_neardup": r"""
+            WITH reps AS (
+                SELECT min(doc_id) AS doc_id, text
+                FROM documents GROUP BY text
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               trim(regexp_replace(lower(text), '[^\w\s]+', ' ', 'g')),
+                               '\s+'),
+                           x -> x <> '') AS w
+                FROM reps
+            ), sh AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+                WHERE len(w) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), losers AS (
+                SELECT DISTINCT y.doc_id AS b
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+                HAVING count(*)::DOUBLE /
+                       ((SELECT n FROM sizes WHERE doc_id = x.doc_id)
+                        + (SELECT n FROM sizes WHERE doc_id = y.doc_id)
+                        - count(*)) >= 0.5
+            )
+            SELECT doc_id FROM reps
+            WHERE doc_id NOT IN (SELECT b FROM losers)
+            ORDER BY doc_id
+        """,
+        # simhash_neardup: identical md5-family fingerprints recomputed in SQL
+        # (lower-64-bit md5 per shingle, strict-majority bit vote), survivors
+        # of the all-pairs hamming ≤ 3 rule — exact because the engine's
+        # pigeonhole blocking at threshold ≤ blocks−1 has exact recall.
+        "simhash_neardup": r"""
+            WITH reps AS (
+                SELECT min(doc_id) AS doc_id, text
+                FROM documents GROUP BY text
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               trim(regexp_replace(lower(text), '[^\w\s]+', ' ', 'g')),
+                               '\s+'),
+                           x -> x <> '') AS w
+                FROM reps
+            ), sh AS (
+                -- every occurrence, NOT distinct: simhash's bit vote is
+                -- frequency-weighted (the engine votes over all shingles)
+                SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+                WHERE len(w) >= 3
+            ), h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(s), 17, 8))::BIGINT AS hi,
+                       ('0x' || substr(md5(s), 25, 8))::BIGINT AS lo
+                FROM sh
+            ), votes AS (
+                SELECT r.doc_id, t.b,
+                       COALESCE(SUM(CASE WHEN t.b < 32
+                                         THEN (h.lo >> t.b) & 1
+                                         ELSE (h.hi >> (t.b - 32)) & 1 END), 0)
+                           AS ones,
+                       COUNT(h.doc_id) AS n
+                FROM reps r
+                CROSS JOIN range(64) t(b)
+                LEFT JOIN h ON h.doc_id = r.doc_id
+                GROUP BY r.doc_id, t.b
+            ), bits AS (
+                SELECT doc_id, b,
+                       CASE WHEN 2 * ones > n THEN 1 ELSE 0 END AS bit
+                FROM votes
+            ), pairs AS (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS ham
+                FROM bits x JOIN bits y ON x.b = y.b AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            ), losers AS (
+                SELECT DISTINCT b FROM pairs WHERE ham <= 3
+            )
+            SELECT doc_id FROM reps
+            WHERE doc_id NOT IN (SELECT b FROM losers)
+            ORDER BY doc_id
+        """,
         # image_invariant / image_resize / image_features / frame_sample /
-        # frontier_crawl: engine-specific hash families, binary payloads or
+        # audio_features / audio_windows / frontier_crawl: binary payloads or
         # iterative crawl state — rows-only checks (driver's weaker gate).
     }

@@ -104,15 +104,42 @@ def _shingles_of(words: Column, n: int) -> Column:
     return F.filter(cur, lambda x: x.isNotNull())
 
 
+def _md5_long(hex32: Column) -> Column:
+    """Lower 64 bits of an md5 hex digest as a signed long: two 32-bit hex
+    halves via conv(), recombined with shift/or (bit 63 wraps negative — the
+    intended two's-complement view). md5 is the cross-engine hash family: any
+    SQL engine with md5() + substr() + hex conv reproduces it bit-for-bit,
+    which is what makes simhash value-checkable against a DuckDB oracle."""
+    hi = F.conv(F.substring(hex32, 17, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hex32, 25, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def _with_shingle_hashes(df: DataFrame, text_col: str, n: int,
-                         out: str = "__h") -> DataFrame:
-    """df + ``out`` = array<long> of xxhash64(shingle) — words, shingles and
+                         out: str = "__h",
+                         hash_family: str = "xxhash64") -> DataFrame:
+    """df + ``out`` = array<long> of hash(shingle) — words, shingles and
     hashes each materialized as their own column so every downstream
-    per-element lambda references a cheap attribute (see _shingles_of)."""
-    return (
+    per-element lambda references a cheap attribute (see _shingles_of).
+
+    ``hash_family``: ``xxhash64`` (default — fastest, JVM intrinsic) or
+    ``md5`` (lower 64 bits of the digest — reproducible in any SQL engine,
+    see ``_md5_long``; the md5 strings materialize as their own column so
+    each digest is computed once, not once per extracted half)."""
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family: {hash_family}")
+    with_sh = (
         df.withColumn("__words", _word_array(F.col(text_col)))
         .withColumn("__sh", _shingles_of(F.col("__words"), n))
-        .withColumn(out, F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+    )
+    if hash_family == "md5":
+        return (
+            with_sh.withColumn("__md5", F.transform(F.col("__sh"), F.md5))
+            .withColumn(out, F.transform(F.col("__md5"), _md5_long))
+            .drop("__words", "__sh", "__md5")
+        )
+    return (
+        with_sh.withColumn(out, F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
         .drop("__words", "__sh")
     )
 
@@ -232,9 +259,19 @@ def minhash_lsh_dedup(
     rows_per_band: int = 4,
     threshold: float = 0.7,
     max_bucket_size: int | None = None,
+    verify: str = "estimated",
 ) -> DataFrame:
-    """Near-dup removal: LSH candidates → verify estimated Jaccard (signature
-    agreement fraction) ≥ threshold → drop the higher id of each surviving pair.
+    """Near-dup removal: LSH candidates → verify Jaccard ≥ threshold → drop
+    the higher id of each surviving pair.
+
+    ``verify``: ``estimated`` (signature agreement fraction — zero extra
+    passes, the classic MinHash estimator) or ``exact`` (true Jaccard over
+    the distinct shingle-hash sets — one more join against the shingle sets,
+    but the survivor set becomes a pure function of the texts: with enough
+    bands the candidate stage has ~certain recall and the exact filter makes
+    the result equal all-pairs Jaccard ≥ t, which is what lets a SQL oracle
+    value-check it; the standard production shape is also candidates-by-LSH +
+    exact verify).
 
     Keeps the minimum id of each near-dup *pair chain* greedily (single pass,
     no connected components — at pipeline scale full transitive closure is an
@@ -245,6 +282,8 @@ def minhash_lsh_dedup(
     bucket self-join quadratic in duplicate-group size — the classic LSH blowup
     on a corpus with heavy exact duplication).
     """
+    if verify not in ("estimated", "exact"):
+        raise ValueError(f"unknown verify mode: {verify}")
     w_exact = Window.partitionBy("__th").orderBy(id_col)
     hashed = df.withColumn("__th", F.xxhash64(F.col(text_col)))
     reps = (
@@ -257,22 +296,37 @@ def minhash_lsh_dedup(
     cand = minhash_lsh_candidates(
         sigs, id_col, "minhash", bands, rows_per_band, max_bucket_size
     )
-    sl = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
-    sr = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"))
-    verified = (
-        cand.join(sl, "a")
-        .join(sr, "b")
-        .withColumn(
-            "est_jaccard",
-            F.aggregate(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            ).cast("double")
-            / F.size("sig_a"),
+    if verify == "exact":
+        sets = _with_shingle_hashes(df, text_col, shingle_n).select(
+            F.col(id_col), F.array_distinct("__h").alias("__set")
         )
-        .where(F.col("est_jaccard") >= threshold)
-    )
+        sl = sets.select(F.col(id_col).alias("a"), F.col("__set").alias("set_a"))
+        sr = sets.select(F.col(id_col).alias("b"), F.col("__set").alias("set_b"))
+        inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+        union = F.size("set_a") + F.size("set_b") - inter
+        verified = (
+            cand.join(sl, "a")
+            .join(sr, "b")
+            .withColumn("jaccard", inter / union)
+            .where(F.col("jaccard") >= threshold)
+        )
+    else:
+        sl = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
+        sr = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"))
+        verified = (
+            cand.join(sl, "a")
+            .join(sr, "b")
+            .withColumn(
+                "est_jaccard",
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.size("sig_a"),
+            )
+            .where(F.col("est_jaccard") >= threshold)
+        )
     losers = verified.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
@@ -402,12 +456,19 @@ def simhash_dedup(
     shingle_n: int = 2,
     hamming_threshold: int = 3,
     blocks: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup: band the 64-bit fingerprint into ``blocks`` equal
     blocks (pigeonhole: ≤ blocks−1 differing bits ⇒ ≥1 identical block),
     self-join per block, verify Hamming distance via bit_count(xor), drop
     higher ids. Exact duplicates collapse to a representative first (see
-    minhash_lsh_dedup — identical fingerprints make the block join quadratic)."""
+    minhash_lsh_dedup — identical fingerprints make the block join quadratic).
+
+    With ``hamming_threshold ≤ blocks − 1`` the pigeonhole blocking has
+    EXACT recall (not probabilistic), so the survivor set is a pure function
+    of the per-shingle hashes; ``hash_family="md5"`` makes those hashes
+    reproducible in any SQL engine (``_md5_long``) — together that is what
+    lets a DuckDB oracle value-check the whole dedup."""
     w_exact = Window.partitionBy("__th").orderBy(id_col)
     df = (
         df.withColumn("__th", F.xxhash64(F.col(text_col)))
@@ -416,7 +477,8 @@ def simhash_dedup(
         .drop("__rn", "__th")
     )
     width = 64 // blocks
-    fp = _with_shingle_hashes(df, text_col, shingle_n).select(
+    fp = _with_shingle_hashes(df, text_col, shingle_n,
+                              hash_family=hash_family).select(
         F.col(id_col), simhash64_of_hashes(F.col("__h")).alias("fp")
     )
     blocked = fp.select(

@@ -175,6 +175,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     kmeans_iters: int = 0,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """IVF: deterministic hash-sampled centroids (optionally refined by
     ``kmeans_iters`` rounds of spherical k-means); vectors partition by
@@ -251,9 +252,12 @@ def ivf_topk(
             / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
         ).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col)
+    rank_key = (
+        F.round(F.col("cosine_sim"), round_digits)
+        if round_digits is not None
+        else F.col("cosine_sim")
     )
+    w = Window.partitionBy(query_id_col).orderBy(rank_key.desc(), F.col(id_col))
     return (
         scored.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= k)

@@ -46,6 +46,65 @@ def test_ngram_jaccard_pairs(spark):
     assert 0.5 <= rows[0].jaccard < 1.0
 
 
+def test_minhash_exact_verify_matches_bruteforce(spark):
+    """verify='exact': the survivor set equals the brute-force all-pairs
+    exact-Jaccard rule (drop b of every a<b pair with J ≥ t) — the property
+    the DuckDB minhash_neardup oracle depends on."""
+    import itertools
+    import re
+
+    docs = [(i, t) for i, t in enumerate([DOC_A, DOC_A2, DOC_B,
+                                          DOC_A,  # exact dup of 0
+                                          "tiny doc", ""])]
+
+    def shingles(t, n=2):
+        w = [x for x in re.split(r"[^\w]+", t.lower()) if x]
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    # brute-force ground truth: exact-dup collapse, then pairwise Jaccard
+    reps = {}
+    for i, t in docs:
+        reps.setdefault(t, i)
+    rep_ids = sorted(reps.values())
+    losers = set()
+    for a, b in itertools.combinations(rep_ids, 2):
+        sa, sb = shingles(dict(docs)[a]), shingles(dict(docs)[b])
+        if sa | sb and len(sa & sb) / len(sa | sb) >= 0.5:
+            losers.add(b)
+    want = set(rep_ids) - losers
+
+    out = minhash_lsh_dedup(
+        spark.createDataFrame(docs, "id long, text string"), "text", "id",
+        num_hashes=32, shingle_n=2, bands=32, rows_per_band=1,
+        threshold=0.5, verify="exact",
+    )
+    assert {r.id for r in out.collect()} == want
+
+
+def test_simhash_md5_family_cross_engine(spark):
+    """hash_family='md5': the per-shingle hash equals the lower 64 bits of
+    the md5 digest (the DuckDB-reproducible family the simhash oracle
+    recomputes), and the dedup survivor set is unchanged vs xxhash64 on a
+    corpus whose near-dup structure doesn't straddle a hash-family boundary."""
+    import hashlib
+
+    from httrack2warc_spark.operators.dedup import _with_shingle_hashes
+
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "id long, text string")
+    [row] = _with_shingle_hashes(df, "text", 2, hash_family="md5").collect()
+    got = row["__h"]
+    want = []
+    for s in ["alpha beta", "beta gamma"]:
+        lo64 = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "big")
+        want.append(lo64 - (1 << 64) if lo64 >= (1 << 63) else lo64)
+    assert got == want
+
+    for fam in ("xxhash64", "md5"):
+        out = simhash_dedup(_docs(spark), "text", "id", shingle_n=2,
+                            hamming_threshold=10, blocks=16, hash_family=fam)
+        assert {r.id for r in out.collect()} == {1, 3}, fam
+
+
 def test_simhash_dedup(spark):
     # pigeonhole: blocks=16 guarantees a shared block for hamming ≤ 15
     out = simhash_dedup(
