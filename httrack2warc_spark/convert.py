@@ -34,6 +34,29 @@ __all__ = ["convert", "main"]
 CDX_HEADER = " CDX N b a m s k r M S V g"
 
 
+def _write_sorted_text(df: DataFrame, target: Path, header: str) -> None:
+    """Executor-side single-file text write for a globally sorted one-column
+    DataFrame: each task writes its own sorted range as a part file (the
+    orderBy's range exchange guarantees part-i < part-i+1), then the driver
+    STREAMS the parts in order into ``target`` — O(io-buffer) driver memory.
+    At 10^10 records the CDX body is hundreds of GB; the former
+    ``[r.cdx for r in ...collect()]`` materialized all of it on the driver."""
+    import shutil
+    import tempfile
+
+    target.parent.mkdir(parents=True, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=str(target.parent), prefix=".cdx-parts-")
+    try:
+        df.write.mode("overwrite").text(tmp)
+        with open(target, "wb") as out_f:
+            out_f.write((header + "\n").encode())
+            for part in sorted(Path(tmp).glob("part-*")):
+                with open(part, "rb") as src:
+                    shutil.copyfileobj(src, out_f)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _extract_tarball(tarball: str) -> tuple[str, str]:
     """S11 (``Httrack2Warc.java:92-147``): unpack a ``.tar.gz``/``.tgz`` crawl
     to a temp dir, normalize permissions (dirs 700, files 600 — the
@@ -237,9 +260,9 @@ def _convert_dir(
             positions if redirect_positions is None
             else positions.unionByName(redirect_positions)
         )
-        lines = [r.cdx for r in cdx_lines_from_positions(pos_all, cdx11=cdx11).collect()]
-        (out / cdx_name).write_text(
-            CDX_HEADER + "\n" + "\n".join(lines) + ("\n" if lines else "")
+        _write_sorted_text(
+            cdx_lines_from_positions(pos_all, cdx11=cdx11),
+            out / cdx_name, CDX_HEADER,
         )
     positions.unpersist()
     if redirect_positions is not None:

@@ -29,6 +29,43 @@ def test_convert_end_to_end(spark, crawl_dir, tmp_path):
     assert body == sorted(body) and len(body) == 14  # 7 responses + 7 redirects
 
 
+def test_cdx_write_is_executor_side_and_byte_identical(spark, crawl_dir, tmp_path):
+    """The CDX final write streams sorted executor part files — the driver
+    never collects CDX lines (at 10^10 records that body is hundreds of GB).
+    Bytes must equal the driver-side construction exactly: header line, every
+    line LF-terminated, LC_ALL=C (binary UTF-8) order."""
+    import inspect
+
+    from httrack2warc_spark import convert as convert_mod
+    from httrack2warc_spark.convert import CDX_HEADER, _write_sorted_text
+
+    # (a) no driver-side collect of CDX lines anywhere in convert()
+    src = inspect.getsource(convert_mod.convert)
+    assert "cdx" not in src.lower() or ".collect()" not in [
+        ln for ln in src.splitlines() if "cdx" in ln.lower()
+    ], "convert() collects CDX lines on the driver"
+    for ln in src.splitlines():
+        if "cdx" in ln.lower():
+            assert ".collect()" not in ln, ln
+
+    # (b) byte identity with the in-memory construction, multi-partition sort
+    df = spark.createDataFrame(
+        [("zz last",), ("  leading-space sorts first",), ("midline x 1",),
+         ("Upper-before-lower per byte order",), ("midline x 0",)],
+        "cdx string",
+    ).repartition(4).orderBy("cdx")
+    target = tmp_path / "check.cdx"
+    _write_sorted_text(df, target, CDX_HEADER)
+    lines = sorted(r.cdx for r in df.collect())
+    want = (CDX_HEADER + "\n" + "\n".join(lines) + "\n").encode()
+    assert target.read_bytes() == want
+    # empty body: header only, trailing newline, no stray part dirs
+    empty = tmp_path / "empty.cdx"
+    _write_sorted_text(df.where(F.lit(False)), empty, CDX_HEADER)
+    assert empty.read_bytes() == (CDX_HEADER + "\n").encode()
+    assert not list(tmp_path.glob(".cdx-parts-*"))
+
+
 def test_convert_rotation_and_cdx_offsets(spark, crawl_dir, tmp_path):
     """K2+K3 golden: with a small size target the converter rotates into
     several WARC files, each starting with its own warcinfo record
