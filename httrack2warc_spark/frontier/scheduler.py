@@ -114,15 +114,19 @@ class CrawlConfig:
     # this avoids rewriting multi-GB filters every round
     summary_every: int = 1
     parallel_commits: bool = True          # independent table commits in threads
-    # pipeline the non-critical tail of round r (crawl_log/metrics/image
-    # commits, snapshot, retention, unpersists) into a background task that
-    # overlaps round r+1's plan/top-k/fetch phase. Round r+1 only reads
-    # url_seen/frontier/hosts_crawled — all committed in the foreground — and
-    # makes no commit of its own until the deferred tail has been flushed, so
-    # the deferred snapshot still captures a consistent catalog. This hides
-    # ~2-4 s of fixed local-mode job latency per round (the loop is
-    # latency-bound at sandbox scale; on a real cluster the same overlap
-    # hides the commit round-trips behind hours of dataflow).
+    # pipeline round r's ENTIRE commit tail — frontier/hosts/summary writes,
+    # crawl_log/metrics/image appends, url_seen compaction, snapshot,
+    # retention, unpersists — into a background task that overlaps round
+    # r+1's plan/top-k/fetch phase. Only the url_seen append (the discovery
+    # materializer) and one next-frontier count stay foreground. Round r+1's
+    # overlapped phase reads NOTHING from the catalog: it runs on the cached
+    # in-memory handoff (next frontier + hosts set + lagged host count), and
+    # makes no catalog read/commit of its own until the tail has been
+    # flushed, so the deferred snapshot still captures a consistent,
+    # fully-committed catalog. This hides most of the fixed local-mode job
+    # latency per round (the loop is latency-bound at sandbox scale; on a
+    # real cluster the same overlap hides the commit round-trips behind
+    # hours of dataflow).
     pipelined_commits: bool = True
     # "single" = one-window seq stamping (small rounds); "ranged" =
     # range-partitioned distributed stamping (10^9-row rounds); "auto" =
@@ -186,6 +190,15 @@ class FrontierScheduler:
         # one-round-deep deferred commit pipeline (cfg.pipelined_commits)
         self._deferred = None
         self._bg_pool = None
+        # in-memory round handoff: round r leaves its next frontier (and,
+        # with robots fetching, the next hosts set) CACHED with an exact
+        # count, so round r+1's plan/top-k/fetch phase never reads the
+        # catalog — which is what lets every table commit except the url_seen
+        # materializer ride the deferred tail and overlap that phase.
+        self._frontier_mem: DataFrame | None = None
+        self._frontier_count = 0
+        self._hosts_mem: DataFrame | None = None
+        self._n_hosts = 0  # lagged (hosts@r-1) input to the salted-auto heuristic
 
     # ------------------------------------------------------------------ utils
     def _seen_bucket(self) -> tuple[str, int] | None:
@@ -278,6 +291,18 @@ class FrontierScheduler:
         )
         self.catalog.write("hosts_crawled", spark.createDataFrame([], "host string"))
         self.catalog.snapshot("round--1", {"round": -1, "next_seq": 0})
+        self._reset_handoff()
+
+    def _reset_handoff(self) -> None:
+        """Drop the in-memory round handoff; the next round falls back to
+        catalog reads (safe: callers ensure no deferred tail is outstanding)."""
+        for df in (self._frontier_mem, self._hosts_mem):
+            if df is not None:
+                df.unpersist()
+        self._frontier_mem = None
+        self._frontier_count = 0
+        self._hosts_mem = None
+        self._n_hosts = 0
 
     # ----------------------------------------------------------------- round
     def run_round(self, round_no: int, next_seq: int) -> tuple[int, int]:
@@ -321,12 +346,21 @@ class FrontierScheduler:
 
     def _run_round(self, round_no: int, next_seq: int) -> tuple[int, int]:
         cfg = self.cfg
-        # emptiness + auto seq-mode sizing from parquet footers — driver-side
-        # metadata, no Spark job
-        n_frontier = self.catalog.row_count("frontier")
+        # Emptiness + sizing: from the in-memory handoff when the previous
+        # round left one (its deferred tail may still be committing tables —
+        # nothing here may touch the catalog), else from parquet footers
+        # (first round / fresh resume: no tail outstanding, catalog reads are
+        # safe). Either way no Spark job runs.
+        use_mem = self._frontier_mem is not None
+        n_frontier = (
+            self._frontier_count if use_mem else self.catalog.row_count("frontier")
+        )
         if n_frontier == 0:
             return 0, next_seq
-        frontier = self.catalog.read("frontier")
+        frontier = (
+            self._frontier_mem if use_mem else self.catalog.read("frontier").persist()
+        )
+        frontier_prev = frontier  # this round's tail releases it
         seq_mode = cfg.seq_mode
         if seq_mode == "auto":
             seq_mode = "ranged" if n_frontier > cfg.seq_single_max else "single"
@@ -371,7 +405,15 @@ class FrontierScheduler:
             ).otherwise(budget.cast("long"))
         use_salted = cfg.salted_topk is True
         if cfg.salted_topk == "auto":
-            n_hosts = max(self.catalog.row_count("hosts_crawled"), 1)
+            # with a handoff in hand the catalog may be mid-tail-commit: use
+            # the lagged hosts@r-1 count recorded post-flush last round (the
+            # salted plan is order-identical, so one round of heuristic lag
+            # never changes results)
+            n_hosts = max(
+                self._n_hosts if use_mem
+                else self.catalog.row_count("hosts_crawled"),
+                1,
+            )
             use_salted = n_frontier / n_hosts > cfg.salt_auto_threshold
         if use_salted:
             self.salted_rounds.add(round_no)
@@ -391,7 +433,13 @@ class FrontierScheduler:
         # row's ordering tuple and sorts before it via the __robots flag.
         selected = selected.withColumn("__robots", F.lit(1))
         if cfg.fetch_robots:
-            crawled_hosts = self.catalog.read("hosts_crawled")
+            # hosts@r-1, exactly what the catalog read used to yield — but
+            # from the cached handoff so this phase can overlap the tail
+            crawled_hosts = (
+                self._hosts_mem
+                if (use_mem and self._hosts_mem is not None)
+                else self.catalog.read("hosts_crawled")
+            )
             first_per_host = first_occurrence(
                 selected.join(crawled_hosts, "host", "left_anti"),
                 "host",
@@ -429,10 +477,15 @@ class FrontierScheduler:
         self.spark.sparkContext.setJobDescription(None)
         next_seq += n_fetched
 
-        # the previous round's deferred tail (crawl_log/metrics/images,
-        # snapshot, retention) overlapped this round's plan/top-k/fetch; it
-        # must land before this round mutates or vacuums any table
+        # the previous round's deferred tail (frontier/hosts/summary commits,
+        # crawl_log/metrics/images, compaction, snapshot, retention)
+        # overlapped this round's plan/top-k/fetch; it must land before this
+        # round reads or mutates any catalog table
         self._flush_deferred()
+        if cfg.salted_topk == "auto":
+            # catalog is quiescent here: record the lagged hosts@r-1 count
+            # the NEXT round's salted-auto heuristic reads (see above)
+            self._n_hosts = self.catalog.row_count("hosts_crawled")
 
         log_rows = fetched.select(
             "seq",
@@ -524,9 +577,6 @@ class FrontierScheduler:
         # url_seen is append-only (set semantics): appending just the round's
         # new keys keeps the commit O(delta); a full-rewrite union would make
         # every round O(total-seen) — the classic iterative-state trap.
-        # Commits of independent tables run concurrently (Spark schedules
-        # jobs from multiple threads; inputs are persisted, so each commit is
-        # a cheap cached scan + write).
         new_seen_rows = new_seen_rows.persist()
         # the url_seen append runs FIRST and alone: its write scans
         # new_seen_rows and (as its parent) new_frontier, filling BOTH caches
@@ -537,19 +587,53 @@ class FrontierScheduler:
         self.catalog.append(
             "url_seen", new_seen_rows, bucket_by=self._seen_bucket()
         )
-        commits = [
+
+        # ---- in-memory handoff: materialize the next frontier (one job over
+        # already-cached inputs) so round r+1 plans/top-ks/fetches from cache.
+        # That frees EVERY remaining table commit — frontier, hosts_crawled,
+        # seen_summary, crawl_log, metrics, image drains — plus compaction,
+        # snapshot and retention to ride the deferred tail, off the round's
+        # critical path. The count is exact: it is round r+1's emptiness
+        # check and its seq-mode/AQE sizing input. localCheckpoint (not
+        # persist): truncating lineage gives the handoff fresh attribute ids
+        # (round r+1 re-joins the same web relations — a cached-but-lineaged
+        # frontier trips the ambiguous-self-join analyzer) and unpins it from
+        # catalog files a later retention vacuum may reclaim. eager=False:
+        # the count below is the single materializing job.
+        next_frontier = next_frontier.localCheckpoint(eager=False)
+        self.spark.sparkContext.setJobDescription("frontier:materialize")
+        n_next = next_frontier.count()
+        self.spark.sparkContext.setJobDescription(None)
+
+        deferred_commits = [
             lambda: self.catalog.write("frontier", next_frontier),
+            lambda: self.catalog.append("crawl_log", log_rows),
         ]
+        hosts_prev = None
+        hosts_next = None
         if cfg.fetch_robots:
             # append-only like url_seen: only hosts first crawled this round
             # (anti-join against the standing set) — O(delta) per round, not
-            # an O(total-hosts) rewrite+distinct
+            # an O(total-hosts) rewrite+distinct. hosts_base re-reads the
+            # committed table (post-flush ⇒ hosts@r-1, the same set
+            # crawled_hosts held) so the handoff lineage stays one parquet
+            # scan + one cached delta instead of chaining a union per round.
+            hosts_base = self.catalog.read("hosts_crawled")
             new_hosts = (
                 fetched.select("host")
                 .distinct()
-                .join(self.catalog.read("hosts_crawled"), "host", "left_anti")
+                .join(hosts_base, "host", "left_anti")
             )
-            commits.append(lambda: self.catalog.append("hosts_crawled", new_hosts))
+            deferred_commits.append(
+                lambda: self.catalog.append("hosts_crawled", new_hosts)
+            )
+            hosts_prev = self._hosts_mem
+            # same localCheckpoint rationale as next_frontier; materialized
+            # by the tail's count (or round r+1's first use — benign race)
+            hosts_next = hosts_base.unionByName(new_hosts).localCheckpoint(
+                eager=False
+            )
+            self._hosts_mem = hosts_next
         merge_now = cfg.use_summaries and (
             cfg.summary_every <= 1 or (round_no + 1) % cfg.summary_every == 0
         )
@@ -564,9 +648,9 @@ class FrontierScheduler:
                 summaries, hashed_new, cfg.num_parts,
                 cfg.summary_kind, cfg.summary_capacity_per_part, cfg.summary_fpp,
             )
-            commits.append(lambda: self.catalog.write("seen_summary", merged))
-
-        deferred_commits = [lambda: self.catalog.append("crawl_log", log_rows)]
+            deferred_commits.append(
+                lambda: self.catalog.write("seen_summary", merged)
+            )
         metrics = (
             add_partition_and_hashes(log_rows, "url_key", cfg.num_parts)
             .groupBy("part")
@@ -618,32 +702,18 @@ class FrontierScheduler:
                 lambda: self.catalog.append("image_checks", checked)
             )
 
-        if cfg.parallel_commits:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=len(commits)) as pool:
-                for f in list(pool.map(lambda c: c(), commits)):
-                    pass
-        else:
-            for c in commits:
-                c()
-
-        if cfg.bucketed_seen:
-            self.catalog.compact_small(
-                "url_seen", bucket_by=self._seen_bucket(),
-                max_filesets=cfg.seen_compact_max,
-            )
         if merge_now:
             self._summary_covered_round = round_no + 1
 
-        # ---- deferred tail: tables round r+1 never reads (crawl_log,
-        # metrics, image drains), then the round-r snapshot + retention and
-        # the cache releases. Runs in the background (cfg.pipelined_commits),
-        # overlapping round r+1's plan/top-k/fetch — which makes no commits
-        # until it flushes this tail, so the snapshot sees a quiescent,
-        # fully-committed catalog.
+        # ---- deferred tail: every remaining commit (round r+1 reads nothing
+        # from the catalog until it flushes this tail — its plan/top-k/fetch
+        # phase runs on the cached handoff), then url_seen compaction, the
+        # round-r snapshot (taken after ALL of this round's commits, so it is
+        # consistent by construction), retention, and the cache releases.
         covered = getattr(self, "_summary_covered_round", 0)
         seq_after = next_seq
+        self._frontier_mem = next_frontier
+        self._frontier_count = n_next
 
         def _tail() -> None:
             try:
@@ -656,6 +726,16 @@ class FrontierScheduler:
                 else:
                     for c in deferred_commits:
                         c()
+                if cfg.bucketed_seen:
+                    self.catalog.compact_small(
+                        "url_seen", bucket_by=self._seen_bucket(),
+                        max_filesets=cfg.seen_compact_max,
+                    )
+                if hosts_next is not None:
+                    # fill the hosts-handoff cache while its inputs (cached
+                    # fetched) are still alive — round r+1 may also race to
+                    # fill it, which is benign (tiny table, same result)
+                    hosts_next.count()
                 self.catalog.snapshot(
                     f"round-{round_no}",
                     {
@@ -671,9 +751,12 @@ class FrontierScheduler:
                     self.catalog.vacuum()
             finally:
                 # a failed commit must not pin the round's caches forever
+                frontier_prev.unpersist()
                 fetched.unpersist()
                 new_frontier.unpersist()
                 new_seen_rows.unpersist()
+                if hosts_prev is not None:
+                    hosts_prev.unpersist()
                 for c in seq_caches:
                     c.unpersist()
 
@@ -692,6 +775,7 @@ class FrontierScheduler:
             round_no = payload["round"] + 1
             next_seq = payload["next_seq"]
             self._summary_covered_round = payload.get("summary_covered_round", 0)
+            self._reset_handoff()  # stale caches never survive a rollback
         else:
             assert seeds is not None
             self.start(seeds)
@@ -714,8 +798,10 @@ class FrontierScheduler:
         return self.catalog.read("crawl_log").orderBy("seq")
 
     def close(self) -> None:
-        """Release the deferred-commit worker thread (idempotent). ``run()``
-        calls this; direct ``run_round`` drivers should too when done."""
+        """Release the deferred-commit worker thread and the in-memory round
+        handoff caches (idempotent). ``run()`` calls this; direct
+        ``run_round`` drivers should too when done."""
         pool, self._bg_pool = self._bg_pool, None
         if pool is not None:
             pool.shutdown(wait=True)
+        self._reset_handoff()

@@ -638,6 +638,8 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 50,
+    algorithm: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) — component = the minimum node id reachable through
     the pair graph. The transitive-closure step a near-dup pipeline needs
@@ -645,22 +647,34 @@ def connected_components(
     one-pass policy in minhash_lsh_dedup/simhash_dedup) under-merges chains
     A~B~C; component labels make the whole chain one group.
 
-    Algorithm: iterative min-label propagation (the standard "hash-to-min" /
-    small-star contraction family for Pregel-less engines — e.g. the
-    map-reduce CC of Rastogi et al., "Finding Connected Components in
-    Map-Reduce"): each node repeatedly adopts the minimum label in its closed
-    neighborhood until fixpoint. Convergence is detected with a count of
-    changed labels per iteration; label diameter shrinks geometrically for
-    the short chains dedup graphs produce (near-dup components are shallow),
-    so iterations ≈ O(log(diameter)) and each iteration is two shuffles on
-    8-byte keys. ``localCheckpoint`` truncates the lineage per iteration —
-    an iterative plan would otherwise grow exponentially under Catalyst.
+    ``algorithm``:
 
-    Scale: rows are (node, label) longs/strings only — never the documents;
-    at 10^10 edges each iteration is a groupBy-min on the edge list. For
-    degenerate giant components raise ``max_iterations`` (or pre-cap hot
-    buckets upstream, which bounds component diameter in practice).
+    - ``star`` (default, the web-scale path): alternating large-star /
+      small-star contraction (Kiveris et al., "Connected Components in
+      MapReduce and Beyond", SoCC'14). Each iteration rewires edges toward
+      neighborhood minima — large-star hangs every larger neighbor of u onto
+      min(Γ⁺(u)), small-star hangs the smaller ones — which doubles label
+      reach per alternation, so a path of length n converges in O(log n)
+      iterations (asserted by tests/test_dedup_similarity.py's chain
+      fixture) instead of the O(n) a plain propagation pays. At fixpoint the
+      edge set IS the answer: a forest of stars centered on component minima.
+    - ``propagate``: plain min-label propagation (each node adopts the
+      minimum label in its closed neighborhood per round — the simplest
+      map-reduce CC, cf. Rastogi et al., "Finding Connected Components in
+      Map-Reduce"). O(diameter) rounds: fine for the shallow components
+      near-dup graphs produce, pathological on chains; kept as the
+      cross-check oracle for the star path.
+
+    Both run on (8-byte, 8-byte) edge/label rows only — never the documents
+    — and ``localCheckpoint`` per iteration truncates the lineage Catalyst
+    would otherwise grow exponentially. ``stats`` (optional dict) receives
+    ``{"iterations": k}``.
     """
+    if algorithm == "star":
+        return _connected_components_star(pairs, a_col, b_col,
+                                          max_iterations, stats)
+    if algorithm != "propagate":
+        raise ValueError(f"unknown connected_components algorithm: {algorithm}")
     edges = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .unionByName(
@@ -675,7 +689,9 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    iters = 0
     for _ in range(max_iterations):
+        iters += 1
         # candidate label per node = min(own, min over neighbors' labels)
         neighbor_min = (
             edges.join(labels, edges["y"] == labels["node"])
@@ -699,7 +715,83 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if stats is not None:
+        stats["iterations"] = iters
     return labels
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iterations: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Large-star/small-star alternation (see connected_components). Edges
+    are kept directed high→low (x > y), distinct; one alternation is two
+    groupBy-min + joins on 8-byte keys, then a subtract-based fixpoint check
+    (both sides distinct, so equal counts + empty one-way difference ⇔
+    identical edge sets)."""
+    raw = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    nodes = (
+        raw.select("x").unionByName(raw.select(F.col("y").alias("x")))
+        .distinct()
+        .withColumnRenamed("x", "node")
+        .persist()
+    )
+    e = (
+        raw.where(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("x"), F.least("x", "y").alias("y")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_e = e.count()
+    iters = 0
+    while n_e > 0 and iters < max_iterations:
+        iters += 1
+        # large-star: for every node u, hang each LARGER neighbor v onto
+        # m(u) = min(Γ(u) ∪ {u}).   (emitted as (v, m): v > u ≥ m ⇒ x > y)
+        sym = e.select("x", "y").unionByName(
+            e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        )
+        m_ls = sym.groupBy("x").agg(
+            F.least(F.min("y"), F.first("x")).alias("m")
+        )
+        ls = (
+            sym.join(m_ls, "x")
+            .where(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("x"), F.col("m").alias("y"))
+            .distinct()
+        )
+        # small-star: per node u (edges already high→low), hang u and all its
+        # smaller neighbors onto mn(u) = min of those neighbors
+        m_ss = ls.groupBy("x").agg(F.min("y").alias("mn"))
+        with_m = ls.join(m_ss, "x")
+        ss = (
+            with_m.select(F.col("y").alias("x"), F.col("mn").alias("y"))
+            .where(F.col("x") != F.col("y"))
+            .unionByName(with_m.select("x", F.col("mn").alias("y")).distinct())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_ss = ss.count()
+        if n_ss == n_e and ss.subtract(e).limit(1).count() == 0:
+            e = ss
+            break
+        e, n_e = ss, n_ss
+    if stats is not None:
+        stats["iterations"] = iters
+    # fixpoint = star forest: non-roots point straight at their component
+    # minimum; roots are the nodes never appearing on the high side
+    non_roots = e.select(F.col("x").alias("node"), F.col("y").alias("component"))
+    roots = nodes.join(
+        non_roots.select("node"), "node", "left_anti"
+    ).withColumn("component", F.col("node"))
+    out = non_roots.unionByName(roots)
+    nodes.unpersist()
+    return out
 
 
 def dedup_by_components(

@@ -214,10 +214,40 @@ def test_connected_components_chain(spark):
 import pytest
 
 
+def test_connected_components_star_logn_on_chain(spark):
+    """The web-scale hazard case: a length-n path. Plain propagation needs
+    Θ(n) rounds; the large-star/small-star alternation must converge in
+    O(log n) (Kiveris et al.) — iteration count asserted."""
+    import math
+
+    from httrack2warc_spark.operators.dedup import connected_components
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    stats: dict = {}
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, stats=stats).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+    # O(log n): generous constant, but far under the Θ(n)=256 propagation cost
+    assert stats["iterations"] <= 3 * int(math.log2(n)) + 2, stats
+    # and the propagation variant on a SHORT chain still matches (algorithms
+    # agree; the long chain would need n rounds there, so keep it tiny)
+    short = spark.createDataFrame([(i, i + 1) for i in range(5)], "a long, b long")
+    st2: dict = {}
+    a = connected_components(short, algorithm="star").collect()
+    b = connected_components(short, algorithm="propagate", stats=st2).collect()
+    assert {(r.node, r.component) for r in a} == {(r.node, r.component) for r in b}
+    assert st2["iterations"] >= 1
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
 def test_connected_components_random_graph(spark, seed):
-    """Random sparse graphs: Spark min-label propagation == a driver-side
-    union-find ground truth."""
+    """Random sparse graphs: both the star and propagation variants equal a
+    driver-side union-find ground truth."""
     import random
 
     from httrack2warc_spark.operators.dedup import connected_components
@@ -241,8 +271,10 @@ def test_connected_components_random_graph(spark, seed):
              for v in nodes_in_edges}
 
     pairs = spark.createDataFrame(edges, "a long, b long")
-    got = {r.node: r.component for r in connected_components(pairs).collect()}
-    assert got == truth
+    for algo in ("star", "propagate"):
+        got = {r.node: r.component
+               for r in connected_components(pairs, algorithm=algo).collect()}
+        assert got == truth, algo
 
 
 def test_ivf_recall_and_kmeans_refinement(spark):
