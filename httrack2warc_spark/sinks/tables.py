@@ -21,6 +21,7 @@ which is exactly Iceberg's snapshot/manifest mechanism in miniature:
 
 from __future__ import annotations
 
+import abc
 import json
 import os
 import re
@@ -39,7 +40,55 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-class TableCatalog:
+class CrawlCatalog(abc.ABC):
+    """The catalog verbs the engine is written against — everything the
+    scheduler, converter, streaming ingestion and retention code call. Two
+    implementations: ``TableCatalog`` (manifest-of-filesets over parquet, the
+    in-sandbox default) and ``IcebergCatalog`` (the production mapping onto a
+    real Iceberg runtime). Swapping one for the other is a constructor
+    change; every verb maps 1:1."""
+
+    @abc.abstractmethod
+    def write(self, name: str, df: DataFrame, partition_by=None, bucket_by=None): ...
+
+    @abc.abstractmethod
+    def append(self, name: str, df: DataFrame, bucket_by=None): ...
+
+    @abc.abstractmethod
+    def read(self, name: str) -> DataFrame: ...
+
+    @abc.abstractmethod
+    def read_filesets(self, name: str) -> list[DataFrame]: ...
+
+    @abc.abstractmethod
+    def row_count(self, name: str) -> int: ...
+
+    @abc.abstractmethod
+    def exists(self, name: str) -> bool: ...
+
+    @abc.abstractmethod
+    def compact_small(self, name: str, bucket_by=None, max_filesets: int = 6) -> bool: ...
+
+    @abc.abstractmethod
+    def snapshot(self, tag: str, extra: dict | None = None) -> None: ...
+
+    @abc.abstractmethod
+    def rollback_to_snapshot(self, tag: str) -> dict: ...
+
+    @abc.abstractmethod
+    def load_snapshot(self, tag: str) -> dict: ...
+
+    @abc.abstractmethod
+    def list_snapshots(self) -> list[str]: ...
+
+    @abc.abstractmethod
+    def expire_snapshots(self, keep_last: int) -> list[str]: ...
+
+    @abc.abstractmethod
+    def vacuum(self, name: str | None = None) -> dict[str, dict]: ...
+
+
+class TableCatalog(CrawlCatalog):
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = Path(root)
@@ -369,3 +418,154 @@ class TableCatalog:
         if not snapdir.exists():
             return []
         return sorted(p.stem for p in snapdir.glob("*.json"))
+
+
+class IcebergCatalog(CrawlCatalog):
+    """The same verbs over a REAL Iceberg runtime (requires the
+    iceberg-spark-runtime jar + a configured Spark catalog — absent in this
+    sandbox, so constructing one here raises; every mapping below is the
+    public Iceberg Spark SQL surface, 1:1 with what TableCatalog mimics):
+
+    | engine verb        | Iceberg                                           |
+    |--------------------|---------------------------------------------------|
+    | write              | ``df.writeTo(t).createOrReplace()``               |
+    | append             | ``df.writeTo(t).append()`` (O(delta) snapshot)    |
+    | bucket_by          | ``partitionedBy(bucket(n, col))`` → storage-      |
+    |                    | partitioned joins replace our bucketed filesets   |
+    | snapshot(tag)      | ``ALTER TABLE t CREATE OR REPLACE TAG tag``       |
+    | rollback           | ``CALL c.system.set_current_snapshot(ref=tag)``   |
+    | expire_snapshots   | ``CALL c.system.expire_snapshots(retain_last=k)`` |
+    | vacuum             | ``CALL c.system.remove_orphan_files(table=t)``    |
+    | compact_small      | ``CALL c.system.rewrite_data_files(table=t)``     |
+    | row_count          | newest row of ``t.snapshots`` summary (metadata-  |
+    |                    | only, like our parquet-footer walk)               |
+
+    Snapshot ``extra`` payloads (round/next_seq bookkeeping) don't belong in
+    Iceberg table metadata, so they land in a tiny JSON sidecar per tag under
+    ``root`` — same as TableCatalog's ``_snapshots`` dir.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 catalog: str = "h2w", namespace: str = "crawl"):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "IcebergCatalog needs the iceberg-spark-runtime jar on the "
+                "session classpath and a configured Spark catalog; use "
+                "TableCatalog (parquet manifest engine) otherwise"
+            )
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.catalog = catalog
+        self.namespace = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _t(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def _tables(self) -> list[str]:
+        return [
+            r.tableName
+            for r in self.spark.sql(
+                f"SHOW TABLES IN {self.catalog}.{self.namespace}"
+            ).collect()
+        ]
+
+    def write(self, name, df, partition_by=None, bucket_by=None):
+        w = df.writeTo(self._t(name))
+        if bucket_by is not None:
+            from pyspark.sql import functions as F
+
+            col, n = bucket_by
+            w = w.partitionedBy(F.bucket(n, F.col(col)))
+        elif partition_by:
+            w = w.partitionedBy(*partition_by)
+        w.createOrReplace()
+        return self._t(name)
+
+    def append(self, name, df, bucket_by=None):
+        if not self.exists(name):
+            return self.write(name, df, bucket_by=bucket_by)
+        df.writeTo(self._t(name)).append()
+        return self._t(name)
+
+    def read(self, name):
+        return self.spark.table(self._t(name))
+
+    def read_filesets(self, name):
+        # one table: Iceberg's bucket partition metadata gives the scheduler
+        # the same exchange-free storage-partitioned joins our per-fileset
+        # bucketed scans emulate
+        return [self.read(name)]
+
+    def row_count(self, name) -> int:
+        row = self.spark.sql(
+            f"SELECT summary['total-records'] AS n FROM {self._t(name)}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(row[0].n) if row and row[0].n is not None else 0
+
+    def exists(self, name) -> bool:
+        return name in self._tables()
+
+    def compact_small(self, name, bucket_by=None, max_filesets: int = 6) -> bool:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files"
+            f"(table => '{self.namespace}.{name}')"
+        )
+        return True
+
+    def snapshot(self, tag, extra=None) -> None:
+        safe = re.sub("[^A-Za-z0-9_-]", "_", tag)
+        for name in self._tables():
+            self.spark.sql(
+                f"ALTER TABLE {self._t(name)} CREATE OR REPLACE TAG `{safe}`"
+            )
+        snapdir = self.root / "_snapshots"
+        snapdir.mkdir(exist_ok=True)
+        payload = {"tables": self._tables(), "ts": time.time(), **(extra or {})}
+        tmp = snapdir / f"{tag}.tmp"
+        tmp.write_text(json.dumps(payload))
+        os.replace(tmp, snapdir / f"{tag}.json")
+
+    def rollback_to_snapshot(self, tag) -> dict:
+        payload = json.loads((self.root / "_snapshots" / f"{tag}.json").read_text())
+        safe = re.sub("[^A-Za-z0-9_-]", "_", tag)
+        for name in payload["tables"]:
+            self.spark.sql(
+                f"CALL {self.catalog}.system.set_current_snapshot"
+                f"(table => '{self.namespace}.{name}', ref => '{safe}')"
+            )
+        return payload
+
+    def load_snapshot(self, tag) -> dict:
+        # time-travel reads would use FOR VERSION AS OF; the engine only needs
+        # the bookkeeping payload here
+        return json.loads((self.root / "_snapshots" / f"{tag}.json").read_text())
+
+    def list_snapshots(self) -> list[str]:
+        snapdir = self.root / "_snapshots"
+        if not snapdir.exists():
+            return []
+        return sorted(p.stem for p in snapdir.glob("*.json"))
+
+    def expire_snapshots(self, keep_last: int) -> list[str]:
+        dropped = self.list_snapshots()[:-keep_last] if keep_last else []
+        for name in self._tables():
+            self.spark.sql(
+                f"CALL {self.catalog}.system.expire_snapshots"
+                f"(table => '{self.namespace}.{name}', retain_last => {int(keep_last)})"
+            )
+        for tag in dropped:
+            (self.root / "_snapshots" / f"{tag}.json").unlink(missing_ok=True)
+        return dropped
+
+    def vacuum(self, name=None) -> dict[str, dict]:
+        stats: dict[str, dict] = {}
+        for nm in [name] if name else self._tables():
+            self.spark.sql(
+                f"CALL {self.catalog}.system.remove_orphan_files"
+                f"(table => '{self.namespace}.{nm}')"
+            )
+            stats[nm] = {"orphan_files": "removed"}
+        return stats

@@ -41,10 +41,44 @@ def run_discovery_stream(
     exclusions: list[str] | None = None,
     use_summaries: bool = True,
     checkpoint_dir: str | None = None,
+    robots: "DataFrame | callable | None" = None,
+    robots_refresh_every: int = 1,
+    priority_overrides: "DataFrame | callable | None" = None,
+    rank_refresh_every: int = 8,
 ):
     """Wire a streaming candidate source into the frontier state tables.
     Returns the StreamingQuery; callers pick the trigger (availableNow for
-    drain-and-stop, processingTime for continuous)."""
+    drain-and-stop, processingTime for continuous).
+
+    ``robots``: per-host rule rows (``functions.robots.robots_rules`` shape)
+    as a static DataFrame, or a zero-arg callable re-invoked every
+    ``robots_refresh_every`` micro-batches — the slowly-changing-broadcast
+    pattern: a Disallow that arrives mid-stream blocks the host's candidates
+    from every subsequent batch (admission-time filtering; rows admitted
+    before the rule landed stay enqueued, exactly like a batch crawl that
+    fetched before the rule changed).
+
+    ``priority_overrides``: (url_key, priority) rows — e.g. derived from
+    ``operators.pagerank`` over the crawl's link graph — as a DataFrame or a
+    zero-arg callable re-invoked every ``rank_refresh_every`` batches.
+    Matching candidates are admitted with the overridden priority (smaller =
+    fetched earlier by the batch scheduler's per-host top-k).
+    """
+    from httrack2warc_spark.functions.robots import apply_robots_rules
+
+    # slowly-changing broadcast state: (df, batch_id it was fetched at)
+    _cache: dict = {"robots": (None, -1), "rank": (None, -1)}
+
+    def _current(name: str, src, every: int, batch_id: int):
+        if src is None:
+            return None
+        if not callable(src):
+            return src
+        df, fetched_at = _cache[name]
+        if df is None or batch_id - fetched_at >= every:
+            df = src()
+            _cache[name] = (df, batch_id)
+        return df
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -62,6 +96,25 @@ def run_discovery_stream(
         )
         for rx in exclusions or []:
             cand = cand.where(~F.col("url").rlike(f"^(?:{rx})$"))
+        rules = _current("robots", robots, robots_refresh_every, batch_id)
+        if rules is not None:
+            cand = apply_robots_rules(cand, rules)
+        rank = _current("rank", priority_overrides, rank_refresh_every, batch_id)
+        if rank is not None:
+            cand = (
+                cand.join(
+                    F.broadcast(
+                        rank.select("url_key", F.col("priority").alias("__prio"))
+                    ),
+                    "url_key",
+                    "left",
+                )
+                .withColumn(
+                    "priority",
+                    F.coalesce(F.col("__prio"), F.col("priority")).cast("int"),
+                )
+                .drop("__prio")
+            )
         cand = first_occurrence(
             cand, "url_key", ["parent_seq", "link_idx"], tiebreak=["url"]
         )

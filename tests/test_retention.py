@@ -85,6 +85,37 @@ def test_run_round_restores_session_conf(spark, tmp_path):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
 
+def test_catalog_interface_conformance(spark):
+    """Both catalog backends implement every CrawlCatalog verb (the Iceberg
+    drop-in seam); the Iceberg adapter refuses to construct without the
+    runtime jar rather than failing later mid-crawl."""
+    import inspect
+
+    import pytest
+
+    from httrack2warc_spark.sinks.tables import (
+        CrawlCatalog,
+        IcebergCatalog,
+        TableCatalog,
+        iceberg_available,
+    )
+
+    verbs = {
+        n for n, m in inspect.getmembers(CrawlCatalog, inspect.isfunction)
+        if getattr(m, "__isabstractmethod__", False)
+    }
+    assert verbs  # the seam exists
+    for impl in (TableCatalog, IcebergCatalog):
+        for v in verbs:
+            fn = getattr(impl, v)
+            assert not getattr(fn, "__isabstractmethod__", False), (impl, v)
+    assert issubclass(TableCatalog, CrawlCatalog)
+    assert issubclass(IcebergCatalog, CrawlCatalog)
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            IcebergCatalog(spark, "/tmp/never-created")
+
+
 def test_salted_topk_auto_engages_on_skew(spark, tmp_path):
     """A skewed web (every frontier row on one host) trips the driver-side
     rows-per-host heuristic; the salted politeness plan engages and the visit

@@ -56,6 +56,83 @@ def test_streaming_discovery(spark, tmp_path):
     assert frontier.where(F.col("url_key") == "test.example.org/").count() == 1
 
 
+def test_streaming_robots_and_rank(spark, tmp_path):
+    """Mid-stream robots change + PageRank priority refresh: a Disallow that
+    arrives between micro-batches blocks the host's candidates from every
+    subsequent batch (slowly-changing broadcast, robots_refresh_every=1),
+    and candidates matching the rank table are admitted with the overridden
+    priority."""
+    from httrack2warc_spark.functions.robots import robots_rules
+    from httrack2warc_spark.operators.pagerank import pagerank
+    from httrack2warc_spark.streaming import run_discovery_stream
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    sched = FrontierScheduler(
+        spark, cat, fixture_web(spark), CrawlConfig(num_parts=4)
+    )
+    sched.start(["http://test.example.org/"])
+
+    # slowly-changing robots source: starts permissive, turns restrictive
+    robots_state = {"body": "User-agent: *\n"}
+
+    def current_rules():
+        return robots_rules(
+            spark.createDataFrame(
+                [("blocked.example.org", robots_state["body"])],
+                "host string, body string",
+            )
+        )
+
+    # PageRank-derived priority: hot URLs jump the queue
+    edges = spark.createDataFrame(
+        [("a", "http://test.example.org/hot"), ("b", "http://test.example.org/hot"),
+         ("c", "http://test.example.org/cold")],
+        "src string, dst string",
+    )
+    ranked = pagerank(edges, src="src", dst="dst", iterations=3)
+    overrides = (
+        ranked.where(F.col("vertex").startswith("http"))
+        .orderBy(F.col("rank").desc())
+        .limit(1)
+        .select(
+            F.regexp_replace("vertex", "^https?://", "").alias("url_key"),
+            F.lit(0).alias("priority"),
+        )
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def drain(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+        q = run_discovery_stream(
+            spark, spark.readStream.schema(SCHEMA).json(str(src)), cat,
+            num_parts=4, checkpoint_dir=str(tmp_path / "ckpt"),
+            robots=current_rules, robots_refresh_every=1,
+            priority_overrides=overrides,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    row = {"referrer": None, "parent_seq": 0, "link_idx": 0, "parent_depth": 0}
+    drain("b1.json", [
+        {**row, "dst_url": "http://blocked.example.org/pre-rule"},
+        {**row, "dst_url": "http://test.example.org/hot"},
+    ])
+    # the disallow lands between micro-batches
+    robots_state["body"] = "User-agent: *\nDisallow: /\n"
+    drain("b2.json", [
+        {**row, "dst_url": "http://blocked.example.org/post-rule"},
+        {**row, "dst_url": "http://test.example.org/cold"},
+    ])
+
+    frontier = {r.url_key: r.priority for r in cat.read("frontier").collect()}
+    assert "blocked.example.org/pre-rule" in frontier     # admitted before rule
+    assert "blocked.example.org/post-rule" not in frontier  # stopped mid-stream
+    assert "test.example.org/cold" in frontier            # other hosts unaffected
+    assert frontier["test.example.org/hot"] == 0          # rank override applied
+    assert frontier["test.example.org/cold"] == 1         # default depth priority
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     """dropDuplicatesWithinWatermark plumbing: duplicates inside the
     watermark window collapse to one row across micro-batches."""
