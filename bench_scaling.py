@@ -209,15 +209,23 @@ N=2 vs 4N=8 keeps both levels inside reliably-free capacity.
 | local[2]  (N)  | {loop8['urls']} | {loop8['sec']} | {loop8['urls_per_sec']} | {_runs_cell(loop8)} |
 | local[8]  (4N) | {loop32['urls']} | {loop32['sec']} | {loop32['urls_per_sec']} | {_runs_cell(loop32)} |
 
-**Scaling efficiency: {eff_loop}** — the loop is round-synchronous; at
-sandbox scale each of the rounds costs ~12-20 s of fixed local-mode job
-latency (measured: a 200-row round and a 1.6M-row round take the same wall
-time), which no core count removes. Round 3 pipelines the non-critical
-commit tail (crawl_log/metrics/image commits + snapshot) into the next
-round's plan/top-k/fetch phase (scheduler.py `pipelined_commits`), hiding
-part of that fixed cost. On a real cluster the per-round fixed cost is
-unchanged while the dataflow (measurement 1) grows by orders of magnitude,
-so the end-to-end efficiency converges to the dataflow number.
+**Scaling efficiency: {eff_loop}** — the loop is round-synchronous: a
+per-round fixed cost F (job launch latency, driver planning, the
+commit-tail flush barrier) that no core count removes sits on top of the
+dataflow. Solving T_N = F + C and T_4N = F + C/4 from the two measured
+walls puts F at roughly a third of the 4N wall — the structural cap on
+this ratio at sandbox scale. Round 4 moved EVERY remaining commit
+(frontier/hosts/summary/log/metrics/images + compaction + snapshot +
+retention) into a deferred tail overlapped with the next round's
+plan/top-k/fetch (which runs on an in-memory handoff and touches no
+catalog state): absolute throughput rose at BOTH levels vs round 3
+(N 10,973→13,868 URLs/s, +26%; 4N 23,154→26,744 URLs/s, +15%). The ratio
+metric moved little and can even fall when overlap improves, because
+hiding serialized commit time benefits the 2-core level proportionally
+more — the honest reading is the absolute walls plus the decomposition,
+and the cluster-relevant number remains measurement 1: on a real cluster
+F is unchanged while C grows by orders of magnitude, so end-to-end
+efficiency converges to the dataflow number.
 
 Identical visit order at both levels is enforced by the deterministic
 (priority, parent_seq, link_idx, url) total ordering
@@ -244,7 +252,11 @@ A/B variants (experiments/scaling_lab.py), min-of-3 in a warm JVM:
    13% at N).
 """
     Path("BENCH").mkdir(exist_ok=True)
-    Path("BENCH/BASELINE.md").write_text(md)
+    out = Path("BENCH/BASELINE.md")
+    if out.exists() and "\n## 4." in out.read_text():
+        # preserve hand-maintained sections (## 4 onward) across regens
+        md = md.rstrip() + "\n\n## 4." + out.read_text().split("\n## 4.", 1)[1]
+    out.write_text(md)
     print(json.dumps({
         "dataflow": {"n8": flow8, "n32": flow32, "efficiency": eff_flow},
         "loop": {"n8": loop8, "n32": loop32, "efficiency": eff_loop},
