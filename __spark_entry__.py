@@ -852,6 +852,51 @@ def frontier_crawl_q(spark, sf_dir):
     return log.select("seq", "url", "host", "depth").orderBy("seq")
 
 
+def frontier_bfs_q(spark, sf_dir):
+    """The scheduler VALUE-CHECKED: crawl a deterministic link graph derived
+    from the documents table (doc i → (7i+j+1) mod n, j<4; single host,
+    unlimited budget, max_rounds=4) and return (url, round). Under those
+    settings the scheduler's round number IS the BFS hop distance from the
+    seed — a pure function of the graph that a DuckDB recursive CTE
+    recomputes exactly (reachability + level assignment + first-discovery
+    dedup). The politeness-rich variant stays rows-only (frontier_crawl);
+    this pins the iterative core to a hard oracle."""
+    import tempfile
+
+    from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler
+    from httrack2warc_spark.frontier.synth import SyntheticWeb
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = "http://corpus.example.org/doc/"
+    key = F.concat(F.lit("corpus.example.org/doc/"), F.col("doc_id"))
+    pages = docs.select(
+        key.alias("url_key"), F.lit(200).alias("status"),
+        F.lit("text/html").alias("mime"), F.lit(0).cast("long").alias("size"),
+        F.lit("f").alias("localfile"), F.lit(None).cast("string").alias("image_id"),
+    )
+    links = docs.select(
+        key.alias("src_key"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("link_idx"),
+                F.concat(F.lit(base),
+                         ((F.col("doc_id") * 7 + j + 1) % n)).alias("dst_url"),
+            )
+            for j in range(4)
+        ])).alias("l"),
+    ).select("src_key", "l.link_idx", "l.dst_url")
+    web = SyntheticWeb(pages, links, broadcast_pages=True)
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="spark_graft_bfs_"))
+    sched = FrontierScheduler(
+        spark, cat, web,
+        CrawlConfig(num_parts=8, max_rounds=4, fetch_robots=False),
+    )
+    log = sched.run(seeds=[base + "0"])
+    return log.select("url", F.col("round").cast("int").alias("round")).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -900,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_format": cdx_format_q,
         "url_host": url_host_q,
         "frontier_crawl": frontier_crawl_q,
+        "frontier_bfs": frontier_bfs_q,
     }
 
 
@@ -1545,6 +1591,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM reps
             WHERE doc_id NOT IN (SELECT b FROM losers)
             ORDER BY doc_id
+        """,
+        # frontier_bfs: the scheduler as BFS — round == hop distance from the
+        # seed over the deterministic doc-graph (single host, no budget caps,
+        # max_rounds=4 ⇒ depth ≤ 3); the recursive CTE recomputes min-depth
+        # reachability. UNION (distinct) bounds the state to (node, depth)
+        # pairs, so the cyclic graph terminates.
+        "frontier_bfs": """
+            WITH RECURSIVE params AS (
+                SELECT count(*)::BIGINT AS n FROM documents
+            ), edges AS (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * 7 + j.j + 1) % p.n AS dst
+                FROM documents d, params p,
+                     (SELECT UNNEST([0, 1, 2, 3]) AS j) j
+            ), bfs AS (
+                SELECT 0::BIGINT AS node, 0 AS depth
+                UNION
+                SELECT e.dst, b.depth + 1
+                FROM bfs b JOIN edges e ON e.src = b.node
+                WHERE b.depth < 3
+            )
+            SELECT 'http://corpus.example.org/doc/' || node AS url,
+                   min(depth)::INT AS round
+            FROM bfs GROUP BY node ORDER BY url
         """,
         # image_invariant / image_resize / image_features / frame_sample /
         # audio_features / audio_windows / frontier_crawl: binary payloads or
