@@ -154,6 +154,12 @@ class CrawlConfig:
     # registrations (Iceberg expire_snapshots + remove_orphan_files). None =
     # keep everything (full time travel, unbounded disk over a long crawl).
     keep_snapshots: int | None = None
+    # frontier tombstones collapse (rewrite adds := live set, truncate
+    # removals) once they exceed max(this, live-row count) — the merge-on-
+    # read compaction trigger. The rewrite scans the already-cached next
+    # frontier, so compaction is cheap; the floor just stops tiny crawls
+    # from compacting every round.
+    frontier_tombstone_min: int = 1000
     # when set (seconds of fetch time a round represents) and the robots
     # DataFrame carries a crawl_delay column (functions.robots.robots_rules),
     # a host's per-round budget is additionally capped at
@@ -259,6 +265,9 @@ class FrontierScheduler:
         frontier = first_occurrence(frontier, "url_key", ["link_idx"])
 
         self.catalog.write("frontier", frontier)
+        self.catalog.write(
+            "frontier_removed", spark.createDataFrame([], "url_key string")
+        )
         seen = frontier.select(
             "url_key", "url", F.lit(0).alias("enqueued_round")
         )
@@ -303,6 +312,33 @@ class FrontierScheduler:
         self._frontier_count = 0
         self._hosts_mem = None
         self._n_hosts = 0
+
+    # --------------------------------------------------- frontier delta store
+    # The frontier commits as Iceberg-style merge-on-read deltas: "frontier"
+    # is append-only adds (the per-round discovery delta; streaming ingestion
+    # appends here too), "frontier_removed" is append-only tombstones (the
+    # round's fetched keys). A fetched key never re-enters the frontier (it
+    # is in url_seen), so each url_key appears at most once per table and the
+    # live set is a clean anti-join — and the live COUNT is a footer
+    # subtraction, no job. This keeps the per-round frontier commit O(delta);
+    # the former full rewrite was O(frontier) every round — at a 10^10-row
+    # frontier, the last remaining O(total-state) commit. Tombstones collapse
+    # in the deferred tail (write the already-cached next frontier, truncate
+    # removals) once they outgrow the live set.
+
+    def _read_frontier(self) -> DataFrame:
+        adds = self.catalog.read("frontier")
+        if not self.catalog.exists("frontier_removed"):
+            return adds  # pre-delta catalogs (older snapshots) have no tombstones
+        return adds.join(
+            self.catalog.read("frontier_removed"), "url_key", "left_anti"
+        )
+
+    def _frontier_row_count(self) -> int:
+        n = self.catalog.row_count("frontier")
+        if self.catalog.exists("frontier_removed"):
+            n -= self.catalog.row_count("frontier_removed")
+        return n
 
     # ----------------------------------------------------------------- round
     def run_round(self, round_no: int, next_seq: int) -> tuple[int, int]:
@@ -353,12 +389,12 @@ class FrontierScheduler:
         # safe). Either way no Spark job runs.
         use_mem = self._frontier_mem is not None
         n_frontier = (
-            self._frontier_count if use_mem else self.catalog.row_count("frontier")
+            self._frontier_count if use_mem else self._frontier_row_count()
         )
         if n_frontier == 0:
             return 0, next_seq
         frontier = (
-            self._frontier_mem if use_mem else self.catalog.read("frontier").persist()
+            self._frontier_mem if use_mem else self._read_frontier().persist()
         )
         frontier_prev = frontier  # this round's tail releases it
         seq_mode = cfg.seq_mode
@@ -564,14 +600,12 @@ class FrontierScheduler:
         )
 
         # leftover = eligible-but-over-budget rows stay queued
-        leftover = frontier.join(
-            fetched.where(F.col("__robots") == 1).select("url_key"),
-            "url_key",
-            "left_anti",
+        removed_keys = fetched.where(F.col("__robots") == 1).select("url_key")
+        leftover = frontier.join(removed_keys, "url_key", "left_anti")
+        new_frontier_rows = new_frontier.select(
+            [f.name for f in FRONTIER_SCHEMA.fields]
         )
-        next_frontier = leftover.unionByName(
-            new_frontier.select([f.name for f in FRONTIER_SCHEMA.fields])
-        )
+        next_frontier = leftover.unionByName(new_frontier_rows)
 
         # ---- commit ------------------------------------------------------
         # url_seen is append-only (set semantics): appending just the round's
@@ -605,8 +639,23 @@ class FrontierScheduler:
         n_next = next_frontier.count()
         self.spark.sparkContext.setJobDescription(None)
 
+        def _commit_frontier() -> None:
+            # merge-on-read deltas (see _read_frontier): O(delta) appends,
+            # then collapse to the CACHED next frontier (a cheap cache scan,
+            # never a recompute) once tombstones outgrow the live set
+            self.catalog.append("frontier", new_frontier_rows)
+            self.catalog.append("frontier_removed", removed_keys)
+            n_adds = self.catalog.row_count("frontier")
+            n_rem = self.catalog.row_count("frontier_removed")
+            if n_rem > max(cfg.frontier_tombstone_min, n_adds - n_rem):
+                self.catalog.write("frontier", next_frontier)
+                self.catalog.write(
+                    "frontier_removed",
+                    self.spark.createDataFrame([], "url_key string"),
+                )
+
         deferred_commits = [
-            lambda: self.catalog.write("frontier", next_frontier),
+            _commit_frontier,
             lambda: self.catalog.append("crawl_log", log_rows),
         ]
         hosts_prev = None

@@ -116,3 +116,32 @@ def test_robots_rules_block(spark, tmp_path):
     assert "http://test.example.org/image.gif" not in urls
     assert "http://test.example.org/image404.png" not in urls
     assert "http://test.example.org/style.css" in urls
+
+
+def test_frontier_delta_commits(spark, tmp_path):
+    """The frontier commits as merge-on-read deltas: O(delta) appends per
+    round (manifest accrues one adds fileset per discovering round — never a
+    full rewrite), tombstones equal the fetched page set, the live anti-join
+    view is empty at exhaustion, and lowering the collapse floor triggers
+    compaction back to a single adds set with truncated tombstones."""
+    web = fixture_web(spark)
+    cat = TableCatalog(spark, str(tmp_path / "a"))
+    sched = FrontierScheduler(spark, cat, web, CrawlConfig(num_parts=8, max_rounds=10))
+    log = sched.run(seeds=["http://test.example.org/"])
+    assert [r.url for r in log.orderBy("seq").collect()] == GOLDEN_VISIT_ORDER
+    n_pages = log.where(~F.col("is_robots")).count()
+    assert cat.row_count("frontier_removed") == n_pages
+    assert sched._read_frontier().count() == 0  # exhausted crawl: empty live set
+    assert len(cat._files("frontier")) > 1      # per-round appends, no rewrites
+
+    # collapse floor 0: tombstones outgrow the (shrinking) live set and the
+    # store compacts — same golden order, single adds fileset, no tombstones
+    cat2 = TableCatalog(spark, str(tmp_path / "b"))
+    sched2 = FrontierScheduler(
+        spark, cat2, web,
+        CrawlConfig(num_parts=8, max_rounds=10, frontier_tombstone_min=0),
+    )
+    log2 = sched2.run(seeds=["http://test.example.org/"])
+    assert [r.url for r in log2.orderBy("seq").collect()] == GOLDEN_VISIT_ORDER
+    assert cat2.row_count("frontier_removed") == 0
+    assert len(cat2._files("frontier")) == 1
