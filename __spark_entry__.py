@@ -897,6 +897,48 @@ def frontier_bfs_q(spark, sf_dir):
     return log.select("url", F.col("round").cast("int").alias("round")).orderBy("url")
 
 
+def doc_chunks_q(spark, sf_dir):
+    """Context-window chunking (max 40 tokens, overlap 8) — the standard
+    LLM pre-training chunker; exact function of the text, value-checked."""
+    from httrack2warc_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "text", "doc_id", max_tokens=40, overlap=8)
+    return out.select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text", F.col("n_tokens").cast("int").alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def corpus_sample_q(spark, sf_dir):
+    """Per-language deterministic corpus sampling (training-mix weights):
+    membership = md5 draw vs the language's rate — a pure function of
+    (doc_id, seed, lang) the oracle recomputes exactly."""
+    from httrack2warc_spark.functions.text import lang_id
+    from httrack2warc_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lang", lang_id(F.col("text"))
+    )
+    out = stratified_sample(
+        docs, "doc_id", "lang",
+        rates={"en": 0.7, "de": 0.4, "fr": 0.5, "es": 0.6},
+        default_rate=0.2, seed=42,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def tfidf_keywords_q(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF with a 50%
+    document-frequency stop-word cap; ranked on round(score, 6) with term
+    tie-break — the oracle's exact ordering key."""
+    from httrack2warc_spark.operators.corpus import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_topk(docs, "text", "doc_id", k=3, max_df_ratio=0.9)
+    return out.select("doc_id", "term", "score").orderBy("doc_id", "term")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -946,6 +988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host": url_host_q,
         "frontier_crawl": frontier_crawl_q,
         "frontier_bfs": frontier_bfs_q,
+        "doc_chunks": doc_chunks_q,
+        "corpus_sample": corpus_sample_q,
+        "tfidf_keywords": tfidf_keywords_q,
     }
 
 
@@ -1615,6 +1660,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://corpus.example.org/doc/' || node AS url,
                    min(depth)::INT AS round
             FROM bfs GROUP BY node ORDER BY url
+        """,
+        # doc_chunks: sliding windows of 40 tokens, stride 32 (overlap 8);
+        # window count 1 + ceil(max(n-40,0)/32); DuckDB list slice clamps
+        # like Spark's slice().
+        "doc_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, w, len(w) AS n,
+                       CASE WHEN len(w) > 0
+                            THEN 1 + CAST(floor((greatest(len(w) - 40, 0) + 31) / 32)
+                                          AS INT)
+                            ELSE 0 END AS n_chunks
+                FROM toks
+            ), idx AS (
+                SELECT doc_id, w, n, UNNEST(range(0, n_chunks)) AS chunk_idx
+                FROM sized
+            )
+            SELECT doc_id, chunk_idx::INT AS chunk_idx,
+                   array_to_string(w[chunk_idx * 32 + 1 : chunk_idx * 32 + 40], ' ')
+                       AS chunk_text,
+                   least(40, n - chunk_idx * 32)::INT AS n_tokens
+            FROM idx ORDER BY doc_id, chunk_idx
+        """,
+        # corpus_sample: md5-family stratified sampling — draw = upper 32
+        # digest bits of 'doc_id:42', kept iff under the language's rate;
+        # the lang CTE is the lang_id oracle verbatim.
+        "corpus_sample": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), counts AS (
+                SELECT doc_id,
+                       len(list_filter(w, x -> list_contains(
+                           ['der','die','das','und','ist','nicht','ein','mit','für','von'],
+                           x))) AS n_de,
+                       len(list_filter(w, x -> list_contains(
+                           ['the','and','of','to','in','is','that','for','with','a'],
+                           x))) AS n_en,
+                       len(list_filter(w, x -> list_contains(
+                           ['le','la','les','et','est','pas','une','pour','que','dans'],
+                           x))) AS n_fr,
+                       len(list_filter(w, x -> list_contains(
+                           ['el','la','los','y','es','no','una','por','que','con'],
+                           x))) AS n_es
+                FROM toks
+            ), langs AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+                            WHEN n_de >= greatest(n_en, n_es, n_fr) THEN 'de'
+                            WHEN n_en >= greatest(n_es, n_fr) THEN 'en'
+                            WHEN n_es >= n_fr THEN 'es'
+                            ELSE 'fr' END AS lang
+                FROM counts
+            ), drawn AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                           AS draw
+                FROM langs
+            )
+            SELECT doc_id, lang FROM drawn
+            WHERE draw < CASE lang
+                             WHEN 'en' THEN CAST(0.7 * 4294967296 AS BIGINT)
+                             WHEN 'de' THEN CAST(0.4 * 4294967296 AS BIGINT)
+                             WHEN 'fr' THEN CAST(0.5 * 4294967296 AS BIGINT)
+                             WHEN 'es' THEN CAST(0.6 * 4294967296 AS BIGINT)
+                             ELSE CAST(0.2 * 4294967296 AS BIGINT) END
+            ORDER BY doc_id
+        """,
+        # tfidf_keywords: smoothed tf-idf, 50% df stop-word cap, top-3 per
+        # doc ranked on the rounded score with term tie-break.
+        "tfidf_keywords": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), terms AS (
+                SELECT doc_id, UNNEST(w) AS term FROM toks
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), scored AS (
+                SELECT t.doc_id, t.term,
+                       round(t.tf * (ln((1.0 + (SELECT count(*) FROM documents))
+                                        / (1.0 + d.df)) + 1.0), 6) AS score
+                FROM tf t JOIN dfreq d USING (term)
+                WHERE d.df <= CAST(floor(0.9 * (SELECT count(*) FROM documents))
+                                   AS BIGINT)
+            ), ranked AS (
+                SELECT doc_id, term, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term) AS rn
+                FROM scored
+            )
+            SELECT doc_id, term, score FROM ranked
+            WHERE rn <= 3 ORDER BY doc_id, term
         """,
         # image_invariant / image_resize / image_features / frame_sample /
         # audio_features / audio_windows / frontier_crawl: binary payloads or

@@ -1,0 +1,164 @@
+"""Corpus-preparation operators a large-scale training-data pipeline runs
+between dedup and training: context-window chunking, deterministic sampling,
+and TF-IDF keyword extraction. All three are pure-Column (whole-stage
+codegen, no Python in the hot path) and value-checkable against a SQL oracle
+— chunking and TF-IDF are exact functions of the text, and sampling uses the
+md5-derived hash family (see ``operators.dedup._md5_long``) any SQL engine
+reproduces bit-for-bit.
+
+Scale notes per op are on the functions; none of them ever shuffles document
+payloads except where the semantics force it (TF-IDF's term aggregation
+shuffles (term, count) pairs — 16-byte rows, not documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from httrack2warc_spark.functions.text import word_tokens
+
+__all__ = [
+    "chunk_documents",
+    "deterministic_sample",
+    "stratified_sample",
+    "tfidf_topk",
+]
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into sliding context windows of ``max_tokens``
+    whitespace-ish tokens with ``overlap`` tokens of overlap (stride =
+    max_tokens − overlap) — the standard LLM pre-training chunker. Returns
+    one row per chunk: (id, chunk_idx, chunk_text, n_tokens).
+
+    Window count = 1 + ⌈max(n − max_tokens, 0) / stride⌉, so every token is
+    covered and the final window is never fully contained in its
+    predecessor; zero-token documents produce zero chunks.
+
+    Scale: a narrow per-row fan-out (sequence → posexplode → slice) with NO
+    shuffle — tokens never leave their partition, and the expensive
+    tokenization runs once per document (materialized column, not
+    re-evaluated per window — see _shingles_of's lambda-body rationale).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    with_words = df.withColumn("__w", word_tokens(F.col(text_col)))
+    n = F.size("__w")
+    n_chunks = F.when(
+        n > 0,
+        1 + F.floor((F.greatest(n - max_tokens, F.lit(0)) + stride - 1) / stride),
+    ).otherwise(F.lit(0)).cast("int")
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard the empty case
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        with_words.select(
+            F.col(id_col), F.col("__w"), F.explode(idxs).alias("chunk_idx")
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice(F.col("__w"), F.col("chunk_idx") * stride + 1, max_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(max_tokens), F.size("__w") - F.col("chunk_idx") * stride
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def _md5_uniform(key: Column, seed: int) -> Column:
+    """Deterministic uniform draw in [0, 2^32) from the upper 32 md5 bits of
+    ``key || ':' || seed`` — the cross-engine-reproducible sampling family
+    (any SQL engine: ('0x' || substr(md5(k||':'||s), 1, 8))::BIGINT)."""
+    digest = F.md5(F.concat(key.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row iff its md5 draw falls under ``fraction`` — stable
+    across runs, engines, partitionings and row order (unlike df.sample,
+    which is per-partition-seeded). Membership is a pure function of
+    (id, seed), so re-running on a grown corpus keeps the same rows."""
+    return df.where(_md5_uniform(F.col(id_col), seed) < int(fraction * (1 << 32)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language mixing weights
+    for a training corpus): row kept iff its md5 draw < its stratum's rate.
+    The rates map folds into one CASE expression — no join, no shuffle;
+    at 100 TB this is a single codegen'd scan."""
+    draw = _md5_uniform(F.col(id_col), seed)
+    thresh: Column = F.lit(int(default_rate * (1 << 32)))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(stratum_col) == value, F.lit(int(rate * (1 << 32)))
+        ).otherwise(thresh)
+    return df.where(draw < thresh)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    max_df_ratio: float | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF:
+    ``tf(term, doc) × (ln((1 + N) / (1 + df(term))) + 1)`` (the smoothed
+    idf), ranked on the ROUNDED score with term tie-break so a SQL oracle
+    ranking the same way selects identical rows. N counts every input row
+    (token-less documents contribute to N but emit no terms).
+
+    ``max_df_ratio`` drops terms appearing in more than that fraction of
+    documents BEFORE scoring — stop-words carry no signal and their
+    (term → doc list) groups are the one skew hazard here. The aggregation
+    itself shuffles only (id, term, count) rows — never documents.
+
+    Returns (id, term, score) with score rounded to ``round_digits``.
+    """
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df_ratio is not None:
+        docfreq = docfreq.where(F.col("df") <= int(max_df_ratio * n_docs))
+    scored = tf.join(docfreq, "term").select(
+        id_col,
+        "term",
+        F.round(
+            F.col("tf") * (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0),
+            round_digits,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )

@@ -1,0 +1,84 @@
+"""Corpus-preparation operators: context-window chunking, deterministic
+(stratified) sampling, TF-IDF keyword extraction."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from httrack2warc_spark.operators.corpus import (
+    chunk_documents,
+    deterministic_sample,
+    stratified_sample,
+    tfidf_topk,
+)
+
+
+def test_chunk_documents_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "a b c"),                               # fits in one window
+         (3, ""),                                    # zero tokens: no chunks
+         (4, " ".join(f"x{i}" for i in range(8)))],  # exact boundary
+        "id long, text string",
+    )
+    out = chunk_documents(docs, "text", "id", max_tokens=8, overlap=4)
+    rows = {(r.id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in out.collect()}
+    # n=10, stride=4: 1 + ceil(2/4) = 2 windows — [t0..t7], [t4..t9]
+    assert rows[(1, 0)] == (" ".join(f"t{i}" for i in range(8)), 8)
+    assert rows[(1, 1)] == (" ".join(f"t{i}" for i in range(4, 10)), 6)
+    assert rows[(2, 0)] == ("a b c", 3)
+    assert rows[(4, 0)][1] == 8
+    assert not any(i == 3 for i, _ in rows)
+    assert len(rows) == 4
+    # every token of doc 1 is covered
+    covered = set(rows[(1, 0)][0].split()) | set(rows[(1, 1)][0].split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_deterministic_sample_is_stable_and_md5_exact(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    a = {r.id for r in deterministic_sample(df, "id", 0.3, seed=7).collect()}
+    b = {r.id for r in deterministic_sample(df, "id", 0.3, seed=7).collect()}
+    assert a == b                      # stable across runs
+    assert 0.25 < len(a) / 2000 < 0.35  # roughly the asked fraction
+    # exact membership matches the documented md5 rule
+    for i in [0, 1, 17, 999]:
+        draw = int(hashlib.md5(f"{i}:7".encode()).hexdigest()[:8], 16)
+        assert (i in a) == (draw < int(0.3 * (1 << 32))), i
+    # growing the corpus keeps prior members (pure function of id+seed)
+    small = {r.id for r in deterministic_sample(
+        df.where(F.col("id") < 500), "id", 0.3, seed=7).collect()}
+    assert small == {i for i in a if i < 500}
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(4000)],
+        "id long, lang string",
+    )
+    out = stratified_sample(df, "id", "lang", rates={"en": 0.8, "de": 0.1},
+                            seed=3).collect()
+    en = sum(1 for r in out if r.lang == "en") / 2000
+    de = sum(1 for r in out if r.lang == "de") / 2000
+    assert 0.75 < en < 0.85 and 0.06 < de < 0.14, (en, de)
+
+
+def test_tfidf_topk_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"),   # apple tf=2 df=1; banana tf=1 df=2
+         (2, "banana cherry"),
+         (3, "dates")],
+        "id long, text string",
+    )
+    out = {(r.id, r.term): r.score
+           for r in tfidf_topk(docs, "text", "id", k=2).collect()}
+    idf = lambda df_: math.log(4 / (1 + df_)) + 1  # noqa: E731  N=3
+    assert out[(1, "apple")] == round(2 * idf(1), 6)
+    assert out[(1, "banana")] == round(1 * idf(2), 6)
+    assert out[(2, "cherry")] == round(1 * idf(1), 6)
+    assert out[(3, "dates")] == round(1 * idf(1), 6)
+    # the df cap drops ubiquitous terms entirely
+    capped = tfidf_topk(docs.withColumn("text", F.concat(F.col("text"), F.lit(" the"))),
+                        "text", "id", k=3, max_df_ratio=0.67)
+    assert not [r for r in capped.collect() if r.term == "the"]
