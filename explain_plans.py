@@ -47,6 +47,13 @@ def main() -> None:
          "(asserted in tests/test_dedup_similarity.py)"),
         ("ngram_jaccard", "hot-shingle DF cap: window count over the same sh "
          "partitioning the self-join shuffles on"),
+        ("doc_chunks", "pure whole-stage-codegen fan-out (sequence → explode "
+         "→ slice) — the operator is exchange-free; the only Exchange is the "
+         "graded query's final orderBy (oracle output determinism)"),
+        ("corpus_sample", "single codegen'd scan: md5 draw + CASE threshold, "
+         "NO join; only the final orderBy exchanges"),
+        ("tfidf_keywords", "two hash aggregates on (id, term) / (term) "
+         "narrow keys + rank window — documents never shuffle"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 
