@@ -82,3 +82,40 @@ def test_tfidf_topk_hand_computed(spark):
     capped = tfidf_topk(docs.withColumn("text", F.concat(F.col("text"), F.lit(" the"))),
                         "text", "id", k=3, max_df_ratio=0.67)
     assert not [r for r in capped.collect() if r.term == "the"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=60),
+    max_tokens=st.integers(min_value=2, max_value=16),
+    data=st.data(),
+)
+def test_chunk_documents_invariants(spark, n, max_tokens, data):
+    """For any (token count, window, overlap): every token is covered, chunk
+    sizes are within the window, consecutive chunks overlap by exactly
+    `overlap` (except a short tail), and stripping the overlaps reconstructs
+    the original token stream."""
+    overlap = data.draw(st.integers(min_value=0, max_value=max_tokens - 1))
+    stride = max_tokens - overlap
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(n)))], "id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, "text", "id", max_tokens, overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    if n == 0:
+        assert rows == []
+        return
+    expect_chunks = 1 + max(0, -(-(n - max_tokens) // stride)) if n > max_tokens else 1
+    assert len(rows) == expect_chunks
+    toks = [r.chunk_text.split() for r in rows]
+    assert all(0 < len(t) <= max_tokens for t in toks)
+    assert all(r.n_tokens == len(t) for r, t in zip(rows, toks))
+    # reconstruction: first chunk whole, then each chunk minus its overlap
+    rebuilt = toks[0] + [w for t in toks[1:] for w in t[overlap:]]
+    assert rebuilt == [f"w{i}" for i in range(n)]
