@@ -618,26 +618,39 @@ class FrontierScheduler:
         # (replaces the former separate count(); without a pre-fill the
         # concurrent commits race to compute the same un-filled cache and
         # each runs the full pipeline — measured 71 s of a 64 s crawl).
-        self.catalog.append(
+        seen_entry = self.catalog.append(
             "url_seen", new_seen_rows, bucket_by=self._seen_bucket()
         )
 
-        # ---- in-memory handoff: materialize the next frontier (one job over
-        # already-cached inputs) so round r+1 plans/top-ks/fetches from cache.
-        # That frees EVERY remaining table commit — frontier, hosts_crawled,
-        # seen_summary, crawl_log, metrics, image drains — plus compaction,
-        # snapshot and retention to ride the deferred tail, off the round's
-        # critical path. The count is exact: it is round r+1's emptiness
-        # check and its seq-mode/AQE sizing input. localCheckpoint (not
+        # ---- in-memory handoff: hand round r+1 the next frontier so it
+        # plans/top-ks/fetches from cache. That frees EVERY remaining table
+        # commit — frontier, hosts_crawled, seen_summary, crawl_log, metrics,
+        # image drains — plus compaction, snapshot and retention to ride the
+        # deferred tail, off the round's critical path. localCheckpoint (not
         # persist): truncating lineage gives the handoff fresh attribute ids
         # (round r+1 re-joins the same web relations — a cached-but-lineaged
         # frontier trips the ambiguous-self-join analyzer) and unpins it from
-        # catalog files a later retention vacuum may reclaim. eager=False:
-        # the count below is the single materializing job.
+        # catalog files a later retention vacuum may reclaim.
+        #
+        # The count (round r+1's emptiness check + seq/AQE sizing) must be
+        # EXACT. Without robots fetching it is pure footer arithmetic — no
+        # job: every fetched row consumed one frontier row and every url_seen
+        # append row is one new frontier row (new_frontier is unique by
+        # url_key and robots_new is empty), so
+        #   n_next = n_frontier − n_fetched + rows(url_seen append).
+        # Robots rows perturb both terms, so that path materializes with one
+        # count job over cached inputs (which also pre-fills the handoff the
+        # tail's frontier write reuses).
         next_frontier = next_frontier.localCheckpoint(eager=False)
-        self.spark.sparkContext.setJobDescription("frontier:materialize")
-        n_next = next_frontier.count()
-        self.spark.sparkContext.setJobDescription(None)
+        if cfg.fetch_robots:
+            self.spark.sparkContext.setJobDescription("frontier:materialize")
+            n_next = next_frontier.count()
+            self.spark.sparkContext.setJobDescription(None)
+        else:
+            n_next = (
+                n_frontier - n_fetched
+                + self.catalog.fileset_row_count(seen_entry)
+            )
 
         def _commit_frontier() -> None:
             # merge-on-read deltas (see _read_frontier): O(delta) appends,
