@@ -219,8 +219,9 @@ this ratio at sandbox scale. Round 4 moved EVERY remaining commit
 retention) into a deferred tail overlapped with the next round's
 plan/top-k/fetch (which runs on an in-memory handoff and touches no
 catalog state): absolute throughput rose at BOTH levels vs round 3
-(N 10,973→13,224 URLs/s, +21%; 4N 23,154→27,686 URLs/s, +20%, with the
-round-4 frontier delta store adding the last ~3% at 4N). The ratio
+(N 10,973→12,770 URLs/s, +16%; 4N 23,154→26,772 URLs/s, +16%; the
+frontier delta store and the job-free next-frontier count are part of
+that). The ratio
 metric moved little and can even fall when overlap improves, because
 hiding serialized commit time benefits the 2-core level proportionally
 more — the honest reading is the absolute walls plus the decomposition,
