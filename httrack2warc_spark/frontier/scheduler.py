@@ -154,6 +154,15 @@ class CrawlConfig:
     # registrations (Iceberg expire_snapshots + remove_orphan_files). None =
     # keep everything (full time travel, unbounded disk over a long crawl).
     keep_snapshots: int | None = None
+    # dynamic robots discovery: when the web's fetch contract carries a
+    # ``body`` column, robots.txt responses fetched during the crawl are
+    # parsed (functions.robots.robots_rules, RFC 9309 incl. wildcards) and
+    # merged into the active rule set, taking effect from the NEXT round —
+    # the rules a real crawler obeys are the ones it fetched, not a static
+    # config. The statically-passed ``robots`` DataFrame (if any) seeds the
+    # set; discovered Crawl-delay values feed the same per-round budget caps.
+    discover_robots: bool = True
+    robots_user_agent: str = "*"
     # frontier tombstones collapse (rewrite adds := live set, truncate
     # removals) once they exceed max(this, live-row count) — the merge-on-
     # read compaction trigger. The rewrite scans the already-cached next
@@ -223,6 +232,17 @@ class FrontierScheduler:
         for rx in self.cfg.exclusions:
             out = out.where(~F.col("url").rlike(f"^(?:{rx})$"))
         return out
+
+    @staticmethod
+    def _normalize_rules(df: DataFrame) -> DataFrame:
+        """Pad a (possibly back-compat) rules DataFrame to the full
+        (host, allow, disallow, crawl_delay) shape for merging."""
+        out = df
+        if "allow" not in out.columns:
+            out = out.withColumn("allow", F.array().cast("array<string>"))
+        if "crawl_delay" not in out.columns:
+            out = out.withColumn("crawl_delay", F.lit(None).cast("double"))
+        return out.select("host", "allow", "disallow", "crawl_delay")
 
     def _apply_robots(self, df: DataFrame) -> DataFrame:
         """RFC 9309 longest-match rule application. ``self.robots`` is
@@ -621,6 +641,34 @@ class FrontierScheduler:
         seen_entry = self.catalog.append(
             "url_seen", new_seen_rows, bucket_by=self._seen_bucket()
         )
+
+        # dynamic robots discovery (cfg.discover_robots): parse this round's
+        # fetched robots.txt bodies and fold them into the active rule set —
+        # effective from next round's eligibility filter. Runs on the cached
+        # fetched rows (the append above materialized them); the tiny merged
+        # set is checkpointed so it never chains lineage into old rounds.
+        if (
+            cfg.fetch_robots
+            and cfg.discover_robots
+            and "body" in fetched.columns
+        ):
+            from httrack2warc_spark.functions.robots import robots_rules
+
+            robots_bodies = fetched.where(
+                (F.col("__robots") == 0)
+                & (F.col("status") < 400)
+                & F.col("body").isNotNull()
+            )
+            new_rules = robots_rules(
+                robots_bodies, body_col="body", host_col="host",
+                user_agent=cfg.robots_user_agent,
+            )
+            merged_rules = (
+                new_rules
+                if self.robots is None
+                else self._normalize_rules(self.robots).unionByName(new_rules)
+            )
+            self.robots = merged_rules.localCheckpoint(eager=True)
 
         # ---- in-memory handoff: hand round r+1 the next frontier so it
         # plans/top-ks/fetches from cache. That frees EVERY remaining table

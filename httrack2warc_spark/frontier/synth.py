@@ -48,14 +48,20 @@ class SyntheticWeb:
 
     def fetch(self, selected: DataFrame) -> DataFrame:
         pages = F.broadcast(self.pages) if self.broadcast_pages else self.pages
-        return selected.join(pages, "url_key", "left").select(
+        cols = [
             selected["*"],
             F.coalesce(pages["status"], F.lit(404)).alias("status"),
             pages["mime"].alias("mime"),
             F.coalesce(pages["size"], F.lit(0)).alias("size"),
             pages["localfile"].alias("localfile"),
             pages["image_id"].alias("image_id"),
-        )
+        ]
+        # optional payload body (e.g. robots.txt text the scheduler parses
+        # for dynamic rule discovery) — part of the fetch contract when the
+        # pages table carries it
+        if "body" in self.pages.columns:
+            cols.append(pages["body"].alias("body"))
+        return selected.join(pages, "url_key", "left").select(*cols)
 
     def outlinks(self, fetched: DataFrame) -> DataFrame:
         src = fetched.select(

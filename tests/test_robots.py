@@ -176,3 +176,54 @@ def test_crawl_delay_caps_round_budget(spark, tmp_path):
         CrawlConfig(num_parts=4, max_rounds=20, fetch_robots=False),
     ).run(seeds=seeds)
     assert {r.url for r in rows} == {r.url for r in log2.collect()}
+
+
+def test_dynamic_robots_discovery(spark, tmp_path):
+    """The scheduler obeys the rules it FETCHES: a robots.txt body served by
+    the web (pages table carries `body`) is parsed mid-crawl and blocks the
+    disallowed subtree from the next round on — no statically-passed rules."""
+    from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler
+    from httrack2warc_spark.frontier.synth import SyntheticWeb
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    host = "dyn.example.org"
+    robots_body = "User-agent: *\nDisallow: /private/\n"
+    pages = spark.createDataFrame(
+        [(f"{host}/robots.txt", 200, "text/plain", len(robots_body), "r", None, robots_body),
+         (f"{host}/", 200, "text/html", 100, "f", None, None),
+         (f"{host}/page/1", 200, "text/html", 100, "f", None, None),
+         (f"{host}/page/2", 200, "text/html", 100, "f", None, None),
+         (f"{host}/private/1", 200, "text/html", 100, "f", None, None),
+         (f"{host}/private/2", 200, "text/html", 100, "f", None, None)],
+        "url_key string, status int, mime string, size long, localfile string, "
+        "image_id string, body string",
+    )
+    links = spark.createDataFrame(
+        [(f"{host}/", 0, f"http://{host}/page/1"),
+         (f"{host}/", 1, f"http://{host}/private/1"),
+         (f"{host}/", 2, f"http://{host}/page/2"),
+         (f"{host}/page/1", 0, f"http://{host}/private/2")],
+        "src_key string, link_idx int, dst_url string",
+    )
+    web = SyntheticWeb(pages, links, broadcast_pages=True)
+    cat = TableCatalog(spark, str(tmp_path / "dyn"))
+    sched = FrontierScheduler(
+        spark, cat, web, CrawlConfig(num_parts=4, max_rounds=8)
+    )
+    log = sched.run(seeds=[f"http://{host}/"])
+    visited = {r.url_key for r in log.collect()}
+    assert f"{host}/robots.txt" in visited
+    assert f"{host}/page/1" in visited and f"{host}/page/2" in visited
+    assert not {u for u in visited if "/private/" in u}, visited
+    # the discovered rules live on the scheduler (full normalized shape)
+    rules = {r.host: r.disallow for r in sched.robots.collect()}
+    assert rules[host] == ["/private/"]
+
+    # control: discovery off -> the same web's private pages ARE fetched
+    cat2 = TableCatalog(spark, str(tmp_path / "off"))
+    sched2 = FrontierScheduler(
+        spark, cat2, web,
+        CrawlConfig(num_parts=4, max_rounds=8, discover_robots=False),
+    )
+    visited2 = {r.url_key for r in sched2.run(seeds=[f"http://{host}/"]).collect()}
+    assert f"{host}/private/1" in visited2 and f"{host}/private/2" in visited2
