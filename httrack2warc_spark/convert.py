@@ -101,6 +101,7 @@ def convert(
     warcinfo_extra: list[str] | None = None,
     redirect_file: str | None = None,
     cdx11: bool = True,
+    payload_dedup: bool = False,
 ) -> DataFrame:
     """Returns the WARC-record DataFrame after writing warc/cdx files.
 
@@ -125,7 +126,7 @@ def convert(
         result = _convert_dir(
             spark, crawl_dir, output_dir, exclusions, redirect_prefix,
             rewrite_links, cdx_name, warc_pattern, warc_size, compress, strict,
-            timezone, warcinfo_extra, redirect_file, cdx11,
+            timezone, warcinfo_extra, redirect_file, cdx11, payload_dedup,
         )
         if tmp_root is not None:
             # the extracted files vanish below; pin the returned records
@@ -200,6 +201,7 @@ def _convert_dir(
     warcinfo_extra: list[str] | None = None,
     redirect_file: str | None = None,
     cdx11: bool = True,
+    payload_dedup: bool = False,
 ) -> DataFrame:
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -221,6 +223,7 @@ def _convert_dir(
     recs = warc_records(
         crawl, meta, exclusions=exclusions,
         redirect_prefix=redirect_prefix, strict=strict, timezone=timezone,
+        payload_dedup=payload_dedup,
     )
     # P7: launch time shifts with the crawl zone like every WARC-Date
     # (Httrack2Warc.java:157 `crawl.getLaunchTime().atZone(timezone)`)
@@ -322,6 +325,11 @@ def main(argv: list[str] | None = None) -> None:
     # Reference default is lax (Httrack2Warc.java:81 `strict = false`;
     # missing >399-status files are skipped with a warning). --strict opts in
     # to abort-on-issue; --lax is kept as an explicit no-op alias.
+    p.add_argument("--payload-dedup", action="store_true",
+                   help="write repeat payload captures as WARC revisit "
+                        "records (identical-payload-digest profile) instead "
+                        "of storing the payload again — beyond-reference "
+                        "archive-dedup capability, off by default")
     p.add_argument("--strict", action="store_true",
                    help="abort on issues normally considered a warning")
     p.add_argument("--lax", action="store_true",
@@ -351,6 +359,7 @@ def main(argv: list[str] | None = None) -> None:
         warcinfo_extra=args.warcinfo,
         redirect_file=args.redirect_file,
         cdx11=not args.cdx9,
+        payload_dedup=args.payload_dedup,
     )
 
 

@@ -23,7 +23,7 @@ replay is a north_rule requirement; the WARC grammar is unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from httrack2warc_spark.functions.digests import sha1_base32_udf
@@ -119,12 +119,21 @@ def warc_records(
     redirect_prefix: str | None = None,
     strict: bool = False,
     timezone: str = "UTC",
+    payload_dedup: bool = False,
 ) -> DataFrame:
     """crawl_log → one row per WARC record:
     (seq, sub, record_type, url, warc_date, warc_header, body, content_type,
     digest) ordered by (seq, sub). ``sub``: 0 response/resource, 1 request,
     2 metadata, 3 synthetic redirect — the reference's in-group emit order
     (``Httrack2Warc.java:208-263``).
+
+    ``payload_dedup`` (off by default — the reference stores every payload):
+    standard web-archive storage dedup. Any response whose payload digest
+    matches an EARLIER response (by seq) is written as a ``revisit`` record
+    (WARC 1.0 identical-payload-digest profile): the HTTP headers are kept,
+    the payload body is omitted, and WARC-Refers-To / -Target-URI / -Date
+    point at the first capture. At archive scale duplicate payloads dominate
+    storage; the dedup costs ONE shuffle on the 32-byte digest key.
     """
     df = crawl
     for rx in exclusions or []:
@@ -181,16 +190,58 @@ def warc_records(
         F.coalesce(F.col("payload"), F.lit(b"")).alias("payload"),
     )
 
+    if payload_dedup:
+        # first capture per digest = the referred-to original; later captures
+        # with an HTTP header become revisit records (identical-payload-
+        # digest). Null digests (no payload) never deduplicate.
+        wd = Window.partitionBy("digest").orderBy("seq")
+        base = (
+            base.withColumn("__orig_seq", F.first("seq").over(wd))
+            .withColumn("__orig_id", F.first("response_id").over(wd))
+            .withColumn("__orig_url", F.first("url").over(wd))
+            .withColumn("__orig_date", F.first("warc_date").over(wd))
+        )
+        is_revisit = (
+            F.col("digest").isNotNull()
+            & (F.col("seq") != F.col("__orig_seq"))
+            & F.col("resp_hdr").isNotNull()
+        )
+    else:
+        is_revisit = F.lit(False)
+    base = base.withColumn("__is_revisit", is_revisit)
+
+    # revisit (payload_dedup): HTTP headers kept, payload omitted, pointers
+    # at the first capture — WARC 1.0 identical-payload-digest profile
+    revisit_header = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\r\nWARC-Date: "), F.col("warc_date"),
+        F.lit("\r\nWARC-Payload-Digest: sha1:"), F.col("digest"),
+        F.lit("\r\nWARC-Profile: "
+              "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+        F.lit("\r\nWARC-Refers-To: "), F.col("__orig_id"),
+        F.lit("\r\nWARC-Refers-To-Target-URI: "), F.col("__orig_url"),
+        F.lit("\r\nWARC-Refers-To-Date: "), F.col("__orig_date"),
+        F.lit("\r\nWARC-Record-ID: "), F.col("response_id"),
+        F.lit("\r\nWARC-Truncated: length"),
+        F.lit("\r\nContent-Type: application/http; msgtype=response\r\n"
+              "Content-Length: "),
+        F.length(F.col("resp_hdr")).cast("string"),
+        F.lit("\r\n\r\n"),
+    ) if payload_dedup else F.lit(None).cast("string")
+
     # sub 0: response (or resource when no HTTP header at all)
     response = base.select(
         "seq",
         F.lit(0).alias("sub"),
-        F.when(F.col("resp_hdr").isNotNull(), F.lit("response"))
+        F.when(F.col("__is_revisit"), F.lit("revisit"))
+        .when(F.col("resp_hdr").isNotNull(), F.lit("response"))
         .otherwise(F.lit("resource"))
         .alias("record_type"),
         "url",
         "warc_date",
-        F.when(
+        F.when(F.col("__is_revisit"), revisit_header)
+        .when(
             F.col("resp_hdr").isNotNull(),
             F.concat(
                 F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
@@ -223,7 +274,8 @@ def warc_records(
             )
         )
         .alias("warc_header"),
-        F.when(
+        F.when(F.col("__is_revisit"), F.encode("resp_hdr", "ISO-8859-1"))
+        .when(
             F.col("resp_hdr").isNotNull(),
             F.concat(F.encode("resp_hdr", "ISO-8859-1"), F.col("payload")),
         )
