@@ -16,3 +16,14 @@ from httrack2warc_spark.operators.similarity import (  # noqa: F401
     ivf_topk,
     lsh_ann_topk,
 )
+from httrack2warc_spark.operators.corpus import (  # noqa: F401
+    chunk_documents,
+    deterministic_sample,
+    stratified_sample,
+    tfidf_topk,
+)
+from httrack2warc_spark.operators.dedup import (  # noqa: F401
+    connected_components,
+    dedup_by_components,
+)
+from httrack2warc_spark.operators.pagerank import pagerank  # noqa: F401
