@@ -50,7 +50,14 @@ def _write_sorted_text(df: DataFrame, target: Path, header: str) -> None:
         df.write.mode("overwrite").text(tmp)
         with open(target, "wb") as out_f:
             out_f.write((header + "\n").encode())
-            for part in sorted(Path(tmp).glob("part-*")):
+            # numeric part-index sort: past 99,999 tasks the index grows to
+            # six digits and lexicographic order would put part-100000 before
+            # part-99999, reordering the CDX body at the 10^10-record scale
+            # this path targets
+            for part in sorted(
+                Path(tmp).glob("part-*"),
+                key=lambda p: int(p.name.split("-")[1]),
+            ):
                 with open(part, "rb") as src:
                     shutil.copyfileobj(src, out_f)
     finally:

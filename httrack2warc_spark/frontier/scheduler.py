@@ -663,11 +663,19 @@ class FrontierScheduler:
                 robots_bodies, body_col="body", host_col="host",
                 user_agent=cfg.robots_user_agent,
             )
-            merged_rules = (
-                new_rules
-                if self.robots is None
-                else self._normalize_rules(self.robots).unionByName(new_rules)
-            )
+            if self.robots is None:
+                merged_rules = new_rules
+            else:
+                # one row per host, freshly fetched rules win: a static row
+                # left in place alongside a discovered row would double every
+                # frontier row for that host through _apply_robots's left
+                # join (duplicate fetches, seq rows, tombstones — and the
+                # footer-based frontier arithmetic breaks)
+                merged_rules = (
+                    self._normalize_rules(self.robots)
+                    .join(new_rules.select("host"), "host", "left_anti")
+                    .unionByName(new_rules)
+                )
             self.robots = merged_rules.localCheckpoint(eager=True)
 
         # ---- in-memory handoff: hand round r+1 the next frontier so it

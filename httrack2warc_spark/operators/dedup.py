@@ -749,6 +749,7 @@ def _connected_components_star(
     )
     n_e = e.count()
     iters = 0
+    converged = n_e == 0
     while n_e > 0 and iters < max_iterations:
         iters += 1
         # large-star: for every node u, hang each LARGER neighbor v onto
@@ -779,13 +780,34 @@ def _connected_components_star(
         n_ss = ss.count()
         if n_ss == n_e and ss.subtract(e).limit(1).count() == 0:
             e = ss
+            converged = True
             break
         e, n_e = ss, n_ss
+        if n_e == 0:
+            converged = True
     if stats is not None:
         stats["iterations"] = iters
+        stats["converged"] = converged
     # fixpoint = star forest: non-roots point straight at their component
     # minimum; roots are the nodes never appearing on the high side
     non_roots = e.select(F.col("x").alias("node"), F.col("y").alias("component"))
+    if not converged:
+        # iteration budget exhausted before the fixpoint: the edge set is not
+        # yet a star forest, so a node can carry several (conflicting) labels.
+        # Collapse to one deterministic label per node and say so — silent
+        # multi-labels would corrupt downstream dedup_by_components.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: star alternation hit max_iterations="
+            f"{max_iterations} before convergence; labels collapsed to "
+            f"min(component) per node and may split true components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        non_roots = non_roots.groupBy("node").agg(
+            F.min("component").alias("component")
+        )
     roots = nodes.join(
         non_roots.select("node"), "node", "left_anti"
     ).withColumn("component", F.col("node"))

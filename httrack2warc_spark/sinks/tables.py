@@ -64,6 +64,13 @@ class CrawlCatalog(abc.ABC):
     def row_count(self, name: str) -> int: ...
 
     @abc.abstractmethod
+    def fileset_row_count(self, entry) -> int:
+        """Rows in the fileset/commit identified by ``entry`` — the value
+        ``append()``/``write()`` returned. Must be metadata-only (no Spark
+        job): the scheduler's job-free next-frontier count depends on it."""
+        ...
+
+    @abc.abstractmethod
     def exists(self, name: str) -> bool: ...
 
     @abc.abstractmethod
@@ -501,6 +508,18 @@ class IcebergCatalog(CrawlCatalog):
     def row_count(self, name) -> int:
         row = self.spark.sql(
             f"SELECT summary['total-records'] AS n FROM {self._t(name)}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(row[0].n) if row and row[0].n is not None else 0
+
+    def fileset_row_count(self, entry) -> int:
+        """Rows added by the commit ``append()``/``write()`` returned for:
+        Iceberg records ``added-records`` in every snapshot summary, so this
+        is metadata-only — the exact twin of TableCatalog's parquet-footer
+        arithmetic the scheduler's job-free frontier count relies on.
+        ``entry`` is the table identifier the write verbs return."""
+        row = self.spark.sql(
+            f"SELECT summary['added-records'] AS n FROM {entry}.snapshots "
             f"ORDER BY committed_at DESC LIMIT 1"
         ).collect()
         return int(row[0].n) if row and row[0].n is not None else 0

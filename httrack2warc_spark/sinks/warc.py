@@ -211,14 +211,18 @@ def warc_records(
     base = base.withColumn("__is_revisit", is_revisit)
 
     # revisit (payload_dedup): HTTP headers kept, payload omitted, pointers
-    # at the first capture — WARC 1.0 identical-payload-digest profile
+    # at the first capture. Declared WARC/1.1 with the 1.1 profile URI:
+    # WARC-Refers-To-Target-URI / WARC-Refers-To-Date are 1.1 fields, so the
+    # record must claim the version that defines them (strict 1.0 validators
+    # reject them as extensions). Response/request records stay 1.0 — mixed
+    # per-record versions in one file are explicitly allowed by the spec.
     revisit_header = F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: "),
+        F.lit("WARC/1.1\r\nWARC-Type: revisit\r\nWARC-Target-URI: "),
         F.col("url"),
         F.lit("\r\nWARC-Date: "), F.col("warc_date"),
         F.lit("\r\nWARC-Payload-Digest: sha1:"), F.col("digest"),
         F.lit("\r\nWARC-Profile: "
-              "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+              "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"),
         F.lit("\r\nWARC-Refers-To: "), F.col("__orig_id"),
         F.lit("\r\nWARC-Refers-To-Target-URI: "), F.col("__orig_url"),
         F.lit("\r\nWARC-Refers-To-Date: "), F.col("__orig_date"),

@@ -307,3 +307,32 @@ def test_ivf_recall_and_kmeans_refinement(spark):
     r0, r2 = recall(0), recall(2)
     assert r0 >= 0.5, r0
     assert r2 >= r0 - 0.1, (r0, r2)  # refinement must not collapse recall
+
+
+def test_connected_components_nonconvergence_collapses(spark):
+    """Exhausting max_iterations before the star-forest fixpoint must not
+    silently emit multiple conflicting labels per node: the result collapses
+    to one deterministic min(component) label per node, warns, and records
+    converged=False in stats."""
+    import warnings
+
+    from httrack2warc_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40)], "a long, b long"
+    )
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(
+            pairs, algorithm="star", max_iterations=1, stats=stats
+        ).collect()
+    assert stats["converged"] is False
+    assert any("max_iterations" in str(w.message) for w in caught)
+    # one label per node, even though the edge set was not a star forest yet
+    nodes = [r.node for r in out]
+    assert len(nodes) == len(set(nodes)) == 41
+    # the converged run still reports converged=True
+    st2: dict = {}
+    connected_components(pairs, algorithm="star", stats=st2).collect()
+    assert st2["converged"] is True

@@ -138,3 +138,28 @@ def test_salted_topk_auto_engages_on_skew(spark, tmp_path):
     assert s_auto.salted_rounds, "auto heuristic never engaged"
     assert not s_plain.salted_rounds
     assert order_auto == order_plain and len(order_auto) > 10
+
+
+def test_iceberg_catalog_smoke_with_runtime(spark, tmp_path):
+    """One append/snapshot/expire cycle through the REAL Iceberg adapter —
+    runs only when the iceberg-spark-runtime jar is on the classpath (absent
+    in this sandbox, so normally a skip, not a gap: the adapter's SQL surface
+    gets exercised the moment the runtime appears)."""
+    import pytest
+
+    from httrack2warc_spark.sinks.tables import IcebergCatalog, iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime jar not on the session classpath")
+
+    cat = IcebergCatalog(spark, str(tmp_path / "ice"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    entry = cat.write("smoke", df)
+    assert cat.exists("smoke")
+    entry = cat.append("smoke", spark.createDataFrame([(3, "c")], "id long, v string"))
+    assert cat.row_count("smoke") == 3
+    assert cat.fileset_row_count(entry) == 1  # added-records of the append
+    cat.snapshot("r1", {"round": 1})
+    assert "r1" in cat.list_snapshots()
+    cat.expire_snapshots(keep_last=1)
+    assert cat.read("smoke").count() == 3

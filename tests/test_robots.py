@@ -227,3 +227,53 @@ def test_dynamic_robots_discovery(spark, tmp_path):
     )
     visited2 = {r.url_key for r in sched2.run(seeds=[f"http://{host}/"]).collect()}
     assert f"{host}/private/1" in visited2 and f"{host}/private/2" in visited2
+
+
+def test_static_rules_superseded_by_discovered(spark, tmp_path):
+    """A statically-passed rule row for a host whose robots.txt is later
+    FETCHED must be replaced, not duplicated: two rows per host in
+    self.robots would double every frontier row for that host through
+    _apply_robots's left join (duplicate fetches/seq/log rows and broken
+    footer-based frontier arithmetic). Freshly fetched rules win."""
+    from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler
+    from httrack2warc_spark.frontier.synth import SyntheticWeb
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    host = "merge.example.org"
+    robots_body = "User-agent: *\nDisallow: /private/\n"
+    pages = spark.createDataFrame(
+        [(f"{host}/robots.txt", 200, "text/plain", len(robots_body), "r", None, robots_body),
+         (f"{host}/", 200, "text/html", 100, "f", None, None),
+         (f"{host}/page/1", 200, "text/html", 100, "f", None, None),
+         (f"{host}/old-block/1", 200, "text/html", 100, "f", None, None),
+         (f"{host}/private/1", 200, "text/html", 100, "f", None, None)],
+        "url_key string, status int, mime string, size long, localfile string, "
+        "image_id string, body string",
+    )
+    links = spark.createDataFrame(
+        [(f"{host}/", 0, f"http://{host}/page/1"),
+         (f"{host}/", 1, f"http://{host}/old-block/1"),
+         (f"{host}/", 2, f"http://{host}/private/1")],
+        "src_key string, link_idx int, dst_url string",
+    )
+    # stale static rule: blocks /old-block/, says nothing about /private/
+    static = spark.createDataFrame(
+        [(host, ["/old-block/"])], "host string, disallow array<string>"
+    )
+    web = SyntheticWeb(pages, links, broadcast_pages=True)
+    cat = TableCatalog(spark, str(tmp_path / "merge"))
+    sched = FrontierScheduler(
+        spark, cat, web, CrawlConfig(num_parts=4, max_rounds=8), robots=static
+    )
+    log_rows = sched.run(seeds=[f"http://{host}/"]).collect()
+    visited = [r.url_key for r in log_rows]
+    # exactly one row per host in the merged rule set — discovered wins
+    rules = sched.robots.collect()
+    assert len(rules) == 1 and rules[0].disallow == ["/private/"]
+    # no duplicated fetches (the two-rows-per-host bug doubled every row)
+    assert len(visited) == len(set(visited)), visited
+    # discovered rule applied from the next round; the stale static block is
+    # gone, so /old-block/ IS fetched (it was eligible in round 1 anyway —
+    # the meaningful assertion is /private/ stays out and nothing doubles)
+    assert f"{host}/private/1" not in visited
+    assert f"{host}/page/1" in visited

@@ -44,7 +44,10 @@ def test_revisit_records(spark):
         r = by_seq[s]
         assert r.record_type == "revisit"
         assert "WARC-Type: revisit" in r.warc_header
-        assert ("WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+        # revisit records are WARC/1.1 (Refers-To-Target-URI/-Date are 1.1
+        # fields); the rest of the file stays 1.0
+        assert r.warc_header.startswith("WARC/1.1\r\n")
+        assert ("WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
                 "identical-payload-digest") in r.warc_header
         assert "WARC-Refers-To-Target-URI: http://h/a" in r.warc_header
         assert f"WARC-Payload-Digest: sha1:{by_seq[0].digest}" in r.warc_header
