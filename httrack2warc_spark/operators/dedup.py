@@ -193,9 +193,15 @@ def minhash_lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature to a bucket, self-join on
     ``(band, bucket)`` → candidate pairs ``(a, b)`` with a < b, distinct.
+
+    ``distinct=False`` skips the final dedup exchange: a pair agreeing on k
+    bands comes out k times. Correct whenever the consumer is idempotent per
+    pair (the dedup path's existence-only anti-join is) — dropping the
+    shuffle beats re-verifying the ~20% duplicated pairs.
 
     Scale: the self-join shuffles on the 8-byte bucket key only; band explosion
     multiplies rows by ``bands`` but each row is (id, band, bucket) — tiny next
@@ -223,6 +229,14 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    # pin the partitioning once for the cap window AND the self-join: one
+    # explicit hash repartition on the join keys that both reuse (no second
+    # exchange), and being user-specified it is exempt from AQE coalescing,
+    # which would otherwise fold this byte-small but compute-heavy join
+    # stage onto 1-2 tasks (measured: the whole candidate+verify stage ran
+    # as 2 tasks with 3.3 s of single-core time available to parallelize)
+    n_par = int(sigs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    band_buckets = band_buckets.repartition(n_par, "band", "bucket")
     if max_bucket_size is not None:
         # window count over the same (band, bucket) partitioning the self-join
         # shuffles on — the count piggybacks on that single exchange instead
@@ -235,7 +249,7 @@ def minhash_lsh_candidates(
         )
     left = band_buckets.alias("l")
     right = band_buckets.alias("r")
-    return (
+    pairs = (
         left.join(
             right,
             on=[
@@ -245,8 +259,8 @@ def minhash_lsh_candidates(
             ],
         )
         .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
     )
+    return pairs.distinct() if distinct else pairs
 
 
 def minhash_lsh_dedup(
@@ -291,15 +305,51 @@ def minhash_lsh_dedup(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__th")
     )
-    df = reps
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+
+    # ONE tokenize+hash pass for the whole operator: the rep set, the
+    # distinct shingle-hash sets and the signatures (minhash over the
+    # DISTINCT set — min is idempotent under duplicates, and the distinct
+    # array is smaller to rehash 'num_hashes' times) materialize together
+    # via an eager localCheckpoint. Without it the candidate scan, both
+    # verify-join sides and the final anti-join each re-tokenized the corpus
+    # (4 full text passes — measured ~2× the operator at sf0.1). The blocks
+    # are executor memory+disk and ContextCleaner-freed when the DataFrame
+    # is dropped, so nothing leaks across bench repetitions.
+    def _sig_fn(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    # explicit parallelism for the tokenize+signature stage: its bytes are
+    # tiny relative to its per-row CPU (shingle + num_hashes rehashes), so
+    # AQE's byte-based coalescing squeezes it onto 1-2 tasks (measured: the
+    # whole base pass single-task). An explicit repartition(n) is exempt
+    # from AQE coalescing and restores the full slot count.
+    n_par = int(reps.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = _with_shingle_hashes(
+        reps.repartition(n_par), text_col, shingle_n
+    ).withColumn("__set", F.array_distinct("__h"))
+    base = base.withColumn(
+        "minhash",
+        F.array(
+            *[
+                F.coalesce(
+                    F.array_min(F.transform(F.col("__set"), _sig_fn(i))),
+                    F.lit(2**63 - 1),
+                )
+                for i in range(num_hashes)
+            ]
+        ),
+    ).drop("__h").localCheckpoint(eager=True)
+    df = base.drop("__set", "minhash")
+    sigs = base.select(id_col, "minhash")
+    # distinct=False: the pair stream feeds an existence-only anti-join, so
+    # duplicated pairs (one per agreeing band, ~20% extra here) are cheaper
+    # to verify redundantly than to dedup through an extra exchange
     cand = minhash_lsh_candidates(
-        sigs, id_col, "minhash", bands, rows_per_band, max_bucket_size
+        sigs, id_col, "minhash", bands, rows_per_band, max_bucket_size,
+        distinct=False,
     )
     if verify == "exact":
-        sets = _with_shingle_hashes(df, text_col, shingle_n).select(
-            F.col(id_col), F.array_distinct("__h").alias("__set")
-        )
+        sets = base.select(F.col(id_col), F.col("__set"))
         sl = sets.select(F.col(id_col).alias("a"), F.col("__set").alias("set_a"))
         sr = sets.select(F.col(id_col).alias("b"), F.col("__set").alias("set_b"))
         inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
@@ -307,6 +357,13 @@ def minhash_lsh_dedup(
         verified = (
             cand.join(sl, "a")
             .join(sr, "b")
+            # sound size prune before the per-pair intersect: J ≤ min/max,
+            # so J ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|) — the filter
+            # is two size() calls, the intersect it skips builds a hash set
+            .where(
+                F.least(F.size("set_a"), F.size("set_b"))
+                >= threshold * F.greatest(F.size("set_a"), F.size("set_b"))
+            )
             .withColumn("jaccard", inter / union)
             .where(F.col("jaccard") >= threshold)
         )
@@ -327,7 +384,9 @@ def minhash_lsh_dedup(
             )
             .where(F.col("est_jaccard") >= threshold)
         )
-    losers = verified.select(F.col("b").alias(id_col)).distinct()
+    # no distinct on losers: left_anti tests existence only, and skipping the
+    # dedup exchange on the (small) loser stream removes a whole stage
+    losers = verified.select(F.col("b").alias(id_col))
     return df.join(losers, id_col, "left_anti")
 
 
@@ -475,12 +534,23 @@ def simhash_dedup(
         .withColumn("__rn", F.row_number().over(w_exact))
         .where(F.col("__rn") == 1)
         .drop("__rn", "__th")
+        # materialize the rep set once: it feeds the fingerprint pass AND the
+        # final anti-join — lazy, each consumer re-ran the exact-dup window
+        # shuffle over the full text column
+        .localCheckpoint(eager=True)
     )
     width = 64 // blocks
-    fp = _with_shingle_hashes(df, text_col, shingle_n,
+    # fingerprints materialized once too: the block self-join reads `blocked`
+    # on both sides, and without the checkpoint each side re-ran tokenize +
+    # per-shingle md5/xxhash + the pandas bit vote (the two dominant stages).
+    # Explicit repartition first: the stage is byte-small but CPU-heavy, so
+    # AQE's byte-based coalescing would run it on 1-2 tasks (see
+    # minhash_lsh_dedup); user repartition(n) is exempt.
+    n_par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    fp = _with_shingle_hashes(df.repartition(n_par), text_col, shingle_n,
                               hash_family=hash_family).select(
         F.col(id_col), simhash64_of_hashes(F.col("__h")).alias("fp")
-    )
+    ).localCheckpoint(eager=True)
     blocked = fp.select(
         id_col,
         "fp",
@@ -511,9 +581,11 @@ def simhash_dedup(
         )
         .where(F.col("hamming") <= hamming_threshold)
         .select("a", "b")
-        .distinct()
     )
-    losers = cand.select(F.col("b").alias(id_col)).distinct()
+    # no distinct on pairs or losers: a pair sharing k identical blocks shows
+    # up k times, but the hamming verdict is per-pair deterministic and the
+    # left_anti below tests existence only — two dedup exchanges saved
+    losers = cand.select(F.col("b").alias(id_col))
     return df.join(losers, id_col, "left_anti")
 
 
