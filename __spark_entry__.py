@@ -897,6 +897,61 @@ def frontier_bfs_q(spark, sf_dir):
     return log.select("url", F.col("round").cast("int").alias("round")).orderBy("url")
 
 
+def frontier_polite_q(spark, sf_dir):
+    """The POLITENESS-RICH scheduler value-checked (the round-4 gap): two
+    hosts, per-host budget 3, leftover rows queued across rounds. Under
+    fetch_robots=False the whole crawl — which rows each round's per-host
+    top-k picks, the global seq order, the first-discovery metadata a URL
+    keeps — is a pure function of the deterministic doc graph and the
+    (priority, parent_seq, link_idx, url) ordering contract
+    (frontier/scheduler.py:438-483, operators/topk.py:30). The DuckDB twin
+    replays it with a recursive CTE: per-round per-host row_number() ≤
+    budget, first-occurrence discovery dedup, seen-set anti-join, and
+    parent_seq modeled as the order-isomorphic (parent_round, in-round rank)
+    composite. Returns the full visit log (seq, url, host, depth, round)."""
+    import tempfile
+
+    from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler
+    from httrack2warc_spark.frontier.synth import SyntheticWeb
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 2), F.lit(".example.org"))
+    key = F.concat(host, F.lit("/doc/"), F.col("doc_id"))
+    url_of = lambda node: F.concat(  # noqa: E731
+        F.lit("http://h"), node % 2, F.lit(".example.org/doc/"), node
+    )
+    pages = docs.select(
+        key.alias("url_key"), F.lit(200).alias("status"),
+        F.lit("text/html").alias("mime"), F.lit(0).cast("long").alias("size"),
+        F.lit("f").alias("localfile"), F.lit(None).cast("string").alias("image_id"),
+    )
+    links = docs.select(
+        key.alias("src_key"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("link_idx"),
+                url_of((F.col("doc_id") * 7 + j + 1) % n).alias("dst_url"),
+            )
+            for j in range(4)
+        ])).alias("l"),
+    ).select("src_key", "l.link_idx", "l.dst_url")
+    web = SyntheticWeb(pages, links, broadcast_pages=True)
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="spark_graft_pol_"))
+    sched = FrontierScheduler(
+        spark, cat, web,
+        CrawlConfig(num_parts=8, max_rounds=6, fetch_robots=False,
+                    default_host_budget=3),
+    )
+    log = sched.run(seeds=["http://h0.example.org/doc/0",
+                           "http://h1.example.org/doc/1"])
+    return log.select(
+        "seq", "url", "host", F.col("depth").cast("int").alias("depth"),
+        F.col("round").cast("int").alias("round"),
+    ).orderBy("seq")
+
+
 def doc_chunks_q(spark, sf_dir):
     """Context-window chunking (max 40 tokens, overlap 8) — the standard
     LLM pre-training chunker; exact function of the text, value-checked."""
@@ -988,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host": url_host_q,
         "frontier_crawl": frontier_crawl_q,
         "frontier_bfs": frontier_bfs_q,
+        "frontier_polite": frontier_polite_q,
         "doc_chunks": doc_chunks_q,
         "corpus_sample": corpus_sample_q,
         "tfidf_keywords": tfidf_keywords_q,
@@ -1660,6 +1716,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://corpus.example.org/doc/' || node AS url,
                    min(depth)::INT AS round
             FROM bfs GROUP BY node ORDER BY url
+        """,
+        # frontier_polite: full replay of the politeness-rich scheduler.
+        # State rows per iteration r: kind 'f' = frontier, 'v' = visited
+        # (vround = fetch round). Each step: per-host row_number() <= 3
+        # budget pick ordered by the scheduler's (priority=depth, parent_seq,
+        # link_idx, url) contract, first-occurrence discovery dedup, seen-set
+        # anti-join (frontier + visited nodes), leftover rows requeued.
+        # parent_seq is modeled by the order-isomorphic composite
+        # parent_ord = vround*1e6 + in-round rank (global seq is consecutive
+        # by round, so (vround, rank) sorts identically); the final seq is
+        # row_number over (vround, depth, parent_ord, link_idx, url).
+        "frontier_polite": """
+            WITH RECURSIVE crawl AS (
+                SELECT 0 AS r, 'f' AS kind, s.node::BIGINT AS node,
+                       0 AS depth, (-1)::BIGINT AS parent_ord,
+                       s.idx AS link_idx, NULL::INT AS vround
+                FROM (VALUES (0, 0), (1, 1)) s(node, idx)
+                UNION ALL
+                SELECT * FROM (
+                    WITH prev AS (SELECT * FROM crawl WHERE r < 6),
+                    front AS (
+                        SELECT *,
+                               'http://h' || (node % 2) || '.example.org/doc/'
+                                   || node AS url
+                        FROM prev WHERE kind = 'f'
+                    ),
+                    vis AS (SELECT * FROM prev WHERE kind = 'v'),
+                    sel AS (
+                        SELECT *, row_number() OVER (
+                                   PARTITION BY node % 2
+                                   ORDER BY depth, parent_ord, link_idx, url
+                               ) AS hrk
+                        FROM front QUALIFY hrk <= 3
+                    ),
+                    ranked AS (
+                        SELECT *, row_number() OVER (
+                                   ORDER BY depth, parent_ord, link_idx, url
+                               ) AS rrk
+                        FROM sel
+                    ),
+                    cand AS (
+                        SELECT (s.node * 7 + j.j + 1)
+                                   % (SELECT count(*) FROM documents) AS dst,
+                               s.depth + 1 AS depth,
+                               (s.r * 1000000 + s.rrk)::BIGINT AS parent_ord,
+                               j.j AS link_idx, s.r AS r
+                        FROM ranked s, (SELECT UNNEST([0, 1, 2, 3]) AS j) j
+                    ),
+                    firstc AS (
+                        SELECT *, row_number() OVER (
+                                   PARTITION BY dst ORDER BY parent_ord, link_idx
+                               ) AS dk
+                        FROM cand QUALIFY dk = 1
+                    ),
+                    fresh AS (
+                        SELECT * FROM firstc
+                        WHERE dst NOT IN (SELECT node FROM front)
+                          AND dst NOT IN (SELECT node FROM vis)
+                    )
+                    SELECT v.r + 1, 'v', v.node, v.depth, v.parent_ord,
+                           v.link_idx, v.vround
+                    FROM vis v
+                    UNION ALL
+                    SELECT s.r + 1, 'v', s.node, s.depth, s.parent_ord,
+                           s.link_idx, s.r
+                    FROM sel s
+                    UNION ALL
+                    SELECT f.r + 1, 'f', f.node, f.depth, f.parent_ord,
+                           f.link_idx, NULL::INT
+                    FROM front f
+                    WHERE f.node NOT IN (SELECT node FROM sel)
+                    UNION ALL
+                    SELECT c.r + 1, 'f', c.dst, c.depth, c.parent_ord,
+                           c.link_idx, NULL::INT
+                    FROM fresh c
+                ) step
+            ), visited AS (
+                SELECT DISTINCT node, depth, parent_ord, link_idx, vround
+                FROM crawl WHERE kind = 'v'
+            )
+            SELECT (row_number() OVER (
+                        ORDER BY vround, depth, parent_ord, link_idx,
+                                 'http://h' || (node % 2) || '.example.org/doc/'
+                                     || node
+                    ) - 1)::BIGINT AS seq,
+                   'http://h' || (node % 2) || '.example.org/doc/' || node AS url,
+                   'h' || (node % 2) || '.example.org' AS host,
+                   depth::INT AS depth, vround::INT AS round
+            FROM visited ORDER BY seq
         """,
         # doc_chunks: sliding windows of 40 tokens, stride 32 (overlap 8);
         # window count 1 + ceil(max(n-40,0)/32); DuckDB list slice clamps

@@ -16,6 +16,7 @@ import __spark_entry__ as entry
 SKIP = {
     "embedding_topk",   # documented brute-force baseline: broadcast cross join
     "frontier_crawl",   # runs the crawl while building
+    "frontier_polite",  # runs the crawl while building
     "warc_roundtrip",   # writes WARC files while building
     "dedup_components", # iterative: executes jobs during construction
     "pagerank",         # iterative: executes jobs during construction
