@@ -580,32 +580,63 @@ def image_resize_q(spark, sf_dir):
 
 
 def image_features_q(spark, sf_dir):
-    """Image feature extraction (channel means, luminance std, 8-bin
-    histogram, pHash) — rows-only."""
+    """Image feature extraction VALUE-CHECKED: the generator emits expected
+    feature columns computed by an independent numpy formulation (bincount
+    histogram, E[x²]−E[x]² std, flat channel means — synth.py
+    generate_images) at generation time; the query runs the real decode →
+    mapInPandas feature kernels and compares. Every match flag must be true
+    for all 64 rows — a constant table the DuckDB oracle states exactly, so
+    codec round-trip + Arrow plumbing + kernel math are all on the hash."""
     from httrack2warc_spark.frontier.synth import generate_images
     from httrack2warc_spark.functions.images import image_features
 
-    imgs = generate_images(spark, 64, w=16, h=16)
-    out = image_features(imgs)
-    return out.where(F.col("decoded")).select(
-        "image_id",
-        F.round("mean_r", 4).alias("mean_r"),
-        F.round("std_lum", 4).alias("std_lum"),
-        "phash",
+    imgs = generate_images(spark, 64, w=16, h=16, with_expected=True)
+    out = image_features(imgs.select("image_id", "bytes", "fmt"))
+    exp = imgs.select("image_id", "fmt", "exp_mean_r", "exp_mean_g",
+                      "exp_mean_b", "exp_std_lum", "exp_hist", "exp_phash")
+    tol = 1e-9
+    joined = out.join(F.broadcast(exp), "image_id")
+    hist_ok = F.aggregate(
+        F.zip_with(
+            "lum_hist", "exp_hist",
+            lambda a, b: (F.abs(a - b) < tol).cast("int"),
+        ),
+        F.lit(0), lambda acc, v: acc + v,
+    ) == F.size("lum_hist")
+    return joined.select(
+        "image_id", "fmt", "decoded",
+        ((F.abs(F.col("mean_r") - F.col("exp_mean_r")) < tol)
+         & (F.abs(F.col("mean_g") - F.col("exp_mean_g")) < tol)
+         & (F.abs(F.col("mean_b") - F.col("exp_mean_b")) < tol)).alias("mean_ok"),
+        (F.abs(F.col("std_lum") - F.col("exp_std_lum")) < 1e-6).alias("std_ok"),
+        hist_ok.alias("hist_ok"),
+        (F.col("phash") == F.col("exp_phash")).alias("phash_ok"),
     ).orderBy("image_id")
 
 
 def frame_sample_q(spark, sf_dir):
-    """Video frame sampling (fake container, real mapInPandas fan-out) —
-    rows-only."""
-    from httrack2warc_spark.functions.images import frame_sample, synth_video
+    """Video frame sampling VALUE-CHECKED: expected per-frame pHashes are
+    computed at table-build time straight from the generative pixels
+    (phash64 ∘ synth_pixels — never touching the container codec or the
+    distributed fan-out); the query decodes the container in mapInPandas and
+    must reproduce them for every sampled frame. The DuckDB oracle states
+    the exact 16×{0,4,8} all-true table."""
+    from httrack2warc_spark.functions.images import (
+        frame_sample, phash64, synth_pixels, synth_video)
 
     vids = spark.createDataFrame(
         [(f"vid-{i}", synth_video(f"vid-{i}", 16, 16, 12)) for i in range(16)],
         "video_id string, bytes binary",
     )
-    return frame_sample(vids, every_k=4).select(
-        "video_id", "frame_idx", "phash"
+    expected = spark.createDataFrame(
+        [(f"vid-{i}", f, phash64(synth_pixels(f"vid-{i}#f{f}", 16, 16)))
+         for i in range(16) for f in (0, 4, 8)],
+        "video_id string, frame_idx int, exp_phash long",
+    )
+    out = frame_sample(vids, every_k=4)
+    return out.join(F.broadcast(expected), ["video_id", "frame_idx"]).select(
+        "video_id", "frame_idx",
+        (F.col("phash") == F.col("exp_phash")).alias("phash_ok"),
     ).orderBy("video_id", "frame_idx")
 
 
@@ -649,32 +680,103 @@ def warc_roundtrip_q(spark, sf_dir):
     ).orderBy("url")
 
 
+def _wave_mono(wav_bytes):
+    """Independent WAV decode for oracle expecteds: the stdlib ``wave``
+    parser, not this repo's RIFF codec — a bug in either decoder breaks the
+    match flags instead of cancelling out."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(wav_bytes)) as w:
+        sr = w.getframerate()
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    return sr, pcm.astype(np.float64)
+
+
 def audio_features_q(spark, sf_dir):
-    """Audio feature extraction over a deterministic generated table (rows-
-    only: binary payloads) — real WAV codec, vectorized DSP, one quarantined
-    undecodable row proving the no-crash path."""
-    from httrack2warc_spark.functions.audio import audio_features, synth_audio
+    """Audio feature extraction VALUE-CHECKED: expected values are computed
+    at build time from an INDEPENDENT decode path (stdlib wave, not the
+    repo's RIFF parser) with the documented formulas; the query's real
+    codec + Arrow DSP kernels must match them, and the quarantined
+    undecodable row must come back decoded=false. The DuckDB oracle states
+    the exact 33-row table of flags."""
+    import math
+
+    import numpy as np
+
+    from httrack2warc_spark.functions.audio import (
+        audio_features, audio_fingerprint64, synth_audio)
 
     rows = [(f"au-{i}", synth_audio(f"au-{i}", 8000, 8000), "wav")
             for i in range(32)]
+    exp_rows = []
+    for aid, data, _fmt in rows:
+        sr, mono = _wave_mono(data)
+        x = mono / 32768.0
+        rms = math.sqrt(float(np.square(x).sum()) / len(x))
+        # the documented ZCR contract counts every sign-state change
+        # including through exact zero (a -1→0→+1 run is two crossings),
+        # so the expected value uses the same sign-delta definition — the
+        # independence is in the decode path, not the formula
+        zcr = float(np.mean(np.abs(np.diff(np.sign(x))) > 0))
+        exp_rows.append((aid, round(20 * math.log10(max(rms, 1e-9)), 6),
+                         round(zcr, 6), audio_fingerprint64(mono)))
     rows.append(("au-bad", b"\xffopaque", "mp3"))
     df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
-    return audio_features(df).select(
-        "audio_id", "decoded", "rms_db", "zero_cross_rate", "fingerprint"
+    exp = spark.createDataFrame(
+        exp_rows,
+        "audio_id string, exp_rms_db double, exp_zcr double, exp_fp long",
+    )
+    out = audio_features(df).join(F.broadcast(exp), "audio_id", "left")
+    return out.select(
+        "audio_id", "decoded",
+        F.when(F.col("decoded"),
+               F.abs(F.col("rms_db") - F.col("exp_rms_db")) < 1e-5)
+        .otherwise(F.lit(False)).alias("rms_ok"),
+        F.when(F.col("decoded"),
+               F.abs(F.col("zero_cross_rate") - F.col("exp_zcr")) < 1e-5)
+        .otherwise(F.lit(False)).alias("zcr_ok"),
+        F.when(F.col("decoded"), F.col("fingerprint") == F.col("exp_fp"))
+        .otherwise(F.lit(False)).alias("fp_ok"),
     ).orderBy("audio_id")
 
 
 def audio_windows_q(spark, sf_dir):
-    """Audio window fan-out (rows-in → window-rows-out) — rows-only."""
-    from httrack2warc_spark.functions.audio import synth_audio, window_sample
+    """Audio window fan-out VALUE-CHECKED: per-window expecteds computed at
+    build time from the independent stdlib-wave decode (see
+    audio_features_q); one row per sampled window, every flag true — the
+    DuckDB oracle states the exact 16×{0,2,4,6} table."""
+    import math
 
-    df = spark.createDataFrame(
-        [(f"au-{i}", synth_audio(f"au-{i}", 8000, 16000), "wav")
-         for i in range(16)],
-        "audio_id string, bytes binary, fmt string",
+    import numpy as np
+
+    from httrack2warc_spark.functions.audio import (
+        audio_fingerprint64, synth_audio, window_sample)
+
+    rows = [(f"au-{i}", synth_audio(f"au-{i}", 8000, 16000), "wav")
+            for i in range(16)]
+    exp_rows = []
+    for aid, data, _fmt in rows:
+        _sr, mono = _wave_mono(data)
+        win = 2000  # 250 ms @ 8 kHz
+        for idx in range(0, len(mono) // win, 2):
+            seg = mono[idx * win:(idx + 1) * win]
+            rms = math.sqrt(float(np.square(seg / 32768.0).sum()) / len(seg))
+            exp_rows.append((aid, idx,
+                             round(20 * math.log10(max(rms, 1e-9)), 6),
+                             audio_fingerprint64(seg)))
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    exp = spark.createDataFrame(
+        exp_rows,
+        "audio_id string, window_idx int, exp_rms_db double, exp_fp long",
     )
-    return window_sample(df, window_ms=250, every_k=2).select(
-        "audio_id", "window_idx", "rms_db", "fingerprint"
+    out = window_sample(df, window_ms=250, every_k=2)
+    return out.join(F.broadcast(exp), ["audio_id", "window_idx"]).select(
+        "audio_id", "window_idx",
+        (F.abs(F.col("rms_db") - F.col("exp_rms_db")) < 1e-5).alias("rms_ok"),
+        (F.col("fingerprint") == F.col("exp_fp")).alias("fp_ok"),
     ).orderBy("audio_id", "window_idx")
 
 
@@ -1449,6 +1551,52 @@ def oracle_sql() -> dict[str, str]:
             FROM v x JOIN v y ON x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.45
             ORDER BY a, b
+        """,
+        # image/audio/video: the Spark queries compare real-codec + Arrow
+        # kernel output against expecteds computed by INDEPENDENT paths at
+        # generation time (alternate numpy formulations, stdlib-wave decode,
+        # straight-from-pixels phashes); the oracle states the exact
+        # constant table the comparison must produce — every id present,
+        # every flag true, quarantined rows false/NULL. A regression in
+        # codec, plumbing or kernel flips a flag (or drops a row) and the
+        # value hash breaks.
+        "image_invariant": """
+            SELECT 'img-' || i AS image_id,
+                   (['png', 'jpeg', 'png', 'gif'])[(i % 4) + 1] AS fmt
+            FROM range(64) t(i) ORDER BY image_id
+        """,
+        "image_resize": """
+            SELECT 'img-' || i AS image_id, 8::INT AS w, 8::INT AS h,
+                   (['png', 'jpeg', 'png', 'gif'])[(i % 4) + 1] AS fmt
+            FROM range(64) t(i) ORDER BY image_id
+        """,
+        "image_features": """
+            SELECT 'img-' || i AS image_id,
+                   (['png', 'jpeg', 'png', 'gif'])[(i % 4) + 1] AS fmt,
+                   true AS decoded, true AS mean_ok, true AS std_ok,
+                   true AS hist_ok, true AS phash_ok
+            FROM range(64) t(i) ORDER BY image_id
+        """,
+        "frame_sample": """
+            SELECT 'vid-' || i AS video_id, f.f::INT AS frame_idx,
+                   true AS phash_ok
+            FROM range(16) t(i), (SELECT UNNEST([0, 4, 8]) AS f) f
+            ORDER BY video_id, frame_idx
+        """,
+        "audio_features": """
+            SELECT * FROM (
+                SELECT 'au-' || i AS audio_id, true AS decoded, true AS rms_ok,
+                       true AS zcr_ok, true AS fp_ok
+                FROM range(32) t(i)
+                UNION ALL
+                SELECT 'au-bad', false, false, false, false
+            ) ORDER BY audio_id
+        """,
+        "audio_windows": """
+            SELECT 'au-' || i AS audio_id, w.w::INT AS window_idx,
+                   true AS rms_ok, true AS fp_ok
+            FROM range(16) t(i), (SELECT UNNEST([0, 2, 4, 6]) AS w) w
+            ORDER BY audio_id, window_idx
         """,
         "warc_roundtrip": """
             SELECT 'http://docs.example.org/' || doc_id AS url,

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -210,10 +211,20 @@ def generate_images(
     h: int = 32,
     fmt_cycle: tuple[str, ...] = ("png", "jpeg", "png", "gif"),
     num_partitions: int | None = None,
+    with_expected: bool = False,
 ) -> DataFrame:
     """Deterministic image+caption table matching BASELINE.json input_hint:
     (image_id, bytes, w, h, fmt, caption, phash). Generation runs in
-    mapInPandas (distributed; payload bytes never touch the driver)."""
+    mapInPandas (distributed; payload bytes never touch the driver).
+
+    ``with_expected=True`` additionally emits expected feature columns
+    (exp_mean_r/g/b, exp_std_lum, exp_hist, exp_phash) computed at
+    generation time by an INDEPENDENT numpy formulation over the decoded
+    reconstruction — bincount histogram instead of np.histogram, E[x²]−E[x]²
+    std instead of ndarray.std, flat per-channel means. A downstream feature
+    pass that matches them proves the codec round-trip + Arrow plumbing +
+    kernel math end-to-end, which is what lets the graded image queries be
+    value-checked by a constant-table DuckDB oracle."""
     base = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -225,19 +236,40 @@ def generate_images(
                 px = synth_pixels(image_id, w, h)
                 data = encode_image(px, fmt)
                 # phash over the *decoded* pixels so lossy formats stay stable
-                rows.append(
-                    (
-                        image_id, data, w, h, fmt,
-                        synth_caption(image_id),
-                        phash64(decode_image(data, fmt)),
-                    )
+                recon = decode_image(data, fmt)
+                row = (
+                    image_id, data, w, h, fmt,
+                    synth_caption(image_id),
+                    phash64(recon),
                 )
-            yield pd.DataFrame(
-                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
-            )
+                if with_expected:
+                    flat = recon.reshape(-1, 3).astype(np.float64)
+                    lum = flat.mean(axis=1)
+                    hist = np.bincount(
+                        np.minimum(lum, 255.0).astype(np.int64) // 32,
+                        minlength=8,
+                    ) / max(1, lum.size)
+                    var = float((lum * lum).mean() - lum.mean() ** 2)
+                    row = row + (
+                        float(flat[:, 0].mean()), float(flat[:, 1].mean()),
+                        float(flat[:, 2].mean()),
+                        float(np.sqrt(max(var, 0.0))),
+                        hist.tolist(), phash64(recon),
+                    )
+                rows.append(row)
+            cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            if with_expected:
+                cols += ["exp_mean_r", "exp_mean_g", "exp_mean_b",
+                         "exp_std_lum", "exp_hist", "exp_phash"]
+            yield pd.DataFrame(rows, columns=cols)
 
-    return base.mapInPandas(
-        gen,
-        schema="image_id string, bytes binary, w int, h int, fmt string, "
-        "caption string, phash long",
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
     )
+    if with_expected:
+        schema += (
+            ", exp_mean_r double, exp_mean_g double, exp_mean_b double, "
+            "exp_std_lum double, exp_hist array<double>, exp_phash long"
+        )
+    return base.mapInPandas(gen, schema=schema)
