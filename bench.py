@@ -107,7 +107,8 @@ def main() -> None:
             spark, cat, web,
             CrawlConfig(num_parts=int(cpus), max_rounds=12,
                         default_host_budget=100_000, fetch_robots=False,
-                        summary_capacity_per_part=500_000, summary_every=3),
+                        summary_capacity_per_part=500_000, summary_every=3,
+                        commit_every=2),
         )
         t0 = time.time()
         log = sched.run(seeds=seeds)

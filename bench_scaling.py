@@ -114,7 +114,7 @@ sched = FrontierScheduler(spark, cat, web,
     CrawlConfig(num_parts=32, max_rounds=10,
                 default_host_budget=1_000_000, fetch_robots=False,
                 summary_capacity_per_part=200_000, summary_every=3,
-                seq_mode="ranged"))
+                seq_mode="ranged", commit_every=2))
 t0 = time.time()
 log = sched.run(seeds=seeds)
 n = log.count()

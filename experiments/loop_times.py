@@ -43,7 +43,8 @@ sched = FrontierScheduler(
     CrawlConfig(num_parts=int(cpus), max_rounds=12,
                 default_host_budget=100_000, fetch_robots=False,
                 summary_capacity_per_part=500_000, summary_every=3,
-                seen_compact_max=compact),
+                seen_compact_max=compact,
+                commit_every=int(os.environ.get("LAB_COMMIT_EVERY", "1"))),
 )
 t_mark = time.time() * 1000
 t0 = time.time()
@@ -94,3 +95,15 @@ print(f"\nwall {wall:.1f}s; {len(done)} jobs; sum job walls {total_job:.1f}s; "
       f"merged busy {busy/1000:.1f}s; driver-only gaps {wall - busy/1000:.1f}s")
 for site, sec in sorted(sites.items(), key=lambda kv: -kv[1])[:25]:
     print(f"{sec:8.2f}s  n={counts[site]:3d}  {site}")
+
+# gap attribution: idle spans > 200 ms labeled by the jobs on either side
+print("\nlargest driver-only gaps (prev-job -> next-job):")
+gaps = []
+prev = None
+for j in done:
+    if prev is not None and j["sub"] > prev["end"] + 200:
+        gaps.append(((j["sub"] - prev["end"]) / 1000, prev["site"], j["site"]))
+    if prev is None or j["end"] > prev["end"]:
+        prev = j
+for sec, a, b in sorted(gaps, reverse=True)[:12]:
+    print(f"{sec:8.2f}s  {a} -> {b}")

@@ -169,6 +169,17 @@ class CrawlConfig:
     # frontier, so compaction is cheap; the floor just stops tiny crawls
     # from compacting every round.
     frontier_tombstone_min: int = 1000
+    # commit cadence: flush the table-commit wave (url_seen/frontier/hosts/
+    # summary/log/metrics/images + compaction + snapshot + retention) every K
+    # rounds instead of every round. Rounds in between run ENTIRELY on the
+    # in-memory handoff state (cached frontier/hosts/summary + pending seen
+    # deltas folded into the discovery anti-join), so their fixed cost is one
+    # fetch job + one seen-delta materialization. Pure commit timing — visit
+    # order, budgets, robots and the url-seen set are bit-identical for any
+    # K (tests/test_scheduler.py asserts log equality). Trades: resume
+    # granularity becomes K rounds (snapshots land on flush rounds only) and
+    # up to K rounds of deltas stay cached between flushes.
+    commit_every: int = 1
     # when set (seconds of fetch time a round represents) and the robots
     # DataFrame carries a crawl_delay column (functions.robots.robots_rules),
     # a host's per-round budget is additionally capped at
@@ -214,6 +225,12 @@ class FrontierScheduler:
         self._frontier_count = 0
         self._hosts_mem: DataFrame | None = None
         self._n_hosts = 0  # lagged (hosts@r-1) input to the salted-auto heuristic
+        # commit-window state (cfg.commit_every > 1): summary handoff + the
+        # per-round deltas awaiting the next flush
+        self._summary_mem: DataFrame | None = None
+        self._pending: dict | None = None
+        self._pend_seen_all: DataFrame | None = None  # cumulative window deltas
+        self._window_pos = (0, 0)  # (last round, next_seq) for a forced flush
 
     # ------------------------------------------------------------------ utils
     def _seen_bucket(self) -> tuple[str, int] | None:
@@ -324,14 +341,33 @@ class FrontierScheduler:
 
     def _reset_handoff(self) -> None:
         """Drop the in-memory round handoff; the next round falls back to
-        catalog reads (safe: callers ensure no deferred tail is outstanding)."""
-        for df in (self._frontier_mem, self._hosts_mem):
+        catalog reads (safe: callers ensure no deferred tail is outstanding
+        and no pending commit window — run() force-flushes before this)."""
+        for df in (self._frontier_mem, self._hosts_mem, self._summary_mem):
             if df is not None:
                 df.unpersist()
         self._frontier_mem = None
         self._frontier_count = 0
         self._hosts_mem = None
         self._n_hosts = 0
+        self._summary_mem = None
+        if self._pending is not None:
+            for df in self._pending["caches"]:
+                df.unpersist()
+            self._pending = None
+        self._pend_seen_all = None
+
+    def _pending_window(self) -> dict:
+        """The accumulating commit window (cfg.commit_every): per-round delta
+        DataFrames awaiting the next flush, plus every cache the flush must
+        release. All delta frames are persisted/cached by their round."""
+        if self._pending is None:
+            self._pending = {
+                "new_seen": [], "log": [], "metrics": [], "front_adds": [],
+                "front_removed": [], "new_hosts": [], "images": [],
+                "checks": [], "summary": None, "caches": [], "rounds": [],
+            }
+        return self._pending
 
     # --------------------------------------------------- frontier delta store
     # The frontier commits as Iceberg-style merge-on-read deltas: "frontier"
@@ -370,6 +406,7 @@ class FrontierScheduler:
         returning, so direct callers always observe a fully-committed round
         (``run()`` uses the non-flushing form to get the overlap)."""
         out = self._run_round_guarded(round_no, next_seq)
+        self._force_flush()
         self._flush_deferred()
         return out
 
@@ -575,8 +612,17 @@ class FrontierScheduler:
         # probe cogroup below (dedup_order) — one exchange, not two
 
         seen = self.catalog.read("url_seen")
+        # commit-window deltas (cfg.commit_every > 1): seen keys from rounds
+        # whose flush hasn't happened yet — they compensate every stale
+        # catalog read below (exact confirm, unsummarized tail, robots dedup)
+        # one CUMULATIVE cached frame, not a per-round list: each extra
+        # frame would add a broadcast-build job to every probe/count plan
+        # (measured: 3 jobs/round of pure latency at commit_every=4)
+        pend_seen = self._pend_seen_all
         summaries = (
-            self.catalog.read("seen_summary") if cfg.use_summaries else None
+            self._summary_mem
+            if self._summary_mem is not None
+            else (self.catalog.read("seen_summary") if cfg.use_summaries else None)
         )
         covered = getattr(self, "_summary_covered_round", 0)
         tail = (
@@ -584,6 +630,8 @@ class FrontierScheduler:
             if cfg.use_summaries and cfg.summary_every > 1
             else None
         )
+        if pend_seen is not None and tail is not None:
+            tail = tail.unionByName(pend_seen)
         # robots fetches are logged but their url_keys must also be marked
         # seen. Stamp round_no+1 like every other key committed this round:
         # the unsummarized-tail filter is `enqueued_round > covered` with
@@ -595,10 +643,13 @@ class FrontierScheduler:
             .withColumn("enqueued_round", F.lit(round_no + 1))
         )
         # bucketed path: confirm anti-join per fileset (exchange-free bucketed
-        # scans on the seen side; see _anti_join_all)
+        # scans on the seen side; see _anti_join_all); pending window deltas
+        # ride along as extra (small, cached) confirm filesets
         seen_confirm = (
-            self.catalog.read_filesets("url_seen") if cfg.bucketed_seen else seen
-        )
+            self.catalog.read_filesets("url_seen")
+            if cfg.bucketed_seen
+            else [seen]
+        ) + ([pend_seen] if pend_seen is not None else [])
         new_frontier = filter_new_urls(
             candidates, seen_confirm, summaries, "url_key",
             cfg.num_parts, cfg.summary_fpp, unsummarized=tail,
@@ -609,7 +660,10 @@ class FrontierScheduler:
             robots_seen.select("url_key"), "url_key", "left_anti"
         ).persist()  # reused by frontier/url_seen/summary/metrics commits
 
-        robots_new = robots_seen.join(seen.select("url_key"), "url_key", "left_anti")
+        seen_keys = seen.select("url_key")
+        if pend_seen is not None:
+            seen_keys = seen_keys.unionByName(pend_seen.select("url_key"))
+        robots_new = robots_seen.join(seen_keys, "url_key", "left_anti")
         new_seen_rows = first_occurrence(
             new_frontier.select(
                 "url_key", "url", F.lit(round_no + 1).alias("enqueued_round")
@@ -638,9 +692,13 @@ class FrontierScheduler:
         # (replaces the former separate count(); without a pre-fill the
         # concurrent commits race to compute the same un-filled cache and
         # each runs the full pipeline — measured 71 s of a 64 s crawl).
-        seen_entry = self.catalog.append(
-            "url_seen", new_seen_rows, bucket_by=self._seen_bucket()
-        )
+        # The count materializes exactly what the former foreground append's
+        # write scan did; the write itself (bucketed exchange + sort + file
+        # I/O) rides the flush tail — one fileset per commit window, not per
+        # round (cfg.commit_every).
+        self.spark.sparkContext.setJobDescription("seen:materialize")
+        n_new_seen = new_seen_rows.count()
+        self.spark.sparkContext.setJobDescription(None)
 
         # dynamic robots discovery (cfg.discover_robots): parse this round's
         # fetched robots.txt bodies and fold them into the active rule set —
@@ -689,11 +747,11 @@ class FrontierScheduler:
         # catalog files a later retention vacuum may reclaim.
         #
         # The count (round r+1's emptiness check + seq/AQE sizing) must be
-        # EXACT. Without robots fetching it is pure footer arithmetic — no
-        # job: every fetched row consumed one frontier row and every url_seen
-        # append row is one new frontier row (new_frontier is unique by
-        # url_key and robots_new is empty), so
-        #   n_next = n_frontier − n_fetched + rows(url_seen append).
+        # EXACT. Without robots fetching it is pure arithmetic — no job:
+        # every fetched row consumed one frontier row and every new seen row
+        # is one new frontier row (new_frontier is unique by url_key and
+        # robots_new is empty), so
+        #   n_next = n_frontier − n_fetched + n_new_seen.
         # Robots rows perturb both terms, so that path materializes with one
         # count job over cached inputs (which also pre-fills the handoff the
         # tail's frontier write reuses).
@@ -703,49 +761,53 @@ class FrontierScheduler:
             n_next = next_frontier.count()
             self.spark.sparkContext.setJobDescription(None)
         else:
-            n_next = (
-                n_frontier - n_fetched
-                + self.catalog.fileset_row_count(seen_entry)
-            )
+            n_next = n_frontier - n_fetched + n_new_seen
 
-        def _commit_frontier() -> None:
-            # merge-on-read deltas (see _read_frontier): O(delta) appends,
-            # then collapse to the CACHED next frontier (a cheap cache scan,
-            # never a recompute) once tombstones outgrow the live set
-            self.catalog.append("frontier", new_frontier_rows)
-            self.catalog.append("frontier_removed", removed_keys)
-            n_adds = self.catalog.row_count("frontier")
-            n_rem = self.catalog.row_count("frontier_removed")
-            if n_rem > max(cfg.frontier_tombstone_min, n_adds - n_rem):
-                self.catalog.write("frontier", next_frontier)
-                self.catalog.write(
-                    "frontier_removed",
-                    self.spark.createDataFrame([], "url_key string"),
-                )
+        # ---- commit window (cfg.commit_every): this round's deltas join
+        # the pending window; the combined wave flushes every K rounds (and
+        # at crawl end). Between flushes the catalog is bit-stale by design —
+        # every read above compensates from the cached pending deltas.
+        pend = self._pending_window()
+        pend["rounds"].append(round_no)
+        pend["new_seen"].append(new_seen_rows)
+        if (round_no + 1) % max(cfg.commit_every, 1) != 0:
+            # later rounds of this window will read the pending seen set;
+            # keep it ONE cached frame (see pend_seen above). Skipped on
+            # flush rounds — nothing reads it before the catalog catches up.
+            prev_all = self._pend_seen_all
+            cum = (
+                new_seen_rows
+                if prev_all is None
+                else prev_all.unionByName(new_seen_rows)
+            ).persist()
+            if prev_all is not None:
+                pend["caches"].append(prev_all)
+            self._pend_seen_all = cum
+            pend["caches"].append(cum)
+        pend["log"].append(log_rows)
+        pend["front_adds"].append(new_frontier_rows)
+        pend["front_removed"].append(removed_keys)
 
-        deferred_commits = [
-            _commit_frontier,
-            lambda: self.catalog.append("crawl_log", log_rows),
-        ]
-        hosts_prev = None
         hosts_next = None
         if cfg.fetch_robots:
             # append-only like url_seen: only hosts first crawled this round
             # (anti-join against the standing set) — O(delta) per round, not
-            # an O(total-hosts) rewrite+distinct. hosts_base re-reads the
-            # committed table (post-flush ⇒ hosts@r-1, the same set
-            # crawled_hosts held) so the handoff lineage stays one parquet
-            # scan + one cached delta instead of chaining a union per round.
-            hosts_base = self.catalog.read("hosts_crawled")
+            # an O(total-hosts) rewrite+distinct. The standing set is the
+            # in-memory chain when one exists (the catalog may be a whole
+            # commit window stale), else the committed table.
+            hosts_base = (
+                self._hosts_mem
+                if self._hosts_mem is not None
+                else self.catalog.read("hosts_crawled")
+            )
             new_hosts = (
                 fetched.select("host")
                 .distinct()
                 .join(hosts_base, "host", "left_anti")
             )
-            deferred_commits.append(
-                lambda: self.catalog.append("hosts_crawled", new_hosts)
-            )
-            hosts_prev = self._hosts_mem
+            pend["new_hosts"].append(new_hosts)
+            if self._hosts_mem is not None:
+                pend["caches"].append(self._hosts_mem)
             # same localCheckpoint rationale as next_frontier; materialized
             # by the tail's count (or round r+1's first use — benign race)
             hosts_next = hosts_base.unionByName(new_hosts).localCheckpoint(
@@ -757,7 +819,8 @@ class FrontierScheduler:
         )
         if merge_now:
             # fold in everything since the last merge: the standing tail plus
-            # this round's new keys (both already computed — no re-read)
+            # this round's new keys (both already computed — no re-read; with
+            # a commit window open, `tail` already carries the pending rows)
             delta = new_seen_rows.select("url_key")
             if tail is not None:
                 delta = delta.unionByName(tail.select("url_key"))
@@ -766,9 +829,13 @@ class FrontierScheduler:
                 summaries, hashed_new, cfg.num_parts,
                 cfg.summary_kind, cfg.summary_capacity_per_part, cfg.summary_fpp,
             )
-            deferred_commits.append(
-                lambda: self.catalog.write("seen_summary", merged)
-            )
+            if self._summary_mem is not None:
+                pend["caches"].append(self._summary_mem)
+            # the summary handoff every later round probes; only the LATEST
+            # merged state is written at flush
+            self._summary_mem = merged.localCheckpoint(eager=False)
+            pend["summary"] = self._summary_mem
+            self._summary_covered_round = round_no + 1
         metrics = (
             add_partition_and_hashes(log_rows, "url_key", cfg.num_parts)
             .groupBy("part")
@@ -791,7 +858,7 @@ class FrontierScheduler:
                 F.coalesce("bytes", F.lit(0)).alias("bytes"),
             )
         )
-        deferred_commits.append(lambda: self.catalog.append("metrics", metrics))
+        pend["metrics"].append(metrics)
 
         # ---- image payload drain (north_rule: fetched image+caption records
         # land in the table store; the per-row invariant is checked in the
@@ -813,36 +880,116 @@ class FrontierScheduler:
                 F.col("seq").alias("fetch_seq"),
                 F.col("url").alias("fetch_url"),
             )
-            deferred_commits.append(
-                lambda: self.catalog.append("images_fetched", drained)
-            )
-            deferred_commits.append(
-                lambda: self.catalog.append("image_checks", checked)
-            )
+            pend["images"].append(drained)
+            pend["checks"].append(checked)
 
-        if merge_now:
-            self._summary_covered_round = round_no + 1
+        # caches this window pins until its flush (delta lineages reach into
+        # them); the LATEST handoffs (next_frontier / hosts / summary) are
+        # excluded — they carry state into the next window
+        pend["caches"].extend(
+            [frontier_prev, fetched, new_frontier, new_seen_rows]
+        )
+        pend["caches"].extend(seq_caches)
 
-        # ---- deferred tail: every remaining commit (round r+1 reads nothing
-        # from the catalog until it flushes this tail — its plan/top-k/fetch
-        # phase runs on the cached handoff), then url_seen compaction, the
-        # round-r snapshot (taken after ALL of this round's commits, so it is
-        # consistent by construction), retention, and the cache releases.
-        covered = getattr(self, "_summary_covered_round", 0)
-        seq_after = next_seq
         self._frontier_mem = next_frontier
         self._frontier_count = n_next
+        self._window_pos = (round_no, next_seq)
+        if (round_no + 1) % max(cfg.commit_every, 1) == 0:
+            self._force_flush()
+        return n_fetched, next_seq
+
+    def _force_flush(self) -> None:
+        """Flush the pending commit window (if any) using the latest round's
+        handoffs — the cadence trigger, the end-of-crawl partial window, and
+        direct ``run_round`` callers all land here."""
+        if self._pending is not None and self._pending["rounds"]:
+            round_no, seq_after = self._window_pos
+            self._flush_window(
+                round_no, seq_after, self._frontier_mem, self._hosts_mem
+            )
+
+    def _flush_window(
+        self,
+        round_no: int,
+        seq_after: int,
+        next_frontier: DataFrame,
+        hosts_next: DataFrame | None,
+    ) -> None:
+        """Submit the combined commit wave for the pending window: unioned
+        per-table deltas (one fileset per table per window), url_seen
+        compaction, one consistent snapshot at the window boundary,
+        retention, and the window's cache releases — all on the deferred
+        tail, overlapped with the next round's plan/top-k/fetch phase."""
+        cfg = self.cfg
+        pend, self._pending = self._pending, None
+        self._pend_seen_all = None
+        if pend is None or not pend["rounds"]:
+            return
+
+        def _union(dfs: list[DataFrame]) -> DataFrame:
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+
+        new_seen_all = _union(pend["new_seen"])
+        log_all = _union(pend["log"])
+        metrics_all = _union(pend["metrics"])
+        front_adds = _union(pend["front_adds"])
+        front_removed = _union(pend["front_removed"])
+
+        def _commit_frontier() -> None:
+            # merge-on-read deltas (see _read_frontier): O(delta) appends,
+            # then collapse to the CACHED next frontier (a cheap cache scan,
+            # never a recompute) once tombstones outgrow the live set
+            self.catalog.append("frontier", front_adds)
+            self.catalog.append("frontier_removed", front_removed)
+            n_adds = self.catalog.row_count("frontier")
+            n_rem = self.catalog.row_count("frontier_removed")
+            if n_rem > max(cfg.frontier_tombstone_min, n_adds - n_rem):
+                self.catalog.write("frontier", next_frontier)
+                self.catalog.write(
+                    "frontier_removed",
+                    self.spark.createDataFrame([], "url_key string"),
+                )
+
+        commits = [
+            lambda: self.catalog.append(
+                "url_seen", new_seen_all, bucket_by=self._seen_bucket()
+            ),
+            _commit_frontier,
+            lambda: self.catalog.append("crawl_log", log_all),
+            lambda: self.catalog.append("metrics", metrics_all),
+        ]
+        if pend["new_hosts"]:
+            hosts_all = _union(pend["new_hosts"])
+            commits.append(
+                lambda: self.catalog.append("hosts_crawled", hosts_all)
+            )
+        if pend["summary"] is not None:
+            merged = pend["summary"]
+            commits.append(lambda: self.catalog.write("seen_summary", merged))
+        if pend["images"]:
+            img_all = _union(pend["images"])
+            chk_all = _union(pend["checks"])
+            commits.append(
+                lambda: self.catalog.append("images_fetched", img_all)
+            )
+            commits.append(lambda: self.catalog.append("image_checks", chk_all))
+
+        covered = getattr(self, "_summary_covered_round", 0)
+        caches = pend["caches"]
 
         def _tail() -> None:
             try:
-                if cfg.parallel_commits and len(deferred_commits) > 1:
+                if cfg.parallel_commits and len(commits) > 1:
                     from concurrent.futures import ThreadPoolExecutor
 
-                    with ThreadPoolExecutor(max_workers=len(deferred_commits)) as p:
-                        for f in list(p.map(lambda c: c(), deferred_commits)):
+                    with ThreadPoolExecutor(max_workers=len(commits)) as p:
+                        for f in list(p.map(lambda c: c(), commits)):
                             pass
                 else:
-                    for c in deferred_commits:
+                    for c in commits:
                         c()
                 if cfg.bucketed_seen:
                     self.catalog.compact_small(
@@ -851,8 +998,8 @@ class FrontierScheduler:
                     )
                 if hosts_next is not None:
                     # fill the hosts-handoff cache while its inputs (cached
-                    # fetched) are still alive — round r+1 may also race to
-                    # fill it, which is benign (tiny table, same result)
+                    # fetched) are still alive — the next round may also race
+                    # to fill it, which is benign (tiny table, same result)
                     hosts_next.count()
                 self.catalog.snapshot(
                     f"round-{round_no}",
@@ -868,18 +1015,11 @@ class FrontierScheduler:
                     self.catalog.expire_snapshots(cfg.keep_snapshots)
                     self.catalog.vacuum()
             finally:
-                # a failed commit must not pin the round's caches forever
-                frontier_prev.unpersist()
-                fetched.unpersist()
-                new_frontier.unpersist()
-                new_seen_rows.unpersist()
-                if hosts_prev is not None:
-                    hosts_prev.unpersist()
-                for c in seq_caches:
+                # a failed commit must not pin the window's caches forever
+                for c in caches:
                     c.unpersist()
 
         self._submit_deferred(_tail)
-        return n_fetched, next_seq
 
     # ------------------------------------------------------------------ run
     def run(self, seeds: list[str] | None = None, resume: bool = False) -> DataFrame:
@@ -909,6 +1049,11 @@ class FrontierScheduler:
                 round_no += 1
         finally:
             try:
+                # partial commit window at crawl end (commit_every > 1, or a
+                # break between flush rounds) lands before anything reads the
+                # final catalog state
+                self._flush_deferred()
+                self._force_flush()
                 self._flush_deferred()
             finally:
                 self.close()

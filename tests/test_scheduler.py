@@ -145,3 +145,55 @@ def test_frontier_delta_commits(spark, tmp_path):
     assert [r.url for r in log2.orderBy("seq").collect()] == GOLDEN_VISIT_ORDER
     assert cat2.row_count("frontier_removed") == 0
     assert len(cat2._files("frontier")) == 1
+
+
+def test_commit_window_is_bit_identical(spark, tmp_path):
+    """cfg.commit_every defers the table-commit wave K rounds; visit order,
+    url_seen set and metrics totals must be BIT-identical for any K — the
+    cadence is commit timing only. Exercised with robots fetching, a binding
+    per-host budget, summaries with a tail (summary_every=2), and a window
+    that does NOT divide the round count (forced partial flush at the end)."""
+    from httrack2warc_spark.frontier import generate_web
+
+    web, seeds = generate_web(spark, n_hosts=3, pages_per_host=40,
+                              out_degree=4, cross_host_every=2)
+
+    def crawl(k, d):
+        cat = TableCatalog(spark, str(tmp_path / d))
+        sched = FrontierScheduler(
+            spark, cat, web,
+            CrawlConfig(num_parts=4, max_rounds=7, default_host_budget=7,
+                        summary_every=2, commit_every=k,
+                        summary_capacity_per_part=10_000),
+        )
+        log = [
+            (r.seq, r.url_key, r.round, r.is_robots)
+            for r in sched.run(seeds=seeds).orderBy("seq").collect()
+        ]
+        seen = {(r.url_key, r.enqueued_round)
+                for r in cat.read("url_seen").collect()}
+        metrics = sorted(
+            (r.round, r.part, r.fetched, r.new_urls)
+            for r in cat.read("metrics").collect()
+        )
+        hosts = {r.host for r in cat.read("hosts_crawled").collect()}
+        frontier = {r.url_key for r in sched._read_frontier().collect()}
+        return log, seen, metrics, hosts, frontier
+
+    base = crawl(1, "k1")
+    got = crawl(3, "k3")  # 3 ∤ 7 ⇒ exercises the forced partial flush
+    for name, a, b in zip(("log", "seen", "metrics", "hosts", "frontier"),
+                          base, got):
+        assert a == b, f"commit_every=3 diverged on {name}"
+
+
+def test_commit_window_golden_order(spark, tmp_path):
+    """The reference-parity golden crawl is unchanged under a deferred
+    commit window (robots.txt injection, budgets and all)."""
+    cat, urls = _run(
+        spark, tmp_path,
+        CrawlConfig(num_parts=8, max_rounds=10, commit_every=3),
+    )
+    assert urls == GOLDEN_VISIT_ORDER
+    seen = {r.url_key for r in cat.read("url_seen").collect()}
+    assert seen == GOLDEN_SEEN
