@@ -225,6 +225,11 @@ class FrontierScheduler:
         self._frontier_count = 0
         self._hosts_mem: DataFrame | None = None
         self._n_hosts = 0  # lagged (hosts@r-1) input to the salted-auto heuristic
+        # lagged max frontier rows on any single host (probed on the deferred
+        # tail each flush): the Zipf-head signal the average-based heuristic
+        # misses — one hot host holding 50% of a big frontier keeps
+        # n_frontier/n_hosts small while one top-k reducer straggles
+        self._max_host_frontier = 0
         # commit-window state (cfg.commit_every > 1): summary handoff + the
         # per-round deltas awaiting the next flush
         self._summary_mem: DataFrame | None = None
@@ -350,6 +355,7 @@ class FrontierScheduler:
         self._frontier_count = 0
         self._hosts_mem = None
         self._n_hosts = 0
+        self._max_host_frontier = 0
         self._summary_mem = None
         if self._pending is not None:
             for df in self._pending["caches"]:
@@ -507,7 +513,15 @@ class FrontierScheduler:
                 else self.catalog.row_count("hosts_crawled"),
                 1,
             )
-            use_salted = n_frontier / n_hosts > cfg.salt_auto_threshold
+            # two signals, either trips the switch: the metadata-only average
+            # (uniformly huge hosts), and the lagged per-host max probed on
+            # the deferred tail (a Zipf head host that leaves the average
+            # small). Both lag up to one commit window; the salted plan is
+            # order-identical, so late/early switching never changes results.
+            use_salted = (
+                n_frontier / n_hosts > cfg.salt_auto_threshold
+                or self._max_host_frontier > cfg.salt_auto_threshold
+            )
         if use_salted:
             self.salted_rounds.add(round_no)
         topk = salted_per_key_topk if use_salted else per_key_topk
@@ -836,27 +850,34 @@ class FrontierScheduler:
             self._summary_mem = merged.localCheckpoint(eager=False)
             pend["summary"] = self._summary_mem
             self._summary_covered_round = round_no + 1
-        metrics = (
-            add_partition_and_hashes(log_rows, "url_key", cfg.num_parts)
-            .groupBy("part")
-            .agg(
-                F.count("*").alias("fetched"),
-                F.coalesce(F.sum("size"), F.lit(0)).alias("bytes"),
+        # one union-aggregate pass (tagged rows → conditional sums) instead of
+        # two hashed aggregations + an outer join: one exchange on the 4-byte
+        # part key, not three — this rides the deferred tail, so every core
+        # it doesn't burn is a core the overlapped foreground keeps
+        part_of = F.pmod(F.hash(F.col("url_key")), F.lit(cfg.num_parts)).cast("int")
+        tagged = log_rows.select(
+            part_of.alias("part"), F.lit(1).alias("__f"),
+            F.coalesce(F.col("size"), F.lit(0)).cast("long").alias("__b"),
+            F.lit(0).alias("__n"),
+        ).unionByName(
+            new_frontier.select(
+                part_of.alias("part"), F.lit(0).alias("__f"),
+                F.lit(0).cast("long").alias("__b"), F.lit(1).alias("__n"),
             )
-            .join(
-                add_partition_and_hashes(new_frontier, "url_key", cfg.num_parts)
-                .groupBy("part")
-                .agg(F.count("*").alias("new_urls")),
-                "part",
-                "outer",
-            )
-            .select(
-                F.lit(round_no).alias("round"),
-                "part",
-                F.coalesce("fetched", F.lit(0)).alias("fetched"),
-                F.coalesce("new_urls", F.lit(0)).alias("new_urls"),
-                F.coalesce("bytes", F.lit(0)).alias("bytes"),
-            )
+        )
+        metrics = tagged.groupBy("part").agg(
+            F.sum("__f").alias("fetched"),
+            F.sum("__n").alias("new_urls"),
+            F.sum("__b").alias("bytes"),
+        ).select(
+            F.lit(round_no).alias("round"),
+            "part",
+            "fetched",
+            "new_urls",
+            "bytes",
+            # audit trail for the skew path: did this round's top-k run
+            # the salted two-phase plan (auto-switch or forced)?
+            F.lit(round_no in self.salted_rounds).alias("salted"),
         )
         pend["metrics"].append(metrics)
 
@@ -1001,6 +1022,19 @@ class FrontierScheduler:
                     # fetched) are still alive — the next round may also race
                     # to fill it, which is benign (tiny table, same result)
                     hosts_next.count()
+                if cfg.salted_topk == "auto" and next_frontier is not None:
+                    # skew probe for the auto-switch: max frontier rows on any
+                    # one host. Runs here (off the critical path, once per
+                    # window) over the cached handoff — an 8-byte (host,count)
+                    # shuffle, and materializing next_frontier early is the
+                    # same benign race as hosts_next above.
+                    self.spark.sparkContext.setJobDescription("salt:probe")
+                    row = (
+                        next_frontier.groupBy("host").count()
+                        .agg(F.max("count")).collect()
+                    )
+                    self.spark.sparkContext.setJobDescription(None)
+                    self._max_host_frontier = row[0][0] or 0
                 self.catalog.snapshot(
                     f"round-{round_no}",
                     {

@@ -135,15 +135,20 @@ def generate_web(
     image_every: int = 10,
     cross_host_every: int = 50,
     num_partitions: int | None = None,
+    host_prefix: str = "host",
 ) -> tuple[SyntheticWeb, list[str]]:
-    """Deterministic host-tree web; returns (web, seed list = page 0 per host)."""
+    """Deterministic host-tree web; returns (web, seed list = page 0 per host).
+
+    ``host_prefix`` namespaces the hostnames (hostN / hotN / ...), so two
+    generated webs can be unioned into one corpus without URL collisions —
+    the skew-stress experiment builds a 50%-hot-host web that way."""
     n = n_hosts * pages_per_host
     base = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
     host = (F.col("id") / pages_per_host).cast("long")
     page = F.col("id") % pages_per_host
     is_img = (page % image_every == image_every - 1) & (page > 0)
     url = F.concat(
-        F.lit("http://host"), host.cast("string"), F.lit(".example.com/page/"),
+        F.lit(f"http://{host_prefix}"), host.cast("string"), F.lit(".example.com/page/"),
         page.cast("string"),
         F.when(is_img, F.lit(".gif")).otherwise(F.lit(".html")),
     )
@@ -167,14 +172,14 @@ def generate_web(
         dst_page = c
         dst_is_img = (dst_page % image_every == image_every - 1) & (dst_page > 0)
         dst_url = F.concat(
-            F.lit("http://host"), host.cast("string"), F.lit(".example.com/page/"),
+            F.lit(f"http://{host_prefix}"), host.cast("string"), F.lit(".example.com/page/"),
             dst_page.cast("string"),
             F.when(dst_is_img, F.lit(".gif")).otherwise(F.lit(".html")),
         )
         edges.append(
             base.where(dst_page < pages_per_host).select(
                 F.concat(
-                    F.lit("host"), host.cast("string"), F.lit(".example.com/page/"),
+                    F.lit(host_prefix), host.cast("string"), F.lit(".example.com/page/"),
                     page.cast("string"),
                     F.when(is_img, F.lit(".gif")).otherwise(F.lit(".html")),
                 ).alias("src_key"),
@@ -190,17 +195,17 @@ def generate_web(
             (page == 0) & (host % cross_host_every == 0)
         ).select(
             F.concat(
-                F.lit("host"), host.cast("string"), F.lit(".example.com/page/0.html")
+                F.lit(host_prefix), host.cast("string"), F.lit(".example.com/page/0.html")
             ).alias("src_key"),
             F.lit(out_degree).cast("int").alias("link_idx"),
             F.concat(
-                F.lit("http://host"), ((host + 1) % n_hosts).cast("string"),
+                F.lit(f"http://{host_prefix}"), ((host + 1) % n_hosts).cast("string"),
                 F.lit(".example.com/page/0.html"),
             ).alias("dst_url"),
         )
         links = links.unionByName(cross)
 
-    seeds = [f"http://host{h}.example.com/page/0.html" for h in range(n_hosts)]
+    seeds = [f"http://{host_prefix}{h}.example.com/page/0.html" for h in range(n_hosts)]
     return SyntheticWeb(pages, links), seeds
 
 

@@ -453,8 +453,16 @@ def cdx_lines_from_positions(positions: DataFrame, cdx11: bool = True) -> DataFr
 def _cdx_of(df: DataFrame, length, offset, filename, cdx11: bool) -> DataFrame:
     resp = df.where(F.col("sub").isin(0, 3))
     ts = F.regexp_replace(F.col("warc_date"), r"[-T:Z]", "")
+    # pywb/OpenWayback convention for deduplicated captures: the CDX m field
+    # is the literal `warc/revisit`; the k digest column stays the payload
+    # digest, which is how replay resolves the line to the original capture.
+    mime = F.col("content_type")
+    if "record_type" in df.columns:
+        mime = F.when(
+            F.col("record_type") == "revisit", F.lit("warc/revisit")
+        ).otherwise(mime)
     common = [
-        F.col("url"), ts, F.col("url"), F.col("content_type"),
+        F.col("url"), ts, F.col("url"), mime,
         F.col("status").cast("string"),
         F.coalesce(F.col("digest"), F.lit("-")),
         F.lit("-"),
@@ -504,8 +512,9 @@ def assign_warc_files(records: DataFrame, rotation_size: int,
 
 
 _POSITIONS_SCHEMA = (
-    "seq long, sub int, url string, warc_date string, content_type string, "
-    "status int, digest string, offset long, length long, filename string"
+    "seq long, sub int, record_type string, url string, warc_date string, "
+    "content_type string, status int, digest string, offset long, "
+    "length long, filename string"
 )
 
 
@@ -577,13 +586,14 @@ def write_warc_files(
                     r.warc_header.encode("utf-8") + bytes(r.body) + b"\r\n\r\n"
                 )
                 rows.append(
-                    (r.seq, r.sub, r.url, r.warc_date, r.content_type,
-                     r.status, r.digest, start, length, fname)
+                    (r.seq, r.sub, r.record_type, r.url, r.warc_date,
+                     r.content_type, r.status, r.digest, start, length, fname)
                 )
         return pd.DataFrame(
             rows,
-            columns=["seq", "sub", "url", "warc_date", "content_type",
-                     "status", "digest", "offset", "length", "filename"],
+            columns=["seq", "sub", "record_type", "url", "warc_date",
+                     "content_type", "status", "digest", "offset", "length",
+                     "filename"],
         )
 
     positions = assigned.groupBy("file_no").applyInPandas(

@@ -26,12 +26,13 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["parse_warc_stream", "read_warc", "with_digest_check"]
+__all__ = ["parse_warc_stream", "read_warc", "with_digest_check",
+           "resolve_revisits"]
 
 _SCHEMA = (
     "filename string, offset long, length long, record_type string, "
     "url string, warc_date string, record_id string, content_type string, "
-    "payload_digest string, body binary"
+    "payload_digest string, refers_to string, body binary"
 )
 
 
@@ -97,6 +98,7 @@ def parse_warc_stream(data: bytes, filename: str) -> list[tuple]:
             fields.get("warc-record-id"),
             fields.get("content-type"),
             fields.get("warc-payload-digest"),
+            fields.get("warc-refers-to"),
             body,
         ))
 
@@ -170,3 +172,56 @@ def with_digest_check(records: DataFrame) -> DataFrame:
                         _payload_digest(F.col("body"), F.col("content_type"))),
         ),
     )
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Replay-side dedup resolution: rebuild each ``revisit`` record's full
+    HTTP message by splicing the referred-to original's payload back in
+    (WARC 1.1 §6.7.2 identical-payload-digest — the revisit stores only the
+    HTTP header block; ``WARC-Refers-To`` names the record that kept the
+    bytes). Adds ``resolved_body``: for every non-revisit row it is ``body``
+    verbatim; for a revisit row it is the revisit's own HTTP headers followed
+    by the original's payload (bytes after the original's HTTP header block),
+    or null when the referred-to record is absent from the input (a dangling
+    pointer — e.g. reading one file of a rotated set).
+
+    Spark-first shape: one equi-join on the 47-byte ``record_id`` key (both
+    sides shuffle-partitioned on it; no window, no collect) and one
+    Arrow-vectorized splice pass. At archive scale the revisit side is the
+    small minority of rows, so the join cost is bounded by the original-
+    record shuffle — the same key layout a CDX digest lookup would use."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _splice(rev_bodies: pd.Series, orig_bodies: pd.Series,
+                orig_ctypes: pd.Series) -> pd.Series:
+        out = []
+        for rev, orig, ct in zip(rev_bodies, orig_bodies, orig_ctypes):
+            if orig is None:
+                out.append(None)
+                continue
+            raw = bytes(orig)
+            if ct and ct.startswith("application/http"):
+                k = raw.find(b"\r\n\r\n")
+                raw = raw[k + 4:] if k != -1 else raw
+            out.append((bytes(rev) if rev is not None else b"") + raw)
+        return pd.Series(out)
+
+    originals = records.where(
+        (F.col("record_type") != "revisit") & F.col("record_id").isNotNull()
+    ).select(
+        F.col("record_id").alias("__orig_id"),
+        F.col("content_type").alias("__orig_ct"),
+        F.col("body").alias("__orig_body"),
+    )
+    joined = records.join(
+        originals, records["refers_to"] == originals["__orig_id"], "left"
+    )
+    return joined.withColumn(
+        "resolved_body",
+        F.when(F.col("record_type") != "revisit", F.col("body")).otherwise(
+            _splice(F.col("body"), F.col("__orig_body"), F.col("__orig_ct"))
+        ),
+    ).drop("__orig_id", "__orig_ct", "__orig_body")

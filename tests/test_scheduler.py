@@ -197,3 +197,50 @@ def test_commit_window_golden_order(spark, tmp_path):
     assert urls == GOLDEN_VISIT_ORDER
     seen = {r.url_key for r in cat.read("url_seen").collect()}
     assert seen == GOLDEN_SEEN
+
+
+def test_salted_auto_hot_host(spark, tmp_path):
+    """A Zipf-head host (most of the frontier on ONE host) must trip the
+    salted-auto switch even though frontier/hosts stays under the threshold,
+    via the lagged per-host max probed on the deferred tail — and the crawl
+    result must be identical to the unsalted plan (order-identical salting)."""
+    from httrack2warc_spark.frontier import generate_web
+
+    # hot: 1 host × 600 pages; cold: 30 hosts × 6 pages  → avg ≈ 25/host
+    hot, hot_seeds = generate_web(
+        spark, 1, 600, out_degree=6, cross_host_every=0, host_prefix="hot")
+    cold, cold_seeds = generate_web(
+        spark, 30, 6, out_degree=2, cross_host_every=1)
+    from httrack2warc_spark.frontier.synth import SyntheticWeb
+    web = SyntheticWeb(hot.pages.unionByName(cold.pages),
+                       hot.links.unionByName(cold.links))
+    seeds = hot_seeds + cold_seeds
+
+    def crawl(salted):
+        # fetch_robots=True keeps hosts_crawled populated, so the AVERAGE
+        # heuristic sees ~500/31 ≈ 16 < 100 and stays off — only the probe
+        # can trip the switch here
+        cfg = CrawlConfig(
+            num_parts=8, max_rounds=6,
+            default_host_budget=50, salted_topk=salted,
+            salt_auto_threshold=100, commit_every=2,
+        )
+        cat = TableCatalog(spark, str(tmp_path / f"c_{salted}"))
+        sched = FrontierScheduler(spark, cat, web, cfg)
+        log = sched.run(seeds=seeds)
+        order = [(r.seq, r.url) for r in log.orderBy("seq").collect()]
+        return sched, cat, order
+
+    sched, cat, order = crawl("auto")
+    # budget 50 on a 600-page host keeps >100 rows queued on `hot0` after the
+    # first window, while frontier/hosts stays ~25 — only the max-probe can
+    # see it. Lag: the probe lands with flush 1, switching from round 2 on.
+    assert sched.salted_rounds, "hot host never tripped the salted switch"
+    assert min(sched.salted_rounds) >= 1  # lagged signal: never round 0
+    salted_metrics = {
+        r.round for r in cat.read("metrics").where("salted").collect()
+    }
+    assert salted_metrics == sched.salted_rounds  # audit row matches
+    # order-identical: forced-off plan produces the same (seq, url) sequence
+    _, _, order_off = crawl(False)
+    assert order == order_off

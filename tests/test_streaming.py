@@ -200,3 +200,56 @@ def test_streaming_sessionize(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_out").collect()
     }
     assert got == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_streaming_corpus_chunks(spark, tmp_path):
+    """Streamed documents land pre-chunked with boundaries bit-identical to
+    the batch chunker, sampling membership matches the batch md5-draw, and
+    re-delivery of an already-chunked document appends nothing."""
+    from httrack2warc_spark.operators.corpus import (
+        chunk_documents, deterministic_sample,
+    )
+    from httrack2warc_spark.streaming import run_corpus_stream
+
+    docs = [
+        {"doc_id": f"d{i}", "text": " ".join(f"w{i}_{j}" for j in range(n))}
+        for i, n in enumerate([0, 3, 10, 17, 25, 40, 7, 13, 31, 22])
+    ]
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    src = tmp_path / "docs_in"
+    src.mkdir()
+
+    def drain():
+        stream = spark.readStream.schema("doc_id string, text string").json(str(src))
+        q = run_corpus_stream(
+            spark, stream, cat, max_tokens=8, overlap=3,
+            sample_fraction=0.7, sample_seed=11,
+            checkpoint_dir=str(tmp_path / "ckpt_c"),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    # batch 1: first six docs; batch 2 (mid-stream): the rest + a re-delivery
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in docs[:6]))
+    drain()
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps(d) for d in docs[6:] + [docs[2]])
+    )
+    drain()
+
+    batch_docs = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id string, text string"
+    )
+    expect_docs = deterministic_sample(batch_docs, "doc_id", 0.7, seed=11)
+    expected = {
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(
+            expect_docs, "text", "doc_id", max_tokens=8, overlap=3
+        ).collect()
+    }
+    got = [
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in cat.read("doc_chunks").collect()
+    ]
+    assert len(got) == len(set(got))  # re-delivery appended nothing
+    assert set(got) == expected       # batch-identical boundaries + sampling
+    assert expected  # non-vacuous: the sampler kept documents to chunk

@@ -66,3 +66,52 @@ def test_revisit_records(spark):
         "response", "resource"}
     full = {r.seq: bytes(r.body) for r in plain.where(F.col("sub") == 0).collect()}
     assert full[2].endswith(b"same!")
+
+
+def test_revisit_cdx_and_readback(spark, tmp_path):
+    """End-to-end dedup parity: a payload-dedup'd archive written to disk
+    yields (a) CDX lines whose m field is the pywb `warc/revisit` literal
+    with the ORIGINAL payload digest in k, and (b) a read-back through
+    sources/warcread where resolve_revisits splices the original payload
+    back into every revisit capture."""
+    from httrack2warc_spark.sinks.warc import (
+        cdx_lines_from_positions, write_warc_files,
+    )
+    from httrack2warc_spark.sources.warcread import (
+        read_warc, resolve_revisits, with_digest_check,
+    )
+
+    recs = warc_records(_crawl(spark), CrawlMeta(), strict=False,
+                        payload_dedup=True)
+    out = tmp_path / "w"
+    positions = write_warc_files(recs, str(out), rotation_size=1 << 30)
+
+    # CDX: revisit rows (seq 2, 4) carry warc/revisit + the original digest
+    orig_digest = {r.seq: r.digest for r in recs.where("sub = 0").collect()}[0]
+    cdx = [r.cdx for r in cdx_lines_from_positions(positions).collect()]
+    revisit_lines = [l for l in cdx if " warc/revisit " in l]
+    assert len(revisit_lines) == 2
+    for line in revisit_lines:
+        f = line.split(" ")
+        assert f[0] in ("http://h/c", "http://h/e")
+        assert f[3] == "warc/revisit" and f[5] == orig_digest
+    # non-revisit lines keep their resolved MIME
+    assert sum(" text/html " in l for l in cdx) == len(cdx) - 2
+    positions.unpersist()
+
+    # read-back: splice the original payload into each revisit capture
+    back = resolve_revisits(read_warc(spark, str(out / "crawl-0.warc.gz")))
+    rows = {r.url: r for r in back.where("record_type = 'revisit'").collect()}
+    assert set(rows) == {"http://h/c", "http://h/e"}
+    for r in rows.values():
+        assert bytes(r.resolved_body).endswith(b"same!")
+        assert bytes(r.body).endswith(b"\r\n\r\n")  # stored body: headers only
+        assert r.payload_digest == f"sha1:{orig_digest}"
+    # the revisit's STORED digest refers to the original payload, so the
+    # integrity audit must check it against the resolved message, not the
+    # stored header-only body
+    audited = with_digest_check(
+        back.withColumn("body", back["resolved_body"])
+    )
+    bad = audited.where("digest_ok = false").count()
+    assert bad == 0

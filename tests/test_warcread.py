@@ -69,9 +69,9 @@ def test_parse_stream_binary_safe():
     stream = rec + rec
     rows = parse_warc_stream(stream, "t.warc")
     assert len(rows) == 2
-    assert all(bytes(r[9]) == evil for r in rows)
+    assert all(bytes(r[10]) == evil for r in rows)
     rows2 = parse_warc_stream(gzip.compress(stream), "t.warc.gz")
-    assert len(rows2) == 2 and all(bytes(r[9]) == evil for r in rows2)
+    assert len(rows2) == 2 and all(bytes(r[10]) == evil for r in rows2)
 
 
 def test_digest_verification_on_readback(spark, crawl_dir, tmp_path):
@@ -96,7 +96,7 @@ def test_digest_verification_on_readback(spark, crawl_dir, tmp_path):
     tampered = spark.createDataFrame(
         [(sample.filename, sample.offset, sample.length, sample.record_type,
           sample.url, sample.warc_date, sample.record_id, sample.content_type,
-          sample.payload_digest,
+          sample.payload_digest, sample.refers_to,
           bytes(sample.body)[:-1] + bytes([bytes(sample.body)[-1] ^ 1]))],
         back.drop("digest_ok").schema,
     )
