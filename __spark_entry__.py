@@ -680,6 +680,47 @@ def warc_roundtrip_q(spark, sf_dir):
     ).orderBy("url")
 
 
+def warc_payload_dedup_q(spark, sf_dir):
+    """Archive payload dedup value-checked: any response whose payload
+    digest matches an earlier capture becomes a WARC ``revisit`` record
+    (``sinks/warc.py::warc_records(payload_dedup=True)`` — window first-
+    occurrence on the sha1-base32 payload digest ordered by seq; reference
+    stores every payload, this is the beyond-reference archive-storage op).
+    Payloads are synthesized into 97 deterministic duplicate classes from
+    doc_id, so the DuckDB twin restates the digest-window semantics as a
+    min-over-class window without computing any digest — identical bytes ⇒
+    identical digest makes the two formulations equal by construction."""
+    from httrack2warc_spark.sinks.warc import warc_records
+    from httrack2warc_spark.sources.htslogs import CrawlMeta
+
+    group = (F.col("doc_id") * 7919) % 97
+    crawl = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("seq"),
+        F.lit("2020-05-04 03:02:01").cast("timestamp").alias("timestamp"),
+        F.concat(F.lit("http://docs.example.org/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("text/html").alias("mime"),
+        F.lit(None).cast("string").alias("request_header"),
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+        .alias("response_header"),
+        F.lit(None).cast("string").alias("referrer"),
+        F.concat(F.lit("docs.example.org/"),
+                 F.col("doc_id").cast("string")).alias("filename"),
+        F.lit(200).alias("status"),
+        F.lit(0).cast("long").alias("size"),
+        F.encode(F.concat(F.lit("payload-"), group.cast("string")), "UTF-8")
+        .alias("payload"),
+        F.lit(True).alias("has_cache_data"),
+        F.lit("t").alias("source"),
+    )
+    recs = warc_records(crawl, CrawlMeta(), strict=False, payload_dedup=True)
+    return recs.where(F.col("sub") == 0).select(
+        F.col("seq").cast("long").alias("seq"),
+        ((F.col("seq") * 7919) % 97).cast("long").alias("payload_group"),
+        "record_type",
+    ).orderBy("seq")
+
+
 def _wave_mono(wav_bytes):
     """Independent WAV decode for oracle expecteds: the stdlib ``wave``
     parser, not this repo's RIFF codec — a bug in either decoder breaks the
@@ -1136,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": audio_features_q,
         "audio_windows": audio_windows_q,
         "warc_roundtrip": warc_roundtrip_q,
+        "warc_payload_dedup": warc_payload_dedup_q,
         "embedding_neardup": embedding_neardup_q,
         "dedup_components": dedup_components_q,
         "clean_corpus": clean_corpus_q,
@@ -1603,6 +1645,14 @@ def oracle_sql() -> dict[str, str]:
                    'resource' AS record_type,
                    octet_length(encode(text)) AS body_len
             FROM documents WHERE doc_id < 200 ORDER BY url
+        """,
+        "warc_payload_dedup": """
+            SELECT doc_id::BIGINT AS seq,
+                   ((doc_id * 7919) % 97)::BIGINT AS payload_group,
+                   CASE WHEN doc_id > MIN(doc_id) OVER
+                            (PARTITION BY (doc_id * 7919) % 97)
+                        THEN 'revisit' ELSE 'response' END AS record_type
+            FROM documents ORDER BY seq
         """,
         "clean_corpus": r"""
             WITH toks AS (

@@ -1000,6 +1000,7 @@ class FrontierScheduler:
 
         covered = getattr(self, "_summary_covered_round", 0)
         caches = pend["caches"]
+        n_frontier_now = self._frontier_count  # captured: the tail runs async
 
         def _tail() -> None:
             try:
@@ -1027,14 +1028,19 @@ class FrontierScheduler:
                     # one host. Runs here (off the critical path, once per
                     # window) over the cached handoff — an 8-byte (host,count)
                     # shuffle, and materializing next_frontier early is the
-                    # same benign race as hosts_next above.
-                    self.spark.sparkContext.setJobDescription("salt:probe")
-                    row = (
-                        next_frontier.groupBy("host").count()
-                        .agg(F.max("count")).collect()
-                    )
-                    self.spark.sparkContext.setJobDescription(None)
-                    self._max_host_frontier = row[0][0] or 0
+                    # same benign race as hosts_next above. When the WHOLE
+                    # frontier fits under the threshold the per-host max
+                    # cannot exceed it either — exact answer 0 signal, no job.
+                    if n_frontier_now <= cfg.salt_auto_threshold:
+                        self._max_host_frontier = 0
+                    else:
+                        self.spark.sparkContext.setJobDescription("salt:probe")
+                        row = (
+                            next_frontier.groupBy("host").count()
+                            .agg(F.max("count")).collect()
+                        )
+                        self.spark.sparkContext.setJobDescription(None)
+                        self._max_host_frontier = row[0][0] or 0
                 self.catalog.snapshot(
                     f"round-{round_no}",
                     {
