@@ -478,16 +478,31 @@ class FrontierScheduler:
             eligible = eligible.where(F.col("depth") <= cfg.max_depth)
 
         order = [F.col("priority"), F.col("parent_seq"), F.col("link_idx"), F.col("url")]
+        # budget provably non-binding ⇒ top-k is the identity. With no
+        # per-host overrides and no crawl-delay caps in force, every host's
+        # budget is the uniform default; any single host's frontier rows are
+        # bounded by the WHOLE frontier, so n_frontier ≤ default budget means
+        # no host can exceed it. Skipping the per-host window drops one
+        # exchange + sort over the full frontier from every such round — the
+        # common case for an unthrottled crawl (and the same rule a real
+        # optimizer would apply: LIMIT k per group with k ≥ group size is a
+        # no-op).
+        crawl_delay_active = (
+            cfg.round_seconds is not None
+            and self.robots is not None
+            and "crawl_delay" in self.robots.columns
+        )
+        budget_can_bind = (
+            self.host_budget is not None
+            or crawl_delay_active
+            or n_frontier > cfg.default_host_budget
+        )
         if self.host_budget is not None:
             eligible = eligible.join(F.broadcast(self.host_budget), "host", "left")
             budget = F.coalesce(F.col("budget"), F.lit(cfg.default_host_budget))
         else:
             budget = F.lit(cfg.default_host_budget)
-        if (
-            cfg.round_seconds is not None
-            and self.robots is not None
-            and "crawl_delay" in self.robots.columns
-        ):
+        if crawl_delay_active:
             # Crawl-delay politeness: a host granting one fetch per
             # crawl_delay seconds gets at most round_seconds/crawl_delay
             # fetches of a round (floor, min 1 so progress never stalls)
@@ -503,7 +518,9 @@ class FrontierScheduler:
                 F.col("__cd").isNotNull(), F.least(budget.cast("long"), cap)
             ).otherwise(budget.cast("long"))
         use_salted = cfg.salted_topk is True
-        if cfg.salted_topk == "auto":
+        if not budget_can_bind:
+            use_salted = False
+        elif cfg.salted_topk == "auto":
             # with a handoff in hand the catalog may be mid-tail-commit: use
             # the lagged hosts@r-1 count recorded post-flush last round (the
             # salted plan is order-identical, so one round of heuristic lag
@@ -524,13 +541,16 @@ class FrontierScheduler:
             )
         if use_salted:
             self.salted_rounds.add(round_no)
-        topk = salted_per_key_topk if use_salted else per_key_topk
-        kwargs = (
-            {"salt_buckets": cfg.salt_buckets, "salt_on": "url"}
-            if use_salted
-            else {}
-        )
-        selected = topk(eligible, "host", order, budget, **kwargs)
+        if budget_can_bind:
+            topk = salted_per_key_topk if use_salted else per_key_topk
+            kwargs = (
+                {"salt_buckets": cfg.salt_buckets, "salt_on": "url"}
+                if use_salted
+                else {}
+            )
+            selected = topk(eligible, "host", order, budget, **kwargs)
+        else:
+            selected = eligible
         for aux in ("budget", "__cd"):
             if aux in selected.columns:
                 selected = selected.drop(aux)
@@ -668,32 +688,68 @@ class FrontierScheduler:
             candidates, seen_confirm, summaries, "url_key",
             cfg.num_parts, cfg.summary_fpp, unsummarized=tail,
             dedup_order=["parent_seq", "link_idx", "url"],
+            # bloom summaries probe in whole-stage codegen (no pandas
+            # cogroup, no probe exchange); cuckoo keeps the Arrow path
+            capacity=(
+                cfg.summary_capacity_per_part
+                if cfg.summary_kind == "bloom"
+                else None
+            ),
         )
-        # also exclude robots keys fetched this round
-        new_frontier = new_frontier.join(
-            robots_seen.select("url_key"), "url_key", "left_anti"
-        ).persist()  # reused by frontier/url_seen/summary/metrics commits
+        # materialize the round's discoveries as a localCheckpoint, not a
+        # persist: the codegen-probe plan (filter_new_urls capacity path)
+        # defeats cache-by-plan-equality reuse in the deferred tail — each
+        # commit silently recomputed the whole discovery pipeline (measured
+        # 3× loop wall). A checkpoint truncates to a materialized RDD every
+        # consumer shares by construction, no plan matching involved.
+        self.spark.sparkContext.setJobDescription("seen:materialize")
+        if cfg.fetch_robots:
+            # also exclude robots keys fetched this round
+            new_frontier = new_frontier.join(
+                robots_seen.select("url_key"), "url_key", "left_anti"
+            ).localCheckpoint(eager=True)
 
-        seen_keys = seen.select("url_key")
-        if pend_seen is not None:
-            seen_keys = seen_keys.unionByName(pend_seen.select("url_key"))
-        robots_new = robots_seen.join(seen_keys, "url_key", "left_anti")
-        new_seen_rows = first_occurrence(
-            new_frontier.select(
+            seen_keys = seen.select("url_key")
+            if pend_seen is not None:
+                seen_keys = seen_keys.unionByName(pend_seen.select("url_key"))
+            robots_new = robots_seen.join(seen_keys, "url_key", "left_anti")
+            new_seen_rows = first_occurrence(
+                new_frontier.select(
+                    "url_key", "url", F.lit(round_no + 1).alias("enqueued_round")
+                ).unionByName(robots_new),
+                "url_key",
+                ["enqueued_round"],
+                tiebreak=["url"],
+            )
+        else:
+            # no robots rows exist: filter_new_urls already emitted exactly
+            # one row per url_key (dedup_order folds the within-batch
+            # first-occurrence into the probe cogroup), so the re-dedup
+            # window — a full exchange + sort of the round's discoveries —
+            # is the identity. Skip it.
+            new_frontier = new_frontier.localCheckpoint(eager=True)
+            new_seen_rows = new_frontier.select(
                 "url_key", "url", F.lit(round_no + 1).alias("enqueued_round")
-            ).unionByName(robots_new),
-            "url_key",
-            ["enqueued_round"],
-            tiebreak=["url"],
-        )
+            )
+        self.spark.sparkContext.setJobDescription(None)
 
-        # leftover = eligible-but-over-budget rows stay queued
-        removed_keys = fetched.where(F.col("__robots") == 1).select("url_key")
-        leftover = frontier.join(removed_keys, "url_key", "left_anti")
         new_frontier_rows = new_frontier.select(
             [f.name for f in FRONTIER_SCHEMA.fields]
         )
-        next_frontier = leftover.unionByName(new_frontier_rows)
+        # removed_keys also feeds the frontier delta store's tombstone
+        # append at flush time, so it is defined on every path
+        removed_keys = fetched.where(F.col("__robots") == 1).select("url_key")
+        if not cfg.fetch_robots and n_fetched == n_frontier:
+            # every frontier row was selected and fetched (fetch is row-
+            # preserving and, with robots off, fetched rows come only from
+            # the frontier), so the leftover anti-join is provably empty —
+            # next_frontier is just this round's discoveries, one exchange
+            # cheaper per non-binding round.
+            next_frontier = new_frontier_rows
+        else:
+            # leftover = eligible-but-over-budget rows stay queued
+            leftover = frontier.join(removed_keys, "url_key", "left_anti")
+            next_frontier = leftover.unionByName(new_frontier_rows)
 
         # ---- commit ------------------------------------------------------
         # url_seen is append-only (set semantics): appending just the round's
@@ -711,7 +767,16 @@ class FrontierScheduler:
         # I/O) rides the flush tail — one fileset per commit window, not per
         # round (cfg.commit_every).
         self.spark.sparkContext.setJobDescription("seen:materialize")
-        n_new_seen = new_seen_rows.count()
+        # count()+hash-agg in ONE job: the count is the exact arithmetic the
+        # handoff needs, and the hash forces a full-width scan — a bare
+        # count prunes every column, which can leave the persist UNFILLED
+        # and each deferred commit then recomputes the whole discovery
+        # pipeline (measured: 3× loop wall)
+        row = new_seen_rows.agg(
+            F.count(F.lit(1)),
+            F.sum(F.hash("url_key", "url", "enqueued_round")),
+        ).collect()[0]
+        n_new_seen = row[0]
         self.spark.sparkContext.setJobDescription(None)
 
         # dynamic robots discovery (cfg.discover_robots): parse this round's

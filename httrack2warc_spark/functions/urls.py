@@ -340,9 +340,48 @@ def url_host_col(col: Column) -> Column:
 # pandas UDFs (Arrow-vectorized executor path)
 # ---------------------------------------------------------------------------
 
+# Already-canonical fast path: a URL matching this pattern is a fixpoint of
+# ``canonicalize_url`` — provably, clause by clause:
+#   * scheme literal ``http``/``https`` (lowercase, special ⇒ no scheme work);
+#   * host: dot-separated lowercase ASCII labels, no leading/trailing hyphen
+#     or dot, no port/userinfo/IPv6, and the FINAL label starts with a letter
+#     (WHATWG treats a host whose last label is numeric as an IPv4 candidate,
+#     which can rewrite — excluded here), so IDNA/lowercase/port-stripping
+#     are all identity;
+#   * path: mandatory ``/`` then nonempty segments of characters outside
+#     every WHATWG path percent-encode set, no ``%`` (hex-case
+#     renormalization), no segment starting with ``.`` (dot-segment
+#     resolution), no empty segment, optional trailing slash;
+#   * no ``?``/``#`` (query/fragment encode sets untouched), no backslash,
+#     no whitespace/control characters (strip/translate are identity).
+# The mask is one C-level vectorized regex pass; only the residue takes the
+# per-row Python canonicalizer. test_urls pins fastpath == slow path on
+# hypothesis-generated URLs and on every fixture URL.
+_SEG = r"[A-Za-z0-9_~!$&'()*+,;=:@-][A-Za-z0-9_~!$&'()*+,;=:@.-]*"
+_CANONICAL_FAST_RE = re.compile(
+    r"^https?://"
+    r"(?:[a-z0-9](?:[a-z0-9-]*[a-z0-9])?\.)*"      # inner labels
+    r"[a-z](?:[a-z0-9-]*[a-z0-9])?"                # final label: letter-led
+    rf"/(?:{_SEG}/)*(?:{_SEG})?$"
+)
+
+
+def canonicalize_url_series(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalizer: fast-path mask in one C regex pass, per-row
+    Python only for the residue. Exposed for direct parity testing."""
+    fast = urls.str.match(_CANONICAL_FAST_RE, na=False)
+    if fast.all():
+        return urls
+    out = urls.copy()
+    slow = ~fast & urls.notna()
+    if slow.any():
+        out[slow] = urls[slow].map(canonicalize_url)
+    return out
+
+
 @pandas_udf(StringType())
 def canonicalize_urls_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize_url, na_action="ignore")
+    return canonicalize_url_series(urls)
 
 
 @pandas_udf(StringType())

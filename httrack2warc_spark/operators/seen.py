@@ -52,6 +52,8 @@ __all__ = [
     "build_summaries",
     "merge_summaries",
     "probe_summaries",
+    "probe_summaries_cols",
+    "summaries_to_words",
     "filter_new_urls",
 ]
 
@@ -82,13 +84,32 @@ def _bloom_params(capacity: int, fpp: float) -> tuple[int, int]:
 
 
 def _bloom_positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
-    """Kirsch–Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m, shape (k, n)."""
+    """Kirsch–Mitzenmacher double hashing, *overflow-free* form (layout v2,
+    kind ``bloom2``): pos_i = (h1 mod m + i·(h2 mod m)) mod m, shape (k, n).
+
+    Reducing both hashes mod m FIRST keeps every intermediate below
+    16·2^31 — the same formula is therefore expressible as pure Spark
+    Columns under ANSI overflow checking, which is what lets the probe run
+    in whole-stage codegen (``probe_summaries_cols``) instead of a pandas
+    cogroup. Equivalent double-hashing quality; NOT bit-compatible with v1.
+    """
+    i = np.arange(k, dtype=np.uint64).reshape(-1, 1)
+    a = h1 % np.uint64(m)
+    b = h2 % np.uint64(m)
+    return ((a[None, :] + i * b[None, :]) % np.uint64(m)).astype(np.int64)
+
+
+def _bloom_positions_v1(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """Legacy layout (kind ``bloom``): pos_i = (h1 + i·h2 mod 2^64) mod m.
+    Kept so summaries persisted by older code stay probe-able and merge-able
+    on resume — a layout mismatch would manufacture Bloom false negatives,
+    the one failure mode the seen-gate invariant forbids."""
     i = np.arange(k, dtype=np.uint64).reshape(-1, 1)
     return ((h1[None, :] + i * h2[None, :]) % np.uint64(m)).astype(np.int64)
 
 
 def bloom_build(h1: np.ndarray, h2: np.ndarray, capacity: int, fpp: float,
-                bits: bytes | None = None) -> bytes:
+                bits: bytes | None = None, positions=None) -> bytes:
     m, k = _bloom_params(capacity, fpp)
     arr = (
         np.unpackbits(np.frombuffer(bits, dtype=np.uint8))
@@ -96,16 +117,16 @@ def bloom_build(h1: np.ndarray, h2: np.ndarray, capacity: int, fpp: float,
         else np.zeros(m, dtype=np.uint8)
     )
     if len(h1):
-        pos = _bloom_positions(h1, h2, k, m).ravel()
+        pos = (positions or _bloom_positions)(h1, h2, k, m).ravel()
         arr[pos] = 1
     return np.packbits(arr).tobytes()
 
 
 def bloom_probe(h1: np.ndarray, h2: np.ndarray, capacity: int, fpp: float,
-                bits: bytes) -> np.ndarray:
+                bits: bytes, positions=None) -> np.ndarray:
     m, k = _bloom_params(capacity, fpp)
     arr = np.unpackbits(np.frombuffer(bits, dtype=np.uint8))
-    pos = _bloom_positions(h1, h2, k, m)
+    pos = (positions or _bloom_positions)(h1, h2, k, m)
     return arr[pos].all(axis=0)
 
 
@@ -220,6 +241,8 @@ def build_summaries(
         part = int(pdf["part"].iloc[0])
         h1, h2 = _to_u64(pdf["h1"]), _to_u64(pdf["h2"])
         if kind == "bloom":
+            # fresh bloom filters are written in the v2 (codegen-probeable)
+            # layout; the row's kind string is the self-describing marker
             bits = bloom_build(h1, h2, capacity_per_part, fpp)
         else:
             ck = _Cuckoo(capacity_per_part)
@@ -236,7 +259,7 @@ def build_summaries(
         return pd.DataFrame(
             {
                 "part": [part],
-                "kind": [kind],
+                "kind": ["bloom2" if kind == "bloom" else kind],
                 "bits": [bits],
                 "num_items": [len(pdf)],
                 "capacity": [capacity_per_part],
@@ -258,10 +281,20 @@ def merge_summaries(old: DataFrame, delta_hashed: DataFrame, num_parts: int,
     def merge(key, old_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(key[0])
         prior = old_pdf["bits"].iloc[0] if len(old_pdf) else None
+        prior_kind = old_pdf["kind"].iloc[0] if len(old_pdf) else None
         n_prior = int(old_pdf["num_items"].iloc[0]) if len(old_pdf) else 0
         h1, h2 = _to_u64(new_pdf["h1"]), _to_u64(new_pdf["h2"])
+        out_kind = "bloom2" if kind == "bloom" else kind
         if kind == "bloom":
-            bits = bloom_build(h1, h2, capacity_per_part, fpp, bits=prior)
+            # the row's stored layout wins: new keys fold into a legacy-v1
+            # row with v1 positions (bit-exact continuation on resume), into
+            # a v2 row with v2 — mixing layouts would create false negatives
+            if prior is not None and prior_kind == "bloom":
+                bits = bloom_build(h1, h2, capacity_per_part, fpp,
+                                   bits=prior, positions=_bloom_positions_v1)
+                out_kind = "bloom"
+            else:
+                bits = bloom_build(h1, h2, capacity_per_part, fpp, bits=prior)
         else:
             if len(old_pdf) and prior is None:
                 # Partition already degraded on a prior round — stays degraded
@@ -277,7 +310,7 @@ def merge_summaries(old: DataFrame, delta_hashed: DataFrame, num_parts: int,
         return pd.DataFrame(
             {
                 "part": [part],
-                "kind": [kind],
+                "kind": [out_kind],
                 "bits": [bits],
                 "num_items": [n_prior + len(new_pdf)],
                 "capacity": [capacity_per_part],
@@ -329,8 +362,11 @@ def probe_summaries(candidates_hashed: DataFrame, summaries: DataFrame,
             kind = summ["kind"].iloc[0]
             bits = summ["bits"].iloc[0]
             cap = int(summ["capacity"].iloc[0])
-            if kind == "bloom":
+            if kind == "bloom2":
                 maybe = bloom_probe(h1, h2, cap, fpp, bits)
+            elif kind == "bloom":  # legacy v1 layout (pre-codegen-probe rows)
+                maybe = bloom_probe(h1, h2, cap, fpp, bits,
+                                    positions=_bloom_positions_v1)
             else:
                 maybe = _Cuckoo.from_bytes(bits).probe_many(h1)
         out = cand.copy()
@@ -342,6 +378,100 @@ def probe_summaries(candidates_hashed: DataFrame, summaries: DataFrame,
         .cogroup(summaries.groupBy("part"))
         .applyInPandas(probe, schema=out_schema)
     )
+
+
+def summaries_to_words(summaries: DataFrame) -> DataFrame:
+    """Re-shape bloom2 summary rows for the codegen probe: filter bytes →
+    ``array<long>`` words where bit p of the filter is
+    ``words[p div 64] >> (p mod 64) & 1``. One tiny Arrow pass over the
+    ≤ num_parts summary rows per round — never over candidates.
+
+    ``__ok`` = false for rows the Column probe cannot evaluate (legacy v1
+    layout, cuckoo, degraded bits=None): those partitions probe as all-maybe
+    and take the exact confirm anti-join — the gate invariant (no false
+    negatives, ever) is preserved by construction.
+    """
+    from pyspark.sql.types import ArrayType
+
+    out_schema = StructType([
+        StructField("part", IntegerType(), False),
+        StructField("__cap", LongType(), False),
+        StructField("__ok", BooleanType(), False),
+        StructField("__words", ArrayType(LongType(), False), True),
+    ])
+
+    def conv(batches):
+        for pdf in batches:
+            rows = {"part": [], "__cap": [], "__ok": [], "__words": []}
+            for _, r in pdf.iterrows():
+                ok = r["kind"] == "bloom2" and r["bits"] is not None
+                words = None
+                if ok:
+                    bit_arr = np.unpackbits(np.frombuffer(r["bits"], np.uint8))
+                    le = np.packbits(bit_arr, bitorder="little")
+                    pad = (-len(le)) % 8
+                    if pad:
+                        le = np.concatenate([le, np.zeros(pad, np.uint8)])
+                    words = le.view("<u8").astype(np.int64).tolist()
+                rows["part"].append(int(r["part"]))
+                rows["__cap"].append(int(r["capacity"]))
+                rows["__ok"].append(bool(ok))
+                rows["__words"].append(words)
+            yield pd.DataFrame(rows)
+
+    return summaries.mapInPandas(conv, schema=out_schema)
+
+
+def probe_summaries_cols(
+    candidates_hashed: DataFrame,
+    words: DataFrame,
+    capacity: int,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """The Bloom probe as pure Column expressions in whole-stage codegen — no
+    pandas cogroup, no exchange: candidates broadcast-join the ≤ num_parts
+    word rows on ``part`` and evaluate the k double-hash bit tests inline.
+
+    Position formula = ``_bloom_positions`` v2 (overflow-free, ANSI-safe):
+    a = h1 mod_u64 m, b = h2 mod_u64 m, pos_i = (a + i·b) mod m. The
+    unsigned mod of a signed 64-bit hash is pmod(pmod(h, m) + [h<0]·(2^64
+    mod m), m) — every intermediate < 2m < 2^32, and i·b ≤ 16·2^31, so
+    nothing overflows under ANSI.
+
+    Partitions with no summary row probe all-new (maybe=false); rows the
+    Column path can't evaluate (``__ok`` false, or a capacity that doesn't
+    match this probe's plan-time m/k) probe all-maybe (exact confirm).
+    """
+    m, k = _bloom_params(capacity, fpp)
+    c64 = (1 << 64) % m
+
+    # a ≡ h1 (mod m) as unsigned, kept < 2m (the final pmod folds it home);
+    # every intermediate stays < 32m < 2^38, so nothing trips ANSI overflow,
+    # and the whole conjunction is integer shifts/masks — cheap in codegen
+    # (measured 0.5 s / 8M rows / 8 cores for the full k-test projection)
+    a = F.pmod(F.col("h1"), F.lit(m)) + F.when(
+        F.col("h1") < 0, F.lit(c64)).otherwise(F.lit(0))
+    b = F.pmod(F.col("h2"), F.lit(m)) + F.when(
+        F.col("h2") < 0, F.lit(c64)).otherwise(F.lit(0))
+    test = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(a + F.lit(i) * b, F.lit(m))
+        word = F.get(
+            F.col("__words"),
+            F.call_function("shiftright", pos, F.lit(6)).cast("int"),
+        )
+        bit = F.call_function(
+            "shiftright", word, pos.bitwiseAND(F.lit(63)).cast("int")
+        ).bitwiseAND(F.lit(1))
+        test = test & (bit == F.lit(1))
+
+    joined = candidates_hashed.join(F.broadcast(words), "part", "left")
+    maybe = (
+        F.when(F.col("__ok").isNull(), F.lit(False))        # no summary row
+        .when(~F.col("__ok") | (F.col("__cap") != F.lit(capacity)), F.lit(True))
+        .otherwise(test)
+    )
+    return joined.withColumn("maybe_seen", maybe).drop("__ok", "__cap", "__words")
 
 
 def _anti_join_all(df: DataFrame, seen, key_col: str) -> DataFrame:
@@ -369,6 +499,7 @@ def filter_new_urls(
     fpp: float = 0.01,
     unsummarized: DataFrame | None = None,
     dedup_order: list[str] | None = None,
+    capacity: int | None = None,
 ) -> DataFrame:
     """The J6 discovery anti-join with the summary pre-filter as a gate.
 
@@ -388,6 +519,14 @@ def filter_new_urls(
     ``dedup_order``: also first-occurrence-dedup the candidates on
     ``key_col`` (winner = min by these columns) inside the probe cogroup —
     one exchange instead of a separate shuffle+window (see probe_summaries).
+
+    ``capacity``: the uniform per-part Bloom capacity. When given (and
+    summaries exist) the probe runs the all-JVM codegen path
+    (``probe_summaries_cols``): dedup becomes a groupBy+min_by with
+    map-side partial aggregation — ONE exchange on ``key_col`` whose
+    clustering the confirm anti-join then reuses — and the bit tests never
+    leave whole-stage codegen. Pass it only for bloom summaries; cuckoo
+    keeps the pandas cogroup.
     """
     hashed = add_partition_and_hashes(candidates, key_col, num_parts)
     if summaries is None:
@@ -396,6 +535,42 @@ def filter_new_urls(
 
             hashed = first_occurrence(hashed, key_col, dedup_order)
         return _anti_join_all(hashed, seen_exact, key_col).drop("part", "h1", "h2")
+    if capacity is not None:
+        # all-JVM single-pass shape. The classic miss∪(hits⟂seen) union
+        # evaluates its (expensive) common subtree once per branch — only
+        # exchanges are reused across union arms — so instead: probe
+        # map-side (no exchange), dedup with ONE sort-based window exchange,
+        # then chain LEFT joins that only FLAG membership, and apply the
+        # gate as a single row-level filter:
+        #   maybe_seen = false → row must miss the unsummarized tail;
+        #   maybe_seen = true  → row must miss every exact fileset.
+        # Candidates are exchanged exactly once (the dedup window) and that
+        # clustering is what the membership joins then require.
+        probed = probe_summaries_cols(hashed, summaries_to_words(summaries),
+                                      capacity, fpp)
+        if dedup_order is not None:
+            from httrack2warc_spark.operators.dedup import first_occurrence
+
+            probed = first_occurrence(probed, key_col, dedup_order)
+        keep = F.lit(True)
+        seen_list = seen_exact if isinstance(seen_exact, list) else [seen_exact]
+        for i, s in enumerate(seen_list):
+            flag = f"__s{i}"
+            probed = probed.join(
+                s.select(key_col, F.lit(True).alias(flag)), key_col, "left"
+            )
+            keep = keep & (~F.col("maybe_seen") | F.col(flag).isNull())
+        if unsummarized is not None:
+            probed = probed.join(
+                unsummarized.select(key_col, F.lit(True).alias("__t")),
+                key_col, "left",
+            )
+            keep = keep & (F.col("maybe_seen") | F.col("__t").isNull())
+        drop = ["part", "h1", "h2", "maybe_seen"]
+        drop += [f"__s{i}" for i in range(len(seen_list))]
+        if unsummarized is not None:
+            drop.append("__t")
+        return probed.where(keep).drop(*drop)
     probed = probe_summaries(
         hashed, summaries, fpp,
         dedup_key=key_col if dedup_order is not None else None,

@@ -225,3 +225,73 @@ def test_pagerank_matches_reference_iteration(spark):
         assert abs(got[node] - r[i]) < 1e-12, (node, got[node], r[i])
     # a hub with more in-links outranks a leaf
     assert got[2] > got[3]
+
+
+def test_codegen_probe_matches_pandas_probe(spark):
+    """probe_summaries_cols (whole-stage-codegen bit tests over broadcast
+    filter words) must agree row-for-row with the pandas cogroup probe, and
+    never produce a false negative for truly-seen keys."""
+    from pyspark.sql import functions as F
+
+    from httrack2warc_spark.operators.seen import (
+        add_partition_and_hashes,
+        build_summaries,
+        probe_summaries,
+        probe_summaries_cols,
+        summaries_to_words,
+    )
+
+    n = 50_000
+    cand = spark.range(0, n, 1, 8).select(
+        F.concat(F.lit("h"), (F.col("id") % 13).cast("string"),
+                 F.lit(".com/p/"), F.col("id").cast("string")).alias("url_key"))
+    seen = spark.range(0, n, 3, 8).select(
+        F.concat(F.lit("h"), (F.col("id") % 13).cast("string"),
+                 F.lit(".com/p/"), F.col("id").cast("string")).alias("url_key"))
+    summ = build_summaries(
+        add_partition_and_hashes(seen, "url_key", 8), 8,
+        capacity_per_part=20_000, fpp=0.01).persist()
+    hashed = add_partition_and_hashes(cand, "url_key", 8)
+    py = probe_summaries(hashed, summ, 0.01).select("url_key", "maybe_seen")
+    jvm = probe_summaries_cols(
+        hashed, summaries_to_words(summ), 20_000, 0.01
+    ).select("url_key", F.col("maybe_seen").alias("m2"))
+    assert py.join(jvm, "url_key").where(F.col("maybe_seen") != F.col("m2")).count() == 0
+    assert jvm.join(seen, "url_key").where(~F.col("m2")).count() == 0
+    summ.unpersist()
+
+
+def test_filter_new_urls_codegen_path_equals_cogroup(spark):
+    """filter_new_urls with capacity (single-pass JVM shape: map-side probe,
+    window dedup, flag left-joins) returns the exact same row set as the
+    pandas cogroup path, tail included."""
+    from pyspark.sql import functions as F
+
+    from httrack2warc_spark.operators.seen import (
+        add_partition_and_hashes, build_summaries, filter_new_urls)
+
+    n = 30_000
+    cand = spark.range(0, n, 1, 8).select(
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".com/p/"), (F.col("id") % (n // 2)).cast("string")
+                 ).alias("url_key"),       # duplicates: exercises dedup
+        (F.col("id") % (n // 2)).alias("parent_seq"),
+        (F.col("id") % 5).cast("int").alias("link_idx"),
+        F.concat(F.lit("http://x/"), F.col("id").cast("string")).alias("url"))
+    seen = spark.range(0, n, 4, 8).select(
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".com/p/"), (F.col("id") % (n // 2)).cast("string")
+                 ).alias("url_key")).distinct()
+    tail = seen.limit(500)
+    summ = build_summaries(
+        add_partition_and_hashes(seen, "url_key", 8), 8,
+        capacity_per_part=20_000).localCheckpoint(eager=True)
+    outs = {}
+    for cap in (None, 20_000):
+        nf = filter_new_urls(
+            cand, [seen], summ, "url_key", 8, 0.01, unsummarized=tail,
+            dedup_order=["parent_seq", "link_idx", "url"], capacity=cap)
+        outs[cap] = sorted(
+            (r["url_key"], r["parent_seq"], r["link_idx"], r["url"])
+            for r in nf.collect())
+    assert outs[None] == outs[20_000] and len(outs[None]) > 0

@@ -119,7 +119,36 @@ def test_catalog_interface_conformance(spark):
 def test_salted_topk_auto_engages_on_skew(spark, tmp_path):
     """A skewed web (every frontier row on one host) trips the driver-side
     rows-per-host heuristic; the salted politeness plan engages and the visit
-    order is unchanged vs the plain plan."""
+    order is unchanged vs the plain plan. The budget must be bindable
+    (default_host_budget below the eventual frontier size) — a provably
+    non-binding budget now skips the per-host window entirely, which the
+    companion test below pins down."""
+    web, seeds = generate_web(spark, n_hosts=1, pages_per_host=60, out_degree=4)
+
+    def crawl(cfg_kwargs, d):
+        cat = TableCatalog(spark, str(tmp_path / d))
+        s = FrontierScheduler(
+            spark, cat, web,
+            CrawlConfig(num_parts=4, max_rounds=6, fetch_robots=False,
+                        default_host_budget=8, **cfg_kwargs),
+        )
+        log = s.run(seeds=seeds)
+        return s, [(r.seq, r.url) for r in log.orderBy("seq").collect()]
+
+    s_auto, order_auto = crawl(
+        {"salted_topk": "auto", "salt_auto_threshold": 2}, "auto")
+    s_plain, order_plain = crawl({"salted_topk": False}, "plain")
+    assert s_auto.salted_rounds, "auto heuristic never engaged"
+    assert not s_plain.salted_rounds
+    assert order_auto == order_plain and len(order_auto) > 10
+
+
+def test_unbindable_budget_skips_topk_identically(spark, tmp_path):
+    """When no per-host override or crawl-delay cap exists and the whole
+    frontier fits inside the uniform default budget, the per-host top-k is
+    the identity: the scheduler skips the window (no salted engagement even
+    under forced salting) and the visit order is bit-identical to a run
+    where the window executes (budget = frontier size exactly)."""
     web, seeds = generate_web(spark, n_hosts=1, pages_per_host=60, out_degree=4)
 
     def crawl(cfg_kwargs, d):
@@ -132,12 +161,24 @@ def test_salted_topk_auto_engages_on_skew(spark, tmp_path):
         log = s.run(seeds=seeds)
         return s, [(r.seq, r.url) for r in log.orderBy("seq").collect()]
 
-    s_auto, order_auto = crawl(
-        {"salted_topk": "auto", "salt_auto_threshold": 2}, "auto")
-    s_plain, order_plain = crawl({"salted_topk": False}, "plain")
-    assert s_auto.salted_rounds, "auto heuristic never engaged"
-    assert not s_plain.salted_rounds
-    assert order_auto == order_plain and len(order_auto) > 10
+    # huge default budget: window skipped, salted flag never set even
+    # though salting is FORCED on — the identity rule preempts it
+    s_skip, order_skip = crawl({"salted_topk": True}, "skip")
+    assert not s_skip.salted_rounds
+    # budget bindable (host_budget override present) ⇒ window runs
+    import pyspark.sql.functions as F
+
+    hb = spark.createDataFrame(
+        [("host0.example.com", 1_000_000)], "host string, budget long")
+    cat = TableCatalog(spark, str(tmp_path / "win"))
+    s_win = FrontierScheduler(
+        spark, cat, web,
+        CrawlConfig(num_parts=4, max_rounds=6, fetch_robots=False),
+        host_budget=hb,
+    )
+    log = s_win.run(seeds=seeds)
+    order_win = [(r.seq, r.url) for r in log.orderBy("seq").collect()]
+    assert order_skip == order_win and len(order_skip) > 10
 
 
 def test_iceberg_catalog_smoke_with_runtime(spark, tmp_path):

@@ -97,3 +97,52 @@ def test_url_host():
 def test_sha1_base32_golden():
     # empty-body digest (test/.../RedirectWriterTest.java:36)
     assert sha1_base32(b"") == "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ"
+
+
+def test_canonicalize_fast_path_fixpoint_and_parity():
+    """The vectorized fast path (functions/urls.py::_CANONICAL_FAST_RE) may
+    only ever pass through URLs that are fixpoints of canonicalize_url, and
+    the series implementation must equal the per-row map on adversarial
+    inputs (scheme case, ports, userinfo, IPv4-ish hosts, dot segments,
+    percent escapes, backslashes, IDNA, schemeless)."""
+    import random
+
+    import pandas as pd
+
+    from httrack2warc_spark.functions.urls import (
+        _CANONICAL_FAST_RE, canonicalize_url, canonicalize_url_series)
+
+    rng = random.Random(7)
+    chars_seg = "Abz09_~!$&'()*+,;=:@-."
+    for _ in range(5000):
+        host = ".".join(
+            ("".join(rng.choice("abz09-") for _ in range(rng.randint(1, 6)))
+             .strip("-") or "a")
+            for _ in range(rng.randint(1, 3)))
+        host += ".x" + "".join(
+            rng.choice("abz09") for _ in range(rng.randint(0, 4)))
+        segs = ["".join(rng.choice(chars_seg) for _ in range(rng.randint(1, 8)))
+                for _ in range(rng.randint(0, 4))]
+        path = "/" + "/".join(segs) + (rng.choice(["", "/"]) if segs else "")
+        u = rng.choice(["http", "https"]) + "://" + host + path
+        if _CANONICAL_FAST_RE.match(u):
+            assert canonicalize_url(u) == u, u
+
+    adversarial = [
+        "http://host0.example.com/page/1.html", "HTTP://Host.COM/A b",
+        "http://host.com", "http://host.com/", "http://host.com//x",
+        "http://host.com/./x", "http://host.com/../x", "http://host.com/x/..",
+        "http://host.com/%2e/x", "http://host.com/x?q=1#f",
+        "example.org/no/scheme", "https://h.com:443/x", "http://h.com:80/x",
+        "http://h.com:8080/x", "http://USER:p@h.com/x", "http://127.0.0.1/x",
+        "http://0x7f.1/x", "http://h.com/x\\y", "  http://h.com/x  ",
+        "http://xn--bcher-kva.com/x", "http://bücher.com/x", "ftp://h.com/x",
+        "mailto:a@b.com", "http://h.com/a%2Fb", "http://h.com/a%2fb",
+        "http://1.2.3.4.5/x", "http://h.com./x", "http://h_y.com/x",
+        "http://h.com/..", "http://h.com/'quote'", "http://h.com/seg./x",
+        "http://h.com/x/",
+    ]
+    s = pd.Series(adversarial, dtype=object)
+    got = canonicalize_url_series(s)
+    want = s.map(canonicalize_url, na_action="ignore")
+    assert list(got) == list(want)
