@@ -75,7 +75,18 @@ def main() -> None:
     )
     sections.append(
         (
-            "filter_new_urls (Bloom-gated discovery anti-join)",
+            "filter_new_urls (Bloom-gated discovery anti-join, codegen path)",
+            "NO Python in the hot path: BroadcastHashJoin on part against the "
+            "filter-word rows, k shiftright/AND bit tests inside "
+            "WholeStageCodegen, membership flag left-joins sharing one "
+            "url_key clustering (the only candidate exchange)",
+            grab(filter_new_urls(cand, seen, summ, "url_key", 16,
+                                 capacity=10_000)),
+        )
+    )
+    sections.append(
+        (
+            "filter_new_urls (pandas cogroup path — cuckoo summaries)",
             "cogroup (FlatMapCoGroupsInPandas) probe; anti-join only on probe-hits",
             grab(filter_new_urls(cand, seen, summ, "url_key", 16)),
         )
