@@ -149,6 +149,16 @@ class CrawlConfig:
     # 100k-URL crawl 49 s with AQE, 39 s without); big rounds get AQE back
     # (skew joins, runtime coalescing). "on"/"off" force it.
     aqe_mode: str = "auto"
+    # discovery-gate probe strategy. False (default): the pandas cogroup
+    # (one Arrow pass folds dedup + Bloom probe; measured FASTER end-to-end
+    # at sandbox scales — local[2] 14.1k vs 11.3k URLs/s, local[8] 28.4k vs
+    # 25.8k on the 2M-URL loop — because the grouped numpy sort+dedupe beats
+    # Spark's window sort). True: the all-JVM codegen path
+    # (probe_summaries_cols — zero Python in the gate, bit tests inside
+    # WholeStageCodegen); parity-tested row-for-row, the right trade where
+    # Python worker pools are the constraint (many-executor clusters with
+    # low spark.python.worker counts). bloom summaries only.
+    jvm_probe: bool = False
     # retention: keep the last K round snapshots; older ones expire after each
     # round and `vacuum` reclaims their filesets + stale bucketed-table
     # registrations (Iceberg expire_snapshots + remove_orphan_files). None =
@@ -586,6 +596,7 @@ class FrontierScheduler:
         from httrack2warc_spark.operators.sequence import with_global_seq
 
         seq_caches: list = []
+        seq_count: list = []
         sequenced = with_global_seq(
             selected,
             [F.col("priority"), F.col("parent_seq"), F.col("link_idx"),
@@ -594,14 +605,24 @@ class FrontierScheduler:
             mode=seq_mode,
             num_partitions=cfg.num_parts,
             cache_handle=seq_caches,
+            count_handle=seq_count,
         )
 
         # materialized once: reused by log append, seen update, leftover
         # anti-join and host bookkeeping without recomputing topk+fetch
         fetched = self.web.fetch(sequenced).persist()
-        self.spark.sparkContext.setJobDescription("fetch:materialize")
-        n_fetched = fetched.count()
-        self.spark.sparkContext.setJobDescription(None)
+        if seq_count:
+            # ranged mode: the seq-offsets collect already counted every
+            # selected row, and fetch is row-preserving BY CONTRACT (seq is
+            # stamped dense pre-fetch; a fetch that dropped or duplicated
+            # rows would hole/dupe the visit sequence) — so the separate
+            # fetch-count job is redundant. The fetched persist fills on its
+            # first scan, which is the foreground discovery job below.
+            n_fetched = seq_count[0]
+        else:
+            self.spark.sparkContext.setJobDescription("fetch:materialize")
+            n_fetched = fetched.count()
+            self.spark.sparkContext.setJobDescription(None)
         next_seq += n_fetched
 
         # the previous round's deferred tail (frontier/hosts/summary commits,
@@ -688,11 +709,11 @@ class FrontierScheduler:
             candidates, seen_confirm, summaries, "url_key",
             cfg.num_parts, cfg.summary_fpp, unsummarized=tail,
             dedup_order=["parent_seq", "link_idx", "url"],
-            # bloom summaries probe in whole-stage codegen (no pandas
-            # cogroup, no probe exchange); cuckoo keeps the Arrow path
+            # cfg.jvm_probe: bloom summaries probe in whole-stage codegen
+            # (no pandas cogroup); default is the (faster-here) Arrow path
             capacity=(
                 cfg.summary_capacity_per_part
-                if cfg.summary_kind == "bloom"
+                if cfg.jvm_probe and cfg.summary_kind == "bloom"
                 else None
             ),
         )
@@ -726,8 +747,14 @@ class FrontierScheduler:
             # one row per url_key (dedup_order folds the within-batch
             # first-occurrence into the probe cogroup), so the re-dedup
             # window — a full exchange + sort of the round's discoveries —
-            # is the identity. Skip it.
-            new_frontier = new_frontier.localCheckpoint(eager=True)
+            # is the identity. Skip it. The lazy checkpoint + direct count
+            # is ONE job that both materializes the checkpoint (a direct
+            # action on the checkpointed frame does; actions on DERIVED
+            # frames do not) and fixes n_new_seen (== discoveries: the
+            # seen-rows frame is a pure projection of this set), replacing
+            # the separate eager-materialize and count jobs.
+            new_frontier = new_frontier.localCheckpoint(eager=False)
+            n_new_seen_direct = new_frontier.count()
             new_seen_rows = new_frontier.select(
                 "url_key", "url", F.lit(round_no + 1).alias("enqueued_round")
             )
@@ -755,29 +782,22 @@ class FrontierScheduler:
         # url_seen is append-only (set semantics): appending just the round's
         # new keys keeps the commit O(delta); a full-rewrite union would make
         # every round O(total-seen) — the classic iterative-state trap.
-        new_seen_rows = new_seen_rows.persist()
-        # the url_seen append runs FIRST and alone: its write scans
-        # new_seen_rows and (as its parent) new_frontier, filling BOTH caches
-        # — the discovery materializer and the critical commit in one job
-        # (replaces the former separate count(); without a pre-fill the
-        # concurrent commits race to compute the same un-filled cache and
-        # each runs the full pipeline — measured 71 s of a 64 s crawl).
-        # The count materializes exactly what the former foreground append's
-        # write scan did; the write itself (bucketed exchange + sort + file
-        # I/O) rides the flush tail — one fileset per commit window, not per
-        # round (cfg.commit_every).
-        self.spark.sparkContext.setJobDescription("seen:materialize")
-        # count()+hash-agg in ONE job: the count is the exact arithmetic the
-        # handoff needs, and the hash forces a full-width scan — a bare
-        # count prunes every column, which can leave the persist UNFILLED
-        # and each deferred commit then recomputes the whole discovery
-        # pipeline (measured: 3× loop wall)
-        row = new_seen_rows.agg(
-            F.count(F.lit(1)),
-            F.sum(F.hash("url_key", "url", "enqueued_round")),
-        ).collect()[0]
-        n_new_seen = row[0]
-        self.spark.sparkContext.setJobDescription(None)
+        # new_frontier is already a materialized localCheckpoint (the
+        # discovery materializer above — checkpoint, not persist, because
+        # cache-by-plan-equality reuse is shape-fragile: with the codegen-
+        # probe plan every deferred commit silently recomputed the whole
+        # pipeline, 3× loop wall). Robots off: n_new_seen came with the
+        # materializing count and new_seen_rows is a pure projection its
+        # consumers recompute from the checkpoint for free. Robots on:
+        # new_seen_rows adds the robots union + dedup window, so pin it and
+        # count it here (the window runs once, the tail reuses the persist).
+        if cfg.fetch_robots:
+            new_seen_rows = new_seen_rows.persist()
+            self.spark.sparkContext.setJobDescription("seen:materialize")
+            n_new_seen = new_seen_rows.count()
+            self.spark.sparkContext.setJobDescription(None)
+        else:
+            n_new_seen = n_new_seen_direct
 
         # dynamic robots discovery (cfg.discover_robots): parse this round's
         # fetched robots.txt bodies and fold them into the active rule set —

@@ -536,41 +536,41 @@ def filter_new_urls(
             hashed = first_occurrence(hashed, key_col, dedup_order)
         return _anti_join_all(hashed, seen_exact, key_col).drop("part", "h1", "h2")
     if capacity is not None:
-        # all-JVM single-pass shape. The classic miss∪(hits⟂seen) union
-        # evaluates its (expensive) common subtree once per branch — only
-        # exchanges are reused across union arms — so instead: probe
-        # map-side (no exchange), dedup with ONE sort-based window exchange,
-        # then chain LEFT joins that only FLAG membership, and apply the
-        # gate as a single row-level filter:
-        #   maybe_seen = false → row must miss the unsummarized tail;
-        #   maybe_seen = true  → row must miss every exact fileset.
-        # Candidates are exchanged exactly once (the dedup window) and that
-        # clustering is what the membership joins then require.
-        probed = probe_summaries_cols(hashed, summaries_to_words(summaries),
-                                      capacity, fpp)
+        # all-JVM shape: the probe is a map-side Column projection (no
+        # exchange, no Python), so the miss/hit split happens BEFORE any
+        # shuffle. A key's duplicates all share one maybe_seen value, so
+        # first-occurrence dedup commutes with the split — each branch
+        # dedups its own (disjoint) rows, and the two window exchanges move
+        # the SAME combined volume as one full exchange would. The branches
+        # re-evaluate only the post-ReusedExchange tail of the candidate
+        # pipeline (the outlinks exchange upstream is shared), and the big
+        # fileset joins see probe-hits only — misses pay just the (small)
+        # unsummarized-tail anti-join, exactly the 10^10-key design.
+        # the explicit repartition is load-bearing twice over: (1) the probe
+        # projection is evaluated ONCE on the exchange's map side and
+        # maybe_seen crosses the wire as one byte — without it each branch
+        # filter re-derives the whole k-test expression (measured 3.4 s vs
+        # 0.4 s per pass at 4M rows: FilterExec doesn't CSE the predicate);
+        # (2) HashPartitioning(key_col) satisfies the branch windows and the
+        # confirm joins, so this is the ONLY candidate exchange in the gate.
+        probed = probe_summaries_cols(
+            hashed, summaries_to_words(summaries), capacity, fpp
+        ).repartition(num_parts, key_col)
+        misses = probed.where(~F.col("maybe_seen"))
+        hits = probed.where(F.col("maybe_seen"))
         if dedup_order is not None:
             from httrack2warc_spark.operators.dedup import first_occurrence
 
-            probed = first_occurrence(probed, key_col, dedup_order)
-        keep = F.lit(True)
-        seen_list = seen_exact if isinstance(seen_exact, list) else [seen_exact]
-        for i, s in enumerate(seen_list):
-            flag = f"__s{i}"
-            probed = probed.join(
-                s.select(key_col, F.lit(True).alias(flag)), key_col, "left"
-            )
-            keep = keep & (~F.col("maybe_seen") | F.col(flag).isNull())
+            misses = first_occurrence(misses, key_col, dedup_order)
+            hits = first_occurrence(hits, key_col, dedup_order)
         if unsummarized is not None:
-            probed = probed.join(
-                unsummarized.select(key_col, F.lit(True).alias("__t")),
-                key_col, "left",
+            misses = misses.join(
+                unsummarized.select(key_col), key_col, "left_anti"
             )
-            keep = keep & (F.col("maybe_seen") | F.col("__t").isNull())
-        drop = ["part", "h1", "h2", "maybe_seen"]
-        drop += [f"__s{i}" for i in range(len(seen_list))]
-        if unsummarized is not None:
-            drop.append("__t")
-        return probed.where(keep).drop(*drop)
+        confirmed_new = _anti_join_all(hits, seen_exact, key_col)
+        return misses.unionByName(confirmed_new).drop(
+            "part", "h1", "h2", "maybe_seen"
+        )
     probed = probe_summaries(
         hashed, summaries, fpp,
         dedup_key=key_col if dedup_order is not None else None,

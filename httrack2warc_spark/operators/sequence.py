@@ -31,6 +31,7 @@ def with_global_seq(
     mode: str = "single",
     num_partitions: int | None = None,
     cache_handle: list | None = None,
+    count_handle: list | None = None,
 ) -> DataFrame:
     """Stamp ``out_col`` = start, start+1, … in the total order given by
     ``order`` (must be tie-free for determinism).
@@ -63,6 +64,11 @@ def with_global_seq(
     for r in counts:
         offsets[r["__pid"]] = acc
         acc += r["__n"]
+    if count_handle is not None:
+        # the offsets collect already counted every row — callers that need
+        # the total (e.g. the scheduler's next_seq arithmetic) can take it
+        # here instead of running a separate count job
+        count_handle.append(acc - start)
     off_df = F.broadcast(
         df.sparkSession.createDataFrame(
             [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"

@@ -57,6 +57,15 @@ def test_golden_visit_order_cuckoo_and_salted(spark, tmp_path):
     assert urls == GOLDEN_VISIT_ORDER
 
 
+def test_golden_visit_order_jvm_probe(spark, tmp_path):
+    """The all-JVM codegen discovery gate (cfg.jvm_probe) must reproduce the
+    golden order bit-for-bit — it swaps only the probe/dedup physical plan,
+    never the semantics."""
+    cfg = CrawlConfig(num_parts=8, max_rounds=10, jvm_probe=True)
+    cat, urls = _run(spark, tmp_path, cfg)
+    assert urls == GOLDEN_VISIT_ORDER
+
+
 def test_exclusion_at_discovery(spark, tmp_path):
     cfg = CrawlConfig(num_parts=8, max_rounds=10, exclusions=[".*/another"])
     cat, urls = _run(spark, tmp_path, cfg)
