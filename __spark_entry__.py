@@ -979,7 +979,17 @@ def url_host_q(spark, sf_dir):
 
 
 def frontier_crawl_q(spark, sf_dir):
-    """The scheduler itself on a generated 2-host web (rows-only check)."""
+    """The scheduler itself — robots fetching ON — VALUE-CHECKED. generate_web's
+    graph is closed-form (k-ary host trees + cross-host edges over node ids),
+    so a DuckDB generate_series rebuilds it exactly and a recursive CTE
+    replays the crawl: seeding ONLY host0 makes host1 enter via the
+    cross-host edge mid-crawl, which exercises the synthetic-robots flow the
+    rows-only check never pinned — a new host's robots.txt row clones its
+    trigger row's ordering tuple and takes the seq slot immediately before
+    it (frontier/scheduler.py:567-594, reference Httrack2Warc robots-first
+    fixture convention). Budget 1000 is non-binding (40 pages/host), so the
+    visit log is a pure function of the graph + the (priority, parent_seq,
+    link_idx, __robots, url) total order."""
     from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler, generate_web
     from httrack2warc_spark.sinks.tables import TableCatalog
 
@@ -991,8 +1001,11 @@ def frontier_crawl_q(spark, sf_dir):
         CrawlConfig(num_parts=8, max_rounds=8, default_host_budget=1000,
                     summary_capacity_per_part=10_000, summary_every=2),
     )
-    log = sched.run(seeds=seeds)
-    return log.select("seq", "url", "host", "depth").orderBy("seq")
+    log = sched.run(seeds=seeds[:1])
+    return log.select(
+        "seq", "url", "host", F.col("depth").cast("int").alias("depth"),
+        F.col("round").cast("int").alias("round"), "is_robots",
+    ).orderBy("seq")
 
 
 def frontier_bfs_q(spark, sf_dir):
@@ -2003,6 +2016,131 @@ def oracle_sql() -> dict[str, str]:
                    'h' || (node % 2) || '.example.org' AS host,
                    depth::INT AS depth, vround::INT AS round
             FROM visited ORDER BY seq
+        """,
+        # frontier_crawl: robots-ON replay. generate_web(2 hosts, 40 pages,
+        # out_degree 3, cross_host_every 1) is closed-form over node ids
+        # 0..79 (host = node//40, page = node%40; k-ary tree edges
+        # p -> 3p+1..3p+3 same host, page 0 -> page 0 of the next host at
+        # link_idx 3; .gif extension when page%10=9), so the graph is
+        # rebuilt from generate_series. Only host0 is seeded: host1 enters
+        # via the cross edge, and the replay injects a synthetic robots.txt
+        # row the first round a host is selected, cloning the trigger row's
+        # (depth=priority, parent_ord, link_idx) and sorting immediately
+        # before it via the robots-first flag — the scheduler's exact
+        # (priority, parent_seq, link_idx, __robots, url) total order.
+        # Budget 1000 never binds, so sel == frontier each round; robots
+        # rows have no outlinks. parent_ord is the order-isomorphic
+        # (round*1e6 + in-round page rank) composite (robots rows shift
+        # absolute seq but never parent RANK: they are never parents).
+        "frontier_crawl": """
+            WITH RECURSIVE crawl AS (
+                SELECT 0 AS r, 'f' AS kind, 0::BIGINT AS node, 0 AS depth,
+                       (-1)::BIGINT AS parent_ord, 0 AS link_idx,
+                       NULL::INT AS vround
+                UNION ALL
+                SELECT * FROM (
+                    WITH prev AS (SELECT * FROM crawl WHERE r < 8),
+                    edges AS (
+                        SELECT i AS src, j.j AS link_idx,
+                               (i // 40) * 40 + (i % 40) * 3 + j.j + 1 AS dst
+                        FROM generate_series(0, 79) t(i),
+                             (SELECT UNNEST([0, 1, 2]) AS j) j
+                        WHERE (i % 40) * 3 + j.j + 1 < 40
+                        UNION ALL
+                        SELECT i, 3, (((i // 40) + 1) % 2) * 40
+                        FROM generate_series(0, 79) t(i) WHERE i % 40 = 0
+                    ),
+                    front AS (SELECT * FROM prev WHERE kind = 'f'),
+                    vis AS (SELECT * FROM prev WHERE kind = 'v'),
+                    rob AS (SELECT * FROM prev WHERE kind = 'r'),
+                    sel AS (
+                        SELECT f.*,
+                               'http://host' || (f.node // 40)
+                                   || '.example.com/page/' || (f.node % 40)
+                                   || CASE WHEN (f.node % 40) % 10 = 9
+                                            AND f.node % 40 > 0
+                                           THEN '.gif' ELSE '.html' END AS url
+                        FROM front f
+                    ),
+                    ranked AS (
+                        SELECT *, row_number() OVER (
+                                   ORDER BY depth, parent_ord, link_idx, url
+                               ) AS rrk
+                        FROM sel
+                    ),
+                    newrob AS (
+                        SELECT *, row_number() OVER (
+                                   PARTITION BY node // 40
+                                   ORDER BY depth, parent_ord, link_idx, url
+                               ) AS hk
+                        FROM sel s
+                        WHERE s.node // 40 NOT IN
+                              (SELECT v.node // 40 FROM vis v)
+                        QUALIFY hk = 1
+                    ),
+                    cand AS (
+                        SELECT e.dst, s.depth + 1 AS depth,
+                               (s.r * 1000000 + s.rrk)::BIGINT AS parent_ord,
+                               e.link_idx, s.r AS r
+                        FROM ranked s JOIN edges e ON e.src = s.node
+                    ),
+                    firstc AS (
+                        SELECT *, row_number() OVER (
+                                   PARTITION BY dst ORDER BY parent_ord, link_idx
+                               ) AS dk
+                        FROM cand QUALIFY dk = 1
+                    ),
+                    fresh AS (
+                        SELECT * FROM firstc
+                        WHERE dst NOT IN (SELECT node FROM front)
+                          AND dst NOT IN (SELECT node FROM vis)
+                    )
+                    SELECT v.r + 1, 'v', v.node, v.depth, v.parent_ord,
+                           v.link_idx, v.vround
+                    FROM vis v
+                    UNION ALL
+                    SELECT b.r + 1, 'r', b.node, b.depth, b.parent_ord,
+                           b.link_idx, b.vround
+                    FROM rob b
+                    UNION ALL
+                    SELECT s.r + 1, 'v', s.node, s.depth, s.parent_ord,
+                           s.link_idx, s.r
+                    FROM sel s
+                    UNION ALL
+                    SELECT n.r + 1, 'r', n.node, n.depth, n.parent_ord,
+                           n.link_idx, n.r
+                    FROM newrob n
+                    UNION ALL
+                    SELECT c.r + 1, 'f', c.dst, c.depth, c.parent_ord,
+                           c.link_idx, NULL::INT
+                    FROM fresh c
+                ) step
+            ), visited AS (
+                SELECT DISTINCT kind, node, depth, parent_ord, link_idx, vround
+                FROM crawl WHERE kind IN ('v', 'r')
+            ), rows_out AS (
+                SELECT *,
+                       CASE WHEN kind = 'r' THEN 0 ELSE 1 END AS pageflag,
+                       CASE WHEN kind = 'r'
+                            THEN 'http://host' || (node // 40)
+                                 || '.example.com/robots.txt'
+                            ELSE 'http://host' || (node // 40)
+                                 || '.example.com/page/' || (node % 40)
+                                 || CASE WHEN (node % 40) % 10 = 9
+                                          AND node % 40 > 0
+                                         THEN '.gif' ELSE '.html' END
+                       END AS url
+                FROM visited
+            )
+            SELECT (row_number() OVER (
+                        ORDER BY vround, depth, parent_ord, link_idx,
+                                 pageflag, url
+                    ) - 1)::BIGINT AS seq,
+                   url,
+                   'host' || (node // 40) || '.example.com' AS host,
+                   depth::INT AS depth, vround::INT AS round,
+                   (kind = 'r') AS is_robots
+            FROM rows_out ORDER BY seq
         """,
         # doc_chunks: sliding windows of 40 tokens, stride 32 (overlap 8);
         # window count 1 + ceil(max(n-40,0)/32); DuckDB list slice clamps
