@@ -196,6 +196,80 @@ def test_commit_window_is_bit_identical(spark, tmp_path):
         assert a == b, f"commit_every=3 diverged on {name}"
 
 
+def test_resume_mid_commit_window(spark, tmp_path):
+    """Crash INSIDE a commit window: with commit_every=3 a crawl killed
+    before the first flush has committed nothing but the seed snapshot —
+    the whole window's deltas lived only in the abandoned scheduler's
+    caches. Resume must roll back to `round--1` and deterministically
+    re-crawl the lost rounds: the documented commit_every trade is up to K
+    rounds of re-crawl, never a divergent or torn log. Uses the
+    non-flushing `_run_round_guarded` form `run()` uses — the public
+    `run_round` flushes on every call by contract."""
+    web = fixture_web(spark)
+    cfg = CrawlConfig(num_parts=8, max_rounds=10, commit_every=3)
+    cat = TableCatalog(spark, str(tmp_path))
+    sched = FrontierScheduler(spark, cat, web, cfg)
+    sched.start(["http://test.example.org/"])
+    _, next_seq = sched._run_round_guarded(0, 0)
+    sched.close()  # crash: round 0's deltas dropped, nothing flushed
+
+    tags = {t for t in cat.list_snapshots() if t.startswith("round-")}
+    assert tags == {"round--1"}  # pending window reached the catalog nowhere
+
+    sched2 = FrontierScheduler(spark, TableCatalog(spark, str(tmp_path)), web, cfg)
+    log = sched2.run(resume=True)
+    assert [r.url for r in log.orderBy("seq").collect()] == GOLDEN_VISIT_ORDER
+    seen = {r.url_key
+            for r in TableCatalog(spark, str(tmp_path)).read("url_seen").collect()}
+    assert seen == GOLDEN_SEEN
+
+
+def test_resume_after_window_flush(spark, tmp_path):
+    """Crash AFTER a window flush but with later rounds pending
+    (commit_every=3 on a 2-host generate_web crawl, killed after round 3:
+    the round-2 flush snapshot is the last consistent state; round 3's
+    deltas are lost). Resume rolls back to round-2, re-crawls round 3
+    onward, and the final log/seen set are bit-identical to an
+    uninterrupted commit_every=1 crawl of the same web."""
+    from httrack2warc_spark.frontier import generate_web
+
+    web, seeds = generate_web(spark, n_hosts=2, pages_per_host=40,
+                              out_degree=3, cross_host_every=1)
+
+    def harvest(cat):
+        log = [(r.seq, r.url_key, r.round, r.is_robots)
+               for r in cat.read("crawl_log").orderBy("seq").collect()]
+        seen = {(r.url_key, r.enqueued_round)
+                for r in cat.read("url_seen").collect()}
+        return log, seen
+
+    base_cat = TableCatalog(spark, str(tmp_path / "base"))
+    base_sched = FrontierScheduler(
+        spark, base_cat, web,
+        CrawlConfig(num_parts=8, max_rounds=8, commit_every=1),
+    )
+    base_sched.run(seeds=seeds)
+    base = harvest(base_cat)
+
+    cfg = CrawlConfig(num_parts=8, max_rounds=8, commit_every=3)
+    cat = TableCatalog(spark, str(tmp_path / "crash"))
+    sched = FrontierScheduler(spark, cat, web, cfg)
+    sched.start(seeds)
+    next_seq = 0
+    for r in range(4):  # flush cadence hits at round 2; round 3 stays pending
+        _, next_seq = sched._run_round_guarded(r, next_seq)
+    sched.close()
+
+    tags = {t for t in cat.list_snapshots() if t.startswith("round-")}
+    assert "round-2" in tags and "round-3" not in tags
+
+    sched2 = FrontierScheduler(spark, TableCatalog(spark, str(tmp_path / "crash")),
+                               web, cfg)
+    sched2.run(resume=True)
+    got = harvest(TableCatalog(spark, str(tmp_path / "crash")))
+    assert got == base
+
+
 def test_commit_window_golden_order(spark, tmp_path):
     """The reference-parity golden crawl is unchanged under a deferred
     commit window (robots.txt injection, budgets and all)."""
