@@ -78,8 +78,12 @@ def main() -> None:
             "filter_new_urls (Bloom-gated discovery anti-join, codegen path)",
             "NO Python in the hot path: BroadcastHashJoin on part against the "
             "filter-word rows, k shiftright/AND bit tests inside "
-            "WholeStageCodegen, membership flag left-joins sharing one "
-            "url_key clustering (the only candidate exchange)",
+            "WholeStageCodegen evaluated ONCE on the map side of the single "
+            "explicit url_key exchange (maybe_seen crosses the wire as one "
+            "byte), then disjoint branches — probe-misses anti-join only the "
+            "small unsummarized tail, probe-hits confirm against the exact "
+            "filesets — unioned back; both branch windows reuse the one "
+            "exchange's clustering",
             grab(filter_new_urls(cand, seen, summ, "url_key", 16,
                                  capacity=10_000)),
         )
