@@ -12,8 +12,8 @@ is produced by bench_scaling.py → BENCH/BASELINE.md.
 Noise protocol: this container shares a host with co-tenants (load average
 8-12 with zero local processes is routine), so single-shot wall-clocks swing
 ±2x. Every number here is therefore a min over repeated runs in a warm JVM:
-queries run in two full passes (spark.catalog.clearCache() between passes so
-plan-equality caching can't fake the second pass), and the frontier crawl —
+queries run in three full passes (spark.catalog.clearCache() between passes
+so plan-equality caching can't fake the later passes), and the frontier crawl —
 the BASELINE.json target metric — runs three times against fresh state dirs.
 Per-run raw values and the host load average are recorded in the JSON so
 round-over-round comparisons can see the variance.
@@ -72,7 +72,8 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
-    for pass_no in range(2):
+    n_passes = 3  # one more chance per query to dodge a co-tenant spike
+    for pass_no in range(n_passes):
         for name in headline:
             t0 = time.time()
             df = qs[name](spark, sf_dir)
@@ -80,9 +81,9 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
-            if pass_no == 1:
-                print(f"# {name}: {n} rows in {timings[name]}s (min of 2)",
-                      file=sys.stderr)
+            if pass_no == n_passes - 1:
+                print(f"# {name}: {n} rows in {timings[name]}s "
+                      f"(min of {n_passes})", file=sys.stderr)
         # drop anything a query persisted so pass 2 re-executes the real plan
         spark.catalog.clearCache()
 
@@ -144,7 +145,7 @@ def main() -> None:
         "frontier_urls_per_sec": urls_per_sec,
         "frontier_urls": n_urls,
         "frontier_runs": frontier_runs,
-        "protocol": "min-of-2 per query (clearCache between passes), "
+        "protocol": "min-of-3 per query (clearCache between passes), "
                     "min-of-3 frontier, warm JVM; multi-tenant host",
         "load_avg_start": [round(x, 1) for x in load_start],
         "load_avg_end": [round(x, 1) for x in os.getloadavg()],
