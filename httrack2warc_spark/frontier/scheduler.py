@@ -346,8 +346,15 @@ class FrontierScheduler:
         )
         self.catalog.write(
             "metrics",
+            # MUST stay column-identical to the per-round metrics rows
+            # (_run_round): catalog.read unions filesets with the schema of
+            # whichever file it inspects first, so a narrower seed fileset
+            # here can silently drop later columns (the 'salted' audit
+            # column flaked exactly that way)
             spark.createDataFrame(
-                [], "round int, part int, fetched long, new_urls long, bytes long"
+                [],
+                "round int, part int, fetched long, new_urls long, "
+                "bytes long, salted boolean",
             ),
         )
         self.catalog.write("hosts_crawled", spark.createDataFrame([], "host string"))
@@ -367,6 +374,12 @@ class FrontierScheduler:
         self._n_hosts = 0
         self._max_host_frontier = 0
         self._summary_mem = None
+        self._discard_pending()
+
+    def _discard_pending(self) -> None:
+        """Drop the pending (unflushed) commit window and release its caches.
+        Called on the exception paths: a torn round's deltas must never be
+        flushed; the crash contract is rollback-to-last-flush + re-crawl."""
         if self._pending is not None:
             for df in self._pending["caches"]:
                 df.unpersist()
@@ -420,8 +433,14 @@ class FrontierScheduler:
         ``run_round`` directly never leaves the shared SparkSession altered
         for unrelated queries; any pipelined commit tail is flushed before
         returning, so direct callers always observe a fully-committed round
-        (``run()`` uses the non-flushing form to get the overlap)."""
-        out = self._run_round_guarded(round_no, next_seq)
+        (``run()`` uses the non-flushing form to get the overlap). If the
+        round raises, its half-assembled pending deltas are discarded, never
+        flushed — the catalog stays at the last completed commit."""
+        try:
+            out = self._run_round_guarded(round_no, next_seq)
+        except BaseException:
+            self._discard_pending()
+            raise
         self._force_flush()
         self._flush_deferred()
         return out
@@ -1172,17 +1191,23 @@ class FrontierScheduler:
                 if fetched == 0:
                     break
                 round_no += 1
+            # clean exit ONLY: the partial commit window at crawl end
+            # (commit_every > 1, or a break between flush rounds) lands
+            # before anything reads the final catalog state. On an
+            # exception the pending window is DISCARDED instead (close()
+            # below): its rounds may be half-assembled (an error between a
+            # round's delta appends leaves e.g. seen without log), and
+            # flushing + snapshotting a torn round would make resume
+            # re-crawl against a catalog that already contains some of that
+            # round's keys — silently dropping URLs. Discarding restores the
+            # documented crash contract: the catalog stays at the last
+            # consistent flush and resume re-crawls the lost window.
+            self._flush_deferred()
+            self._force_flush()
+            self._flush_deferred()
         finally:
-            try:
-                # partial commit window at crawl end (commit_every > 1, or a
-                # break between flush rounds) lands before anything reads the
-                # final catalog state
-                self._flush_deferred()
-                self._force_flush()
-                self._flush_deferred()
-            finally:
-                self.close()
-                self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+            self.close()
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         return self.catalog.read("crawl_log").orderBy("seq")
 
     def close(self) -> None:

@@ -151,6 +151,39 @@ def _shingles(text: Column, n: int) -> Column:
     return _shingles_of(_word_array(text), n)
 
 
+def _minhash_sig_expr(hashes: Column, num_hashes: int) -> Column:
+    """MinHash signature Column over an array<long> of shingle hashes — the
+    ONE definition of the permutation family: permutation i is
+    ``min(xxhash64(h, seed=i))`` (one-strong-hash + cheap-rehash), empty
+    docs get MAX_LONG slots. min is idempotent under duplicate hashes, so
+    callers may pass the raw or the distinct array interchangeably."""
+
+    def _perm(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(hashes, _perm(i))),
+                F.lit(2**63 - 1),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _full_width_repartition(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit repartition to ``spark.sql.shuffle.partitions``: the dedup
+    family's hot stages are byte-small but CPU-heavy (shingle + num_hashes
+    rehashes, band self-joins), so AQE's byte-based coalescing folds them
+    onto 1-2 tasks (measured: whole signature pass single-task). A
+    user-specified repartition is exempt from coalescing and restores the
+    full slot count; with ``cols`` it also pins one hash partitioning that
+    downstream windows/joins reuse without a second exchange."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -170,19 +203,8 @@ def minhash_signatures(
     MAX_LONG slots.
     """
 
-    def _sig_fn(i: int):
-        return lambda h: F.xxhash64(h, F.lit(i))
-
     with_h = _with_shingle_hashes(df, text_col, shingle_n)
-    sig = F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(F.col("__h"), _sig_fn(i))),
-                F.lit(2**63 - 1),
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    sig = _minhash_sig_expr(F.col("__h"), num_hashes)
     return with_h.withColumn(sig_col, sig).drop("__h")
 
 
@@ -229,14 +251,10 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
-    # pin the partitioning once for the cap window AND the self-join: one
-    # explicit hash repartition on the join keys that both reuse (no second
-    # exchange), and being user-specified it is exempt from AQE coalescing,
-    # which would otherwise fold this byte-small but compute-heavy join
-    # stage onto 1-2 tasks (measured: the whole candidate+verify stage ran
+    # pin the partitioning once for the cap window AND the self-join (no
+    # second exchange; measured: without it the candidate+verify stage ran
     # as 2 tasks with 3.3 s of single-core time available to parallelize)
-    n_par = int(sigs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    band_buckets = band_buckets.repartition(n_par, "band", "bucket")
+    band_buckets = _full_width_repartition(band_buckets, "band", "bucket")
     if max_bucket_size is not None:
         # window count over the same (band, bucket) partitioning the self-join
         # shuffles on — the count piggybacks on that single exchange instead
@@ -315,29 +333,11 @@ def minhash_lsh_dedup(
     # (4 full text passes — measured ~2× the operator at sf0.1). The blocks
     # are executor memory+disk and ContextCleaner-freed when the DataFrame
     # is dropped, so nothing leaks across bench repetitions.
-    def _sig_fn(i: int):
-        return lambda h: F.xxhash64(h, F.lit(i))
-
-    # explicit parallelism for the tokenize+signature stage: its bytes are
-    # tiny relative to its per-row CPU (shingle + num_hashes rehashes), so
-    # AQE's byte-based coalescing squeezes it onto 1-2 tasks (measured: the
-    # whole base pass single-task). An explicit repartition(n) is exempt
-    # from AQE coalescing and restores the full slot count.
-    n_par = int(reps.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     base = _with_shingle_hashes(
-        reps.repartition(n_par), text_col, shingle_n
+        _full_width_repartition(reps), text_col, shingle_n
     ).withColumn("__set", F.array_distinct("__h"))
     base = base.withColumn(
-        "minhash",
-        F.array(
-            *[
-                F.coalesce(
-                    F.array_min(F.transform(F.col("__set"), _sig_fn(i))),
-                    F.lit(2**63 - 1),
-                )
-                for i in range(num_hashes)
-            ]
-        ),
+        "minhash", _minhash_sig_expr(F.col("__set"), num_hashes)
     ).drop("__h").localCheckpoint(eager=True)
     df = base.drop("__set", "minhash")
     sigs = base.select(id_col, "minhash")
@@ -543,11 +543,7 @@ def simhash_dedup(
     # fingerprints materialized once too: the block self-join reads `blocked`
     # on both sides, and without the checkpoint each side re-ran tokenize +
     # per-shingle md5/xxhash + the pandas bit vote (the two dominant stages).
-    # Explicit repartition first: the stage is byte-small but CPU-heavy, so
-    # AQE's byte-based coalescing would run it on 1-2 tasks (see
-    # minhash_lsh_dedup); user repartition(n) is exempt.
-    n_par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    fp = _with_shingle_hashes(df.repartition(n_par), text_col, shingle_n,
+    fp = _with_shingle_hashes(_full_width_repartition(df), text_col, shingle_n,
                               hash_family=hash_family).select(
         F.col(id_col), simhash64_of_hashes(F.col("__h")).alias("fp")
     ).localCheckpoint(eager=True)

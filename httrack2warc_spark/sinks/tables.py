@@ -478,6 +478,17 @@ class IcebergCatalog(CrawlCatalog):
             ).collect()
         ]
 
+    def _current_snapshot_id(self, name) -> int | None:
+        """Snapshot id of the main branch right after one of OUR commits —
+        read from the ``refs`` metadata table (exact: the snapshot the commit
+        made current), not a committed_at sort (which a same-timestamp tie or
+        a racing later commit could mis-rank)."""
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._t(name)}.refs "
+            f"WHERE name = 'main'"
+        ).collect()
+        return int(row[0].snapshot_id) if row else None
+
     def write(self, name, df, partition_by=None, bucket_by=None):
         w = df.writeTo(self._t(name))
         if bucket_by is not None:
@@ -488,13 +499,13 @@ class IcebergCatalog(CrawlCatalog):
         elif partition_by:
             w = w.partitionedBy(*partition_by)
         w.createOrReplace()
-        return self._t(name)
+        return (self._t(name), self._current_snapshot_id(name))
 
     def append(self, name, df, bucket_by=None):
         if not self.exists(name):
             return self.write(name, df, bucket_by=bucket_by)
         df.writeTo(self._t(name)).append()
-        return self._t(name)
+        return (self._t(name), self._current_snapshot_id(name))
 
     def read(self, name):
         return self.spark.table(self._t(name))
@@ -513,15 +524,29 @@ class IcebergCatalog(CrawlCatalog):
         return int(row[0].n) if row and row[0].n is not None else 0
 
     def fileset_row_count(self, entry) -> int:
-        """Rows added by the commit ``append()``/``write()`` returned for:
+        """Rows added by the commit ``append()``/``write()`` returned —
         Iceberg records ``added-records`` in every snapshot summary, so this
-        is metadata-only — the exact twin of TableCatalog's parquet-footer
-        arithmetic the scheduler's job-free frontier count relies on.
-        ``entry`` is the table identifier the write verbs return."""
-        row = self.spark.sql(
-            f"SELECT summary['added-records'] AS n FROM {entry}.snapshots "
-            f"ORDER BY committed_at DESC LIMIT 1"
-        ).collect()
+        is metadata-only, the exact twin of TableCatalog's parquet-footer
+        arithmetic the scheduler's job-free frontier count relies on. The
+        write verbs return ``(table, snapshot_id)``, pinning the commit they
+        made: the count is THAT snapshot's, immune to later commits to the
+        same table (compaction, a second append). A bare table-name entry
+        (legacy) falls back to the current main-branch snapshot."""
+        if isinstance(entry, (tuple, list)):
+            table, snap = entry
+            if snap is None:
+                return 0
+            row = self.spark.sql(
+                f"SELECT summary['added-records'] AS n FROM {table}.snapshots "
+                f"WHERE snapshot_id = {int(snap)}"
+            ).collect()
+        else:
+            row = self.spark.sql(
+                f"SELECT s.summary['added-records'] AS n "
+                f"FROM {entry}.snapshots s "
+                f"JOIN {entry}.refs r ON s.snapshot_id = r.snapshot_id "
+                f"WHERE r.name = 'main'"
+            ).collect()
         return int(row[0].n) if row and row[0].n is not None else 0
 
     def exists(self, name) -> bool:

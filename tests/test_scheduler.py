@@ -224,6 +224,44 @@ def test_resume_mid_commit_window(spark, tmp_path):
     assert seen == GOLDEN_SEEN
 
 
+def test_crash_mid_round_discards_torn_window(spark, tmp_path):
+    """An exception INSIDE a round (commit_every=3, fetch blows up in round
+    1) must NOT flush the pending window: round 0's deltas and round 1's
+    half-assembled ones are discarded, the catalog stays at the seed
+    snapshot, and resume re-crawls the whole window to the golden order.
+    Flushing a torn round would snapshot a catalog that already contains
+    some of its keys — resume would then silently drop those URLs."""
+    web = fixture_web(spark)
+
+    class FlakyWeb:
+        def __init__(self, inner, fail_on_call):
+            self.inner, self.n, self.fail_on = inner, 0, fail_on_call
+
+        def fetch(self, selected):
+            self.n += 1
+            if self.n == self.fail_on:
+                raise RuntimeError("injected mid-round fetch failure")
+            return self.inner.fetch(selected)
+
+        def outlinks(self, fetched):
+            return self.inner.outlinks(fetched)
+
+    cfg = CrawlConfig(num_parts=8, max_rounds=10, commit_every=3)
+    cat = TableCatalog(spark, str(tmp_path))
+    flaky = FlakyWeb(web, fail_on_call=2)
+    sched = FrontierScheduler(spark, cat, flaky, cfg)
+    with pytest.raises(RuntimeError, match="injected"):
+        sched.run(seeds=["http://test.example.org/"])
+
+    # nothing flushed: round 0's deltas never reached the catalog
+    assert {t for t in cat.list_snapshots()} == {"round--1"}
+    assert cat.row_count("crawl_log") == 0
+
+    sched2 = FrontierScheduler(spark, TableCatalog(spark, str(tmp_path)), web, cfg)
+    log = sched2.run(resume=True)
+    assert [r.url for r in log.orderBy("seq").collect()] == GOLDEN_VISIT_ORDER
+
+
 def test_resume_after_window_flush(spark, tmp_path):
     """Crash AFTER a window flush but with later rounds pending
     (commit_every=3 on a 2-host generate_web crawl, killed after round 3:
