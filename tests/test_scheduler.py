@@ -66,6 +66,23 @@ def test_golden_visit_order_jvm_probe(spark, tmp_path):
     assert urls == GOLDEN_VISIT_ORDER
 
 
+def test_golden_visit_order_all_variants_combined(spark, tmp_path):
+    """Every physical-plan variant AT ONCE — codegen probe, deferred commit
+    window, forced salted top-k, ranged seq stamping, stale-summary tail —
+    must still reproduce the golden order bit-for-bit. The variants are
+    proven order-identical individually; this pins their interactions
+    (shared exchanges, handoff caches, pending-window compensation)."""
+    cfg = CrawlConfig(
+        num_parts=8, max_rounds=10, jvm_probe=True, commit_every=2,
+        salted_topk=True, salt_buckets=4, seq_mode="ranged",
+        summary_every=2,
+    )
+    cat, urls = _run(spark, tmp_path, cfg)
+    assert urls == GOLDEN_VISIT_ORDER
+    seen = {r.url_key for r in cat.read("url_seen").collect()}
+    assert seen == GOLDEN_SEEN
+
+
 def test_exclusion_at_discovery(spark, tmp_path):
     cfg = CrawlConfig(num_parts=8, max_rounds=10, exclusions=[".*/another"])
     cat, urls = _run(spark, tmp_path, cfg)
