@@ -240,6 +240,14 @@ class FrontierScheduler:
         # misses — one hot host holding 50% of a big frontier keeps
         # n_frontier/n_hosts small while one top-k reducer straggles
         self._max_host_frontier = 0
+        # lagged distinct-host count from the same probe: the avg signal's
+        # denominator when hosts_crawled is not maintained (robots off)
+        self._probe_n_hosts = 0
+        # sticky auto-switch: once a crawl trips the salted plan it stays
+        # salted (lagged signals + fast-growing hot hosts; see the auto
+        # branch). Reset only with the scheduler object, not per handoff —
+        # a resumed crawl re-trips from its own signals.
+        self._salt_latched = False
         # commit-window state (cfg.commit_every > 1): summary handoff + the
         # per-round deltas awaiting the next flush
         self._summary_mem: DataFrame | None = None
@@ -373,6 +381,7 @@ class FrontierScheduler:
         self._hosts_mem = None
         self._n_hosts = 0
         self._max_host_frontier = 0
+        self._probe_n_hosts = 0
         self._summary_mem = None
         self._discard_pending()
 
@@ -553,10 +562,15 @@ class FrontierScheduler:
             # with a handoff in hand the catalog may be mid-tail-commit: use
             # the lagged hosts@r-1 count recorded post-flush last round (the
             # salted plan is order-identical, so one round of heuristic lag
-            # never changes results)
+            # never changes results). hosts_crawled is only maintained when
+            # robots fetching is on; with it empty, fall back to the host
+            # count the salt probe measured on the frontier itself —
+            # without that fallback the average degenerates to
+            # n_frontier/1 and salts every big uniform frontier needlessly.
             n_hosts = max(
                 self._n_hosts if use_mem
                 else self.catalog.row_count("hosts_crawled"),
+                self._probe_n_hosts,
                 1,
             )
             # two signals, either trips the switch: the metadata-only average
@@ -564,10 +578,19 @@ class FrontierScheduler:
             # the deferred tail (a Zipf head host that leaves the average
             # small). Both lag up to one commit window; the salted plan is
             # order-identical, so late/early switching never changes results.
+            # Once tripped the switch LATCHES for the rest of the crawl:
+            # both signals lag, and a hot host grows fastest exactly when
+            # the lagged probe still shows it small — a measured de-latch
+            # window left 2 rounds unsalted mid-growth and put a 31× task
+            # straggler on the unprotected top-k reducer. Staying salted on
+            # a frontier that no longer needs it costs only the two-phase
+            # overhead (small, and smallest exactly when unneeded).
             use_salted = (
-                n_frontier / n_hosts > cfg.salt_auto_threshold
+                self._salt_latched
+                or n_frontier / n_hosts > cfg.salt_auto_threshold
                 or self._max_host_frontier > cfg.salt_auto_threshold
             )
+            self._salt_latched = use_salted
         if use_salted:
             self.salted_rounds.add(round_no)
         if budget_can_bind:
@@ -1141,10 +1164,14 @@ class FrontierScheduler:
                         self.spark.sparkContext.setJobDescription("salt:probe")
                         row = (
                             next_frontier.groupBy("host").count()
-                            .agg(F.max("count")).collect()
+                            .agg(F.max("count"), F.count(F.lit(1))).collect()
                         )
                         self.spark.sparkContext.setJobDescription(None)
                         self._max_host_frontier = row[0][0] or 0
+                        # same pass, one more 8-byte column: the frontier's
+                        # distinct-host count, the avg signal's denominator
+                        # when hosts_crawled is not maintained (robots off)
+                        self._probe_n_hosts = row[0][1] or 0
                 self.catalog.snapshot(
                     f"round-{round_no}",
                     {
