@@ -109,7 +109,7 @@ def main() -> None:
             CrawlConfig(num_parts=int(cpus), max_rounds=12,
                         default_host_budget=100_000, fetch_robots=False,
                         summary_capacity_per_part=500_000, summary_every=3,
-                        commit_every=2),
+                        commit_every=2, batch_levels=4),
         )
         t0 = time.time()
         log = sched.run(seeds=seeds)

@@ -112,9 +112,9 @@ web.pages.count(); web.links.count()
 cat = TableCatalog(spark, tempfile.mkdtemp(prefix=f"scaling{cpus}_"))
 sched = FrontierScheduler(spark, cat, web,
     CrawlConfig(num_parts=32, max_rounds=10,
-                default_host_budget=1_000_000, fetch_robots=False,
+                default_host_budget=10_000_000, fetch_robots=False,
                 summary_capacity_per_part=200_000, summary_every=3,
-                seq_mode="ranged", commit_every=2))
+                seq_mode="auto", commit_every=2, batch_levels=4))
 t0 = time.time()
 log = sched.run(seeds=seeds)
 n = log.count()

@@ -33,17 +33,25 @@ spark.sparkContext.setLogLevel("ERROR")
 from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler, generate_web
 from httrack2warc_spark.sinks.tables import TableCatalog
 
-web, seeds = generate_web(spark, n_hosts=50, pages_per_host=2000,
-                          out_degree=8, cross_host_every=1)
+web, seeds = generate_web(
+    spark,
+    n_hosts=int(os.environ.get("LAB_HOSTS", "50")),
+    pages_per_host=int(os.environ.get("LAB_PAGES", "2000")),
+    out_degree=int(os.environ.get("LAB_DEGREE", "8")),
+    cross_host_every=1,
+)
 web.pages = web.pages.persist(); web.links = web.links.persist()
 web.pages.count(); web.links.count()
 cat = TableCatalog(spark, tempfile.mkdtemp(prefix="loop_times_"))
 sched = FrontierScheduler(
     spark, cat, web,
-    CrawlConfig(num_parts=int(cpus), max_rounds=12,
-                default_host_budget=100_000, fetch_robots=False,
+    CrawlConfig(num_parts=int(os.environ.get("LAB_PARTS", cpus)), max_rounds=12,
+                default_host_budget=int(os.environ.get("LAB_BUDGET", "100000")),
+                fetch_robots=False,
                 summary_capacity_per_part=500_000, summary_every=3,
                 seen_compact_max=compact,
+                seq_mode=os.environ.get("LAB_SEQ", "auto"),
+                batch_levels=int(os.environ.get("LAB_BATCH", "1")),
                 commit_every=int(os.environ.get("LAB_COMMIT_EVERY", "1"))),
 )
 t_mark = time.time() * 1000

@@ -48,20 +48,32 @@ class SyntheticWeb:
         self.broadcast_pages = broadcast_pages
 
     def fetch(self, selected: DataFrame) -> DataFrame:
-        pages = F.broadcast(self.pages) if self.broadcast_pages else self.pages
+        # name-based join against a renamed projection, never pages["col"]
+        # attribute references: the level-block scheduler chains fetch →
+        # discover → fetch in ONE lazy plan, so the pages relation appears
+        # several times in one tree — dataset-tagged attribute refs trip the
+        # ambiguous-self-join analyzer there, unique names resolve cleanly
+        extra = ["body"] if "body" in self.pages.columns else []
+        pages = self.pages.select(
+            "url_key",
+            *[F.col(c).alias(f"__pg_{c}")
+              for c in ["status", "mime", "size", "localfile", "image_id", *extra]],
+        )
+        if self.broadcast_pages:
+            pages = F.broadcast(pages)
         cols = [
-            selected["*"],
-            F.coalesce(pages["status"], F.lit(404)).alias("status"),
-            pages["mime"].alias("mime"),
-            F.coalesce(pages["size"], F.lit(0)).alias("size"),
-            pages["localfile"].alias("localfile"),
-            pages["image_id"].alias("image_id"),
+            *[F.col(c) for c in selected.columns],
+            F.coalesce(F.col("__pg_status"), F.lit(404)).alias("status"),
+            F.col("__pg_mime").alias("mime"),
+            F.coalesce(F.col("__pg_size"), F.lit(0)).alias("size"),
+            F.col("__pg_localfile").alias("localfile"),
+            F.col("__pg_image_id").alias("image_id"),
         ]
         # optional payload body (e.g. robots.txt text the scheduler parses
         # for dynamic rule discovery) — part of the fetch contract when the
         # pages table carries it
-        if "body" in self.pages.columns:
-            cols.append(pages["body"].alias("body"))
+        if extra:
+            cols.append(F.col("__pg_body").alias("body"))
         return selected.join(pages, "url_key", "left").select(*cols)
 
     def outlinks(self, fetched: DataFrame) -> DataFrame:

@@ -13,6 +13,17 @@ stamps explicit ``seq`` values. Two strategies:
   partition counts (one tiny collect of N_partition longs, broadcast back as
   a join on partition id). Total order identical to ``single`` for any total
   (tie-free) ordering key; work is fully parallel.
+- ``bucketed``: distributed AND lazy — no collect, no job barrier. The
+  caller supplies a coarse bucket column that is monotone non-decreasing
+  along ``order`` (e.g. ``floor(parent_seq / W)`` when the ordering key's
+  prefix is ``parent_seq``); per-bucket offsets are computed *in-plan*
+  (groupBy-count → tiny single-partition prefix-sum window → broadcast
+  join), so the whole stamping stays a lazy transformation the downstream
+  action materializes. Deterministic under recomputation (no range-boundary
+  sampling, no ``spark_partition_id``), which is what lets the scheduler
+  chain it inside a round without a foreground materialization. The trade:
+  bucket balance is the caller's responsibility — range sampling would
+  equalize row counts, a static width only equalizes key spans.
 """
 
 from __future__ import annotations
@@ -32,6 +43,7 @@ def with_global_seq(
     num_partitions: int | None = None,
     cache_handle: list | None = None,
     count_handle: list | None = None,
+    bucket_by=None,
 ) -> DataFrame:
     """Stamp ``out_col`` = start, start+1, … in the total order given by
     ``order`` (must be tie-free for determinism).
@@ -41,10 +53,51 @@ def with_global_seq(
     recomputation could re-sample range boundaries). The cached DataFrame is
     appended to ``cache_handle`` so the caller can unpersist once downstream
     results are materialized.
+
+    Bucketed mode (``bucket_by``: a Column, REQUIRED, monotone non-decreasing
+    along ``order``) runs no job at all: offsets ride the plan. ``start`` may
+    be a Python int or a 1-row/1-col DataFrame holding the start value (a
+    lazy scalar — the k-level batch path chains level i's start on level
+    i-1's count without materializing either).
     """
     if mode == "single":
         w = Window.partitionBy(F.lit(0)).orderBy(*order)
         return df.withColumn(out_col, F.row_number().over(w).cast("long") + F.lit(start - 1))
+
+    if mode == "bucketed":
+        if bucket_by is None:
+            raise ValueError("bucketed mode requires bucket_by")
+        b = df.withColumn("__b", bucket_by.cast("long"))
+        if isinstance(start, DataFrame):
+            start_df = start.toDF("__start")
+        else:
+            start_df = df.sparkSession.range(1).select(
+                F.lit(int(start)).cast("long").alias("__start")
+            )
+        w_off = (
+            Window.partitionBy(F.lit(0))
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = (
+            b.groupBy("__b")
+            .agg(F.count("*").alias("__n"))
+            .crossJoin(start_df)
+            .withColumn(
+                "__off",
+                F.coalesce(F.sum("__n").over(w_off), F.lit(0)) + F.col("__start"),
+            )
+            .select("__b", "__off")
+        )
+        w = Window.partitionBy("__b").orderBy(*order)
+        return (
+            b.join(F.broadcast(offs), "__b")
+            .withColumn(
+                out_col,
+                F.row_number().over(w).cast("long") + F.col("__off") - 1,
+            )
+            .drop("__b", "__off")
+        )
 
     if mode != "ranged":
         raise ValueError(mode)

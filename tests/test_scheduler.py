@@ -337,6 +337,132 @@ def test_commit_window_golden_order(spark, tmp_path):
     assert seen == GOLDEN_SEEN
 
 
+def test_level_mode_bucketed_order_identical(spark, tmp_path):
+    """The level-mode fast path (lazy bucketed seq stamping + arithmetic
+    fetch/frontier counts — ONE foreground job per round) must produce a log
+    bit-identical to the always-correct single and ranged plans on a
+    robots-off multi-host crawl, and must actually engage. Also pins the
+    fallback: under a binding budget the level invariant breaks, forced
+    bucketed degrades to ranged, and the result is still identical."""
+    from httrack2warc_spark.frontier import generate_web
+
+    web, seeds = generate_web(spark, n_hosts=4, pages_per_host=60,
+                              out_degree=4, cross_host_every=2)
+
+    def crawl(seq_mode, d, budget=1_000_000):
+        cat = TableCatalog(spark, str(tmp_path / d))
+        sched = FrontierScheduler(
+            spark, cat, web,
+            CrawlConfig(num_parts=4, max_rounds=10, fetch_robots=False,
+                        seq_mode=seq_mode, commit_every=2,
+                        default_host_budget=budget),
+        )
+        log = sched.run(seeds=seeds)
+        rows = [(r.seq, r.url_key, r.round)
+                for r in log.orderBy("seq").collect()]
+        return sched, rows
+
+    sched_b, rows_b = crawl("bucketed", "b")
+    assert sched_b.level_rounds, "level mode never engaged"
+    _, rows_s = crawl("single", "s")
+    _, rows_r = crawl("ranged", "r")
+    assert rows_b == rows_s
+    assert rows_b == rows_r
+
+    # binding budget (8 << pages/host): selection is no longer the identity,
+    # level mode must stay off and forced-bucketed must fall back, while the
+    # total visit order stays identical to single stamping
+    sched_fb, rows_fb = crawl("bucketed", "fb", budget=8)
+    # round 0 (4 seeds ≤ budget) is provably identity and MAY run level
+    # mode; any round whose frontier exceeds the budget must not
+    rounds_run = {r for _, _, r in rows_fb}
+    assert sched_fb.level_rounds != rounds_run
+    _, rows_fs = crawl("single", "fs", budget=8)
+    assert rows_fb == rows_fs
+
+
+def test_batch_levels_bit_identical(spark, tmp_path):
+    """cfg.batch_levels fuses k BFS levels into one foreground
+    materialization; visit order, url_seen, metrics, hosts and the final
+    frontier must be BIT-identical to the unbatched crawl — the fusion is
+    job-count plumbing only. Exercised with a commit window that doesn't
+    divide the round count and a summary cadence with a tail."""
+    from httrack2warc_spark.frontier import generate_web
+
+    web, seeds = generate_web(spark, n_hosts=3, pages_per_host=60,
+                              out_degree=4, cross_host_every=2)
+
+    def crawl(batch, d):
+        cat = TableCatalog(spark, str(tmp_path / d))
+        sched = FrontierScheduler(
+            spark, cat, web,
+            CrawlConfig(num_parts=4, max_rounds=7, fetch_robots=False,
+                        summary_every=2, commit_every=3,
+                        batch_levels=batch,
+                        summary_capacity_per_part=10_000),
+        )
+        log = [
+            (r.seq, r.url_key, r.round)
+            for r in sched.run(seeds=seeds).orderBy("seq").collect()
+        ]
+        seen = {(r.url_key, r.enqueued_round)
+                for r in cat.read("url_seen").collect()}
+        metrics = sorted(
+            (r.round, r.part, r.fetched, r.new_urls, r.bytes)
+            for r in cat.read("metrics").collect()
+        )
+        frontier = {r.url_key for r in sched._read_frontier().collect()}
+        return sched, (log, seen, metrics, frontier)
+
+    sched_b, got = crawl(3, "batched")
+    assert sched_b.block_rounds, "no block ever engaged"
+    assert sched_b.block_fallbacks == 0
+    sched_u, base = crawl(1, "unbatched")
+    assert not sched_u.block_rounds
+    for name, a, b in zip(("log", "seen", "metrics", "frontier"), base, got):
+        assert a == b, f"batch_levels=3 diverged on {name}"
+
+
+def test_batch_levels_budget_fallback(spark, tmp_path):
+    """A block whose in-flight level outgrows the default budget must be
+    discarded by the post-hoc check and those rounds re-run per-round —
+    identical results, fallback counter incremented. Budget 120 admits the
+    seed level (3 rows) but not level 1 (~3*60 pages discovered)."""
+    from httrack2warc_spark.frontier import generate_web
+
+    web, seeds = generate_web(spark, n_hosts=3, pages_per_host=80,
+                              out_degree=80, cross_host_every=2)
+
+    def crawl(batch, d):
+        cat = TableCatalog(spark, str(tmp_path / d))
+        sched = FrontierScheduler(
+            spark, cat, web,
+            CrawlConfig(num_parts=4, max_rounds=8, fetch_robots=False,
+                        default_host_budget=120, batch_levels=batch),
+        )
+        log = [(r.seq, r.url_key, r.round)
+               for r in sched.run(seeds=seeds).orderBy("seq").collect()]
+        return sched, log
+
+    sched_b, got = crawl(4, "b")
+    assert sched_b.block_fallbacks >= 1, "budget fallback never triggered"
+    _, base = crawl(1, "u")
+    assert got == base
+
+
+def test_batch_levels_golden_untouched(spark, tmp_path):
+    """Robots fetching is on in the reference-parity golden crawl, so
+    batching must never engage and the order must stay golden even with
+    batch_levels set."""
+    cat, urls = _run(
+        spark, tmp_path,
+        CrawlConfig(num_parts=8, max_rounds=10, batch_levels=4),
+    )
+    assert urls == GOLDEN_VISIT_ORDER
+    seen = {r.url_key for r in cat.read("url_seen").collect()}
+    assert seen == GOLDEN_SEEN
+
+
 def test_salted_auto_hot_host(spark, tmp_path):
     """A Zipf-head host (most of the frontier on ONE host) must trip the
     salted-auto switch even though frontier/hosts stays under the threshold,

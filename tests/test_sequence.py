@@ -93,3 +93,60 @@ def test_assign_warc_files_dense_and_atomic(spark):
     # order-preserving: file numbers are monotone in seq
     seq_file = sorted((s, next(iter(v))) for s, v in by_seq.items())
     assert [f for _, f in seq_file] == sorted(f for _, f in seq_file)
+
+
+def test_bucketed_equals_single(spark):
+    """Lazy in-plan stamping (no collect, no job barrier) must equal single
+    mode exactly when the bucket column is monotone along the order — here
+    a parent_seq-style prefix key with a ragged fan-out per parent."""
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 700).alias("parent_seq"),       # ~7 children/parent
+        (F.col("id") % 13).alias("link_idx"),
+        F.concat(F.lit("u"), (F.col("id") * 2654435761 % 99991)).alias("url"),
+    ).distinct()
+    order = [F.col("parent_seq"), F.col("link_idx"), F.col("url")]
+    a = {
+        (r.parent_seq, r.link_idx, r.url): r.seq
+        for r in with_global_seq(df, order, start=42, mode="single").collect()
+    }
+    b = {
+        (r.parent_seq, r.link_idx, r.url): r.seq
+        for r in with_global_seq(
+            df, order, start=42, mode="bucketed",
+            bucket_by=F.floor(F.col("parent_seq") / 50),
+        ).collect()
+    }
+    assert a == b
+    n = df.count()
+    assert sorted(a.values()) == list(range(42, 42 + n))
+
+
+def test_bucketed_lazy_scalar_start(spark):
+    """start may be a 1-row DataFrame (lazy scalar) — the k-level batch path
+    chains level i's start on level i-1's count without materializing it."""
+    df = spark.createDataFrame(
+        [(i // 3, i % 3, f"u{i}") for i in range(100)],
+        "parent_seq long, link_idx int, url string",
+    )
+    order = [F.col("parent_seq"), F.col("link_idx"), F.col("url")]
+    start_df = spark.range(1).select((F.lit(7) + F.lit(3)).cast("long"))
+    got = {
+        r.url: r.seq
+        for r in with_global_seq(
+            df, order, start=start_df, mode="bucketed",
+            bucket_by=F.floor(F.col("parent_seq") / 8),
+        ).collect()
+    }
+    want = {
+        r.url: r.seq
+        for r in with_global_seq(df, order, start=10, mode="single").collect()
+    }
+    assert got == want
+
+
+def test_bucketed_requires_bucket(spark):
+    import pytest
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        with_global_seq(df, [F.col("k")], mode="bucketed")
