@@ -1008,7 +1008,7 @@ def frontier_crawl_q(spark, sf_dir):
     ).orderBy("seq")
 
 
-def frontier_bfs_q(spark, sf_dir):
+def frontier_bfs_q(spark, sf_dir, batch_levels=1):
     """The scheduler VALUE-CHECKED: crawl a deterministic link graph derived
     from the documents table (doc i → (7i+j+1) mod n, j<4; single host,
     unlimited budget, max_rounds=4) and return (url, round). Under those
@@ -1016,7 +1016,12 @@ def frontier_bfs_q(spark, sf_dir):
     seed — a pure function of the graph that a DuckDB recursive CTE
     recomputes exactly (reachability + level assignment + first-discovery
     dedup). The politeness-rich variant stays rows-only (frontier_crawl);
-    this pins the iterative core to a hard oracle."""
+    this pins the iterative core to a hard oracle.
+
+    With batch_levels>1 (frontier_bfs_batched) the same crawl runs through
+    the fused level-block path — all four BFS levels land as ONE foreground
+    materialization — against the SAME recursive-CTE oracle, value-checking
+    the block's relative-seq fixup + in-block re-discovery dedup."""
     import tempfile
 
     from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler
@@ -1047,10 +1052,21 @@ def frontier_bfs_q(spark, sf_dir):
     cat = TableCatalog(spark, tempfile.mkdtemp(prefix="spark_graft_bfs_"))
     sched = FrontierScheduler(
         spark, cat, web,
-        CrawlConfig(num_parts=8, max_rounds=4, fetch_robots=False),
+        CrawlConfig(num_parts=8, max_rounds=4, fetch_robots=False,
+                    batch_levels=batch_levels),
     )
     log = sched.run(seeds=[base + "0"])
     return log.select("url", F.col("round").cast("int").alias("round")).orderBy("url")
+
+
+def frontier_bfs_batched_q(spark, sf_dir):
+    """frontier_bfs through the fused level-block path (batch_levels=4):
+    the 4-level crawl lands in two fused blocks (the growth-aware gate
+    caps the no-history first block at 2 levels), same DuckDB
+    recursive-CTE oracle — value-checks the block machinery
+    (scheduler.py::_run_level_block: relative-seq fixup, in-block
+    re-discovery dedup, growth-capped k) end-to-end."""
+    return frontier_bfs_q(spark, sf_dir, batch_levels=4)
 
 
 def frontier_polite_q(spark, sf_dir):
@@ -1200,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host": url_host_q,
         "frontier_crawl": frontier_crawl_q,
         "frontier_bfs": frontier_bfs_q,
+        "frontier_bfs_batched": frontier_bfs_batched_q,
         "frontier_polite": frontier_polite_q,
         "doc_chunks": doc_chunks_q,
         "corpus_sample": corpus_sample_q,
@@ -1253,6 +1270,14 @@ def _mime_values_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    sqls = _oracle_sqls()
+    # same crawl, same graph, same oracle — only the engine's foreground
+    # materialization strategy differs (fused level blocks)
+    sqls["frontier_bfs_batched"] = sqls["frontier_bfs"]
+    return sqls
+
+
+def _oracle_sqls() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

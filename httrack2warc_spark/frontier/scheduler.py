@@ -253,6 +253,12 @@ class FrontierScheduler:
         # materializer ride the deferred tail and overlap that phase.
         self._frontier_mem: DataFrame | None = None
         self._frontier_count = 0
+        # previous round's frontier count — the observed level-growth ratio
+        # (prev → current) projects in-block level sizes for the fused-block
+        # gate (levels are stamped by a one-partition window inside a block,
+        # so fusing a level that grows big turns the block into a serial
+        # funnel; perf heuristic only — stamping is correct at any size)
+        self._frontier_count_prev = 0
         self._hosts_mem: DataFrame | None = None
         self._n_hosts = 0  # lagged (hosts@r-1) input to the salted-auto heuristic
         # lagged max frontier rows on any single host (probed on the deferred
@@ -415,6 +421,7 @@ class FrontierScheduler:
                 df.unpersist()
         self._frontier_mem = None
         self._frontier_count = 0
+        self._frontier_count_prev = 0
         self._hosts_mem = None
         self._n_hosts = 0
         self._max_host_frontier = 0
@@ -1137,6 +1144,7 @@ class FrontierScheduler:
         pend["caches"].extend(seq_caches)
 
         self._frontier_mem = next_frontier
+        self._frontier_count_prev = n_frontier
         self._frontier_count = n_next
         self._window_pos = (round_no, next_seq)
         if (round_no + 1) % max(cfg.commit_every, 1) == 0:
@@ -1163,6 +1171,33 @@ class FrontierScheduler:
             and self.host_budget is None
             and 0 < n_frontier <= min(cfg.seq_single_max, cfg.default_host_budget)
         )
+
+    def _growth_capped_k(self, k: int, n_now: int) -> int:
+        """Cap the fused-block depth by PROJECTED level sizes. In-block
+        levels are seq-stamped by a one-partition window (the price of
+        chaining levels lazily), so fusing a level that grows past
+        cfg.seq_single_max turns the block's single job into a serial
+        funnel — measured 1.8× slower on the 2M-URL loop when a block
+        entered at 200 rows fused a ~350k-row level. Project level i as
+        n_now * g^i with g = the last observed round-over-round growth
+        ratio, and fuse only while the projection stays under the
+        threshold. With no history yet (round 0 / fresh resume) fuse at
+        most 2 levels — one level of unknown growth from a block-small
+        frontier stays cheap. Perf heuristic only: an underestimate of g
+        costs speed on one block, never correctness (single-partition
+        stamping is order-exact at any size), and the post-hoc budget
+        fallback is unaffected."""
+        if k <= 1 or n_now <= 0:
+            return k
+        if self._frontier_count_prev <= 0:
+            return min(k, 2)
+        g = max(1.0, n_now / self._frontier_count_prev)
+        proj = float(n_now)
+        kg = 1
+        while kg < k and proj * g <= self.cfg.seq_single_max:
+            proj *= g
+            kg += 1
+        return kg
 
     def _run_level_block_guarded(self, round_no: int, next_seq: int, k: int):
         aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -1517,6 +1552,7 @@ class FrontierScheduler:
             .select(*frontier_cols)
             .localCheckpoint(eager=False)
         )
+        self._frontier_count_prev = per_level[consumed - 1]
         self._frontier_count = n_next
         self._window_pos = (last_round, next_seq)
         if (last_round + 1) % max(cfg.commit_every, 1) == 0:
@@ -1698,6 +1734,7 @@ class FrontierScheduler:
                         else self._frontier_row_count()
                     )
                     k = min(self.cfg.batch_levels, self.cfg.max_rounds - round_no)
+                    k = self._growth_capped_k(k, n_now)
                     if k > 1 and self._block_eligible(n_now):
                         # fused k-level block: one foreground materialization
                         # for up to k rounds; None = post-hoc budget fallback,
