@@ -1166,6 +1166,71 @@ def tfidf_keywords_q(spark, sf_dir):
     return out.select("doc_id", "term", "score").orderBy("doc_id", "term")
 
 
+def decontaminate_bench_q(spark, sf_dir):
+    """Benchmark decontamination (train/test-leakage scrub): the benchmark
+    is the first 20 tokens of every 23rd document (a deterministic stand-in
+    for an eval suite), and a document is contaminated iff it shares any
+    word 4-gram with it. Returns (doc_id, n_hits = distinct benchmark
+    4-grams present) for contaminated docs — organic cross-document hits
+    included, so the count logic (not just the self-match) is exercised."""
+    from httrack2warc_spark.functions.text import word_tokens
+    from httrack2warc_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0).select(
+        F.concat_ws(" ", F.slice(word_tokens(F.col("text")), 1, 20)).alias("text")
+    )
+    out = decontaminate(docs, bench, "text", "doc_id", n=4)
+    return out.select("doc_id", "n_hits").orderBy("doc_id")
+
+
+def pii_redact_q(spark, sf_dir):
+    """PII redaction: each document is deterministically augmented with one
+    synthetic email, IPv4 and phone (pure function of doc_id, recomputed by
+    the oracle), then redacted category-by-category. Returns the per-category
+    match counts AND the full redacted text — the value hash breaks if any
+    pattern, placeholder or application order drifts."""
+    from httrack2warc_spark.operators.corpus import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" tel 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(aug, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "redacted",
+    ).orderBy("doc_id")
+
+
+def repetition_filter_q(spark, sf_dir):
+    """Gopher-style repetition quality gate: fraction of tokens covered by
+    the most frequent word 1/2/3-gram per document, plus the keep decision
+    at the published thresholds (top-2-gram ≤ 0.20, top-3-gram ≤ 0.18)."""
+    from httrack2warc_spark.operators.corpus import repetition_topgram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_topgram_stats(docs, "text", "doc_id", ns=(1, 2, 3))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "top1_frac", "top2_frac", "top3_frac",
+        ((F.col("top2_frac") <= 0.20) & (F.col("top3_frac") <= 0.18)).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1221,6 +1286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": doc_chunks_q,
         "corpus_sample": corpus_sample_q,
         "tfidf_keywords": tfidf_keywords_q,
+        "decontaminate_bench": decontaminate_bench_q,
+        "pii_redact": pii_redact_q,
+        "repetition_filter": repetition_filter_q,
     }
 
 
@@ -2270,7 +2338,104 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT doc_id, term, score FROM ranked
             WHERE rn <= 3 ORDER BY doc_id, term
         """,
-        # image_invariant / image_resize / image_features / frame_sample /
-        # audio_features / audio_windows / frontier_crawl: binary payloads or
-        # iterative crawl state — rows-only checks (driver's weaker gate).
+        # decontaminate_bench: benchmark = first 20 tokens of every 23rd
+        # doc; contamination = sharing any word 4-gram; n_hits counts
+        # DISTINCT benchmark 4-grams present in the doc.
+        "decontaminate_bench": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), bench AS (
+                SELECT DISTINCT array_to_string(w[i : i + 3], ' ') AS g
+                FROM (SELECT w[1:20] AS w FROM toks WHERE doc_id % 23 = 0) b,
+                     UNNEST(range(1, greatest(len(b.w) - 3, 0) + 1)) AS t(i)
+            ), doc_grams AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i : i + 3], ' ') AS g
+                FROM toks,
+                     UNNEST(range(1, greatest(len(w) - 3, 0) + 1)) AS t(i)
+            )
+            SELECT doc_id, count(*) AS n_hits
+            FROM doc_grams JOIN bench USING (g)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        # pii_redact: same deterministic augmentation, same pattern order
+        # (email → ipv4 → phone), counts taken on the progressively-redacted
+        # text exactly as operators.corpus.redact_pii applies them.
+        "pii_redact": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id::VARCHAR
+                            || '@example.com from 10.'
+                            || (doc_id % 256)::VARCHAR || '.0.'
+                            || (doc_id % 100)::VARCHAR
+                            || ' tel 555-867-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                           AS n_email,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t
+                FROM aug
+            ), s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT
+                           AS n_ipv4,
+                       regexp_replace(t,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') AS t
+                FROM s1
+            )
+            SELECT doc_id, n_email, n_ipv4,
+                   len(regexp_extract_all(t,
+                       '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+                   regexp_replace(t, '\b\d{3}-\d{3}-\d{4}\b',
+                                  '<PHONE>', 'g') AS redacted
+            FROM s2 ORDER BY doc_id
+        """,
+        # repetition_filter: fraction of tokens covered by the most frequent
+        # word n-gram (n = 1, 2, 3) + the Gopher keep thresholds.
+        "repetition_filter": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, w, len(w) AS n_tok FROM toks WHERE len(w) > 0
+            ), grams AS (
+                SELECT doc_id, n_tok, tn.n,
+                       array_to_string(w[ti.i : ti.i + tn.n - 1], ' ') AS g
+                FROM sized,
+                     UNNEST([1, 2, 3]) AS tn(n),
+                     UNNEST(range(1, greatest(n_tok - tn.n + 1, 0) + 1)) AS ti(i)
+            ), per_gram AS (
+                SELECT doc_id, n_tok, n, g, count(*) AS c
+                FROM grams GROUP BY 1, 2, 3, 4
+            ), top AS (
+                SELECT doc_id, n_tok, n, max(c) AS topc
+                FROM per_gram GROUP BY 1, 2, 3
+            ), pivoted AS (
+                SELECT doc_id, n_tok::INT AS n_tokens,
+                       round(coalesce(max(CASE WHEN n = 1 THEN topc END), 0)
+                             * 1 / n_tok, 6) AS top1_frac,
+                       round(coalesce(max(CASE WHEN n = 2 THEN topc END), 0)
+                             * 2 / n_tok, 6) AS top2_frac,
+                       round(coalesce(max(CASE WHEN n = 3 THEN topc END), 0)
+                             * 3 / n_tok, 6) AS top3_frac
+                FROM top GROUP BY doc_id, n_tok
+            )
+            SELECT doc_id, n_tokens, top1_frac, top2_frac, top3_frac,
+                   (top2_frac <= 0.20 AND top3_frac <= 0.18) AS keep
+            FROM pivoted ORDER BY doc_id
+        """,
+        # image/audio/video: value-checked against generation-time expecteds
+        # (constant-table oracles above); frontier_crawl's BFS core is
+        # value-checked via frontier_bfs / frontier_polite.
     }

@@ -66,6 +66,11 @@ def main() -> None:
         "audio_features",
         "header_surgery",
         "clean_corpus",
+        # round 5 additions (not in the r1-r4 suite totals): benchmark
+        # decontamination, PII redaction, Gopher repetition gate
+        "decontaminate_bench",
+        "pii_redact",
+        "repetition_filter",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

@@ -18,7 +18,10 @@ from httrack2warc_spark.operators.similarity import (  # noqa: F401
 )
 from httrack2warc_spark.operators.corpus import (  # noqa: F401
     chunk_documents,
+    decontaminate,
     deterministic_sample,
+    redact_pii,
+    repetition_topgram_stats,
     stratified_sample,
     tfidf_topk,
 )

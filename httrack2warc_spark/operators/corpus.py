@@ -20,9 +20,24 @@ from httrack2warc_spark.functions.text import word_tokens
 
 __all__ = [
     "chunk_documents",
+    "decontaminate",
     "deterministic_sample",
+    "redact_pii",
+    "repetition_topgram_stats",
     "stratified_sample",
     "tfidf_topk",
+]
+
+#: (name, pattern, replacement) applied IN ORDER — counts for category i are
+#: taken on the text with categories < i already redacted, so the operator
+#: and any oracle that applies the same sequence agree exactly. Patterns are
+#: deliberately restricted to the Java-regex ∩ RE2 common dialect (\b, \d,
+#: bounded repetition; no backreferences or lookaround) so DuckDB/Trino/
+#: BigQuery oracles reproduce them verbatim.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
 ]
 
 
@@ -117,6 +132,152 @@ def stratified_sample(
             F.col(stratum_col) == value, F.lit(int(rate * (1 << 32)))
         ).otherwise(thresh)
     return df.where(draw < thresh)
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None = None,
+    n: int = 8,
+    count_col: str = "n_hits",
+) -> DataFrame:
+    """Benchmark decontamination: find training documents that share any
+    word ``n``-gram with an evaluation/benchmark set — the standard
+    train/test-leakage scrub (GPT-3 appendix C / Lee et al. 2022 use 8-13
+    word n-grams). Returns one row per CONTAMINATED document:
+    ``(id_col, count_col)`` where the count is the number of DISTINCT
+    benchmark n-grams found in the document; anti-join the result against
+    the corpus to drop (or mask) the flagged docs.
+
+    Scale: both sides collapse to distinct n-grams before the join. A full
+    eval-suite benchmark is ~10^5-10^6 n-grams — broadcast, so the 100 TB
+    corpus side never shuffles (the groupBy re-uses the scan-local
+    partitioning only after the broadcast semi-side cut the row count by
+    orders of magnitude). The join key here is the n-gram STRING so a SQL
+    oracle reproduces the join byte-for-byte; a production run at 10^12
+    corpus n-grams would key on ``xxhash64(ngram)`` (8-byte exchange, FP
+    rate 2^-64) — the one-line swap is noted inline.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from httrack2warc_spark.operators.dedup import _shingles_of
+
+    bench_text_col = bench_text_col or text_col
+    # production: wrap both __g in F.xxhash64() for an 8-byte join key
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                _shingles_of(word_tokens(F.col(text_col)), n)
+            )
+        ).alias("__g"),
+    )
+    bench_grams = bench.select(
+        F.explode(
+            F.array_distinct(
+                _shingles_of(word_tokens(F.col(bench_text_col)), n)
+            )
+        ).alias("__g")
+    ).distinct()
+    return (
+        doc_grams.join(broadcast(bench_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias(count_col))
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "redacted",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """PII redaction over a text column: replaces every match of each
+    pattern with its placeholder token and records a per-category match
+    count (``n_<name>`` columns, counted on the text with earlier
+    categories already redacted — see ``PII_PATTERNS`` ordering note).
+
+    Scale: pure-Column ``regexp_count``/``regexp_replace`` — whole-stage
+    codegen, zero shuffle, zero Python; at 100 TB this is a map-only pass
+    that pipelines into whatever sink follows. The progressive-redaction
+    trees are small (3 regexes) and stay inside one codegen stage.
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    cur: Column = F.col(text_col)
+    counts: list[Column] = []
+    for name, pat, token in patterns:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select("*", *counts, cur.alias(out_col))
+
+
+def repetition_topgram_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ns: tuple[int, ...] = (1, 2, 3),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, table A1):
+    for each document and each n in ``ns``, the fraction of tokens covered
+    by the single most frequent word n-gram — boilerplate and degenerate
+    (keyboard-mash / template) documents score high. Returns
+    ``(id, n_tokens, top<n>_frac...)`` with fractions rounded to
+    ``round_digits``; callers threshold (Gopher rejects top-2-gram > 0.20,
+    top-3-gram > 0.18).
+
+    Scale: all requested n-gram sizes explode in ONE pass (tagged structs,
+    one shuffle of (id, n, gram) rows — never document payloads), two-level
+    aggregate (count per gram → max per doc) keeps the map-side combine,
+    and the final pivot is a conditional-agg over n ∈ ns, not a generic
+    pivot scan. Tokenization runs once per document (materialized column;
+    see ``_shingles_of`` for the lambda-body re-evaluation trap).
+    """
+    from httrack2warc_spark.operators.dedup import _shingles_of
+
+    base = (
+        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
+        .withColumn("__n_tok", F.size("__w"))
+    )
+    tagged = F.concat(
+        *[
+            F.transform(
+                _shingles_of(F.col("__w"), n),
+                # default-arg closure: HOF lambdas need exact arity, so bind
+                # n via a literal in argument position instead
+                (lambda n: lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))(n),
+            )
+            for n in ns
+        ]
+    )
+    grams = base.select(
+        id_col, "__n_tok", F.explode(tagged).alias("__t")
+    ).select(id_col, "__n_tok", F.col("__t.n").alias("__n"), F.col("__t.g").alias("__g"))
+    per_gram = grams.groupBy(id_col, "__n_tok", "__n", "__g").agg(
+        F.count("*").alias("__c")
+    )
+    top = per_gram.groupBy(id_col, "__n_tok", "__n").agg(F.max("__c").alias("__top"))
+    fracs = [
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("__n") == n, F.col("__top"))), F.lit(0)
+            )
+            * n
+            / F.col("__n_tok"),
+            round_digits,
+        ).alias(f"top{n}_frac")
+        for n in ns
+    ]
+    return (
+        top.groupBy(id_col, "__n_tok")
+        .agg(*fracs)
+        .select(
+            id_col, F.col("__n_tok").alias("n_tokens"),
+            *[f"top{n}_frac" for n in ns],
+        )
+    )
 
 
 def tfidf_topk(

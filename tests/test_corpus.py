@@ -119,3 +119,88 @@ def test_chunk_documents_invariants(spark, n, max_tokens, data):
     # reconstruction: first chunk whole, then each chunk minus its overlap
     rebuilt = toks[0] + [w for t in toks[1:] for w in t[overlap:]]
     assert rebuilt == [f"w{i}" for i in range(n)]
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from httrack2warc_spark.operators.corpus import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # contains bench 4-gram
+         (2, "beta gamma delta epsilon something"),    # contains it shifted
+         (3, "totally unrelated words here present"),  # clean
+         (4, "alpha beta gamma other delta epsilon")], # broken up: clean
+        "id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "text string"
+    )
+    out = {r.id: r.n_hits for r in
+           decontaminate(docs, bench, "text", "id", n=4).collect()}
+    # bench 4-grams: {alpha beta gamma delta, beta gamma delta epsilon}
+    assert out == {1: 2, 2: 1}
+
+
+def test_decontaminate_counts_distinct_hits_once(spark):
+    from httrack2warc_spark.operators.corpus import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d x a b c d y a b c d")], "id long, text string"
+    )
+    bench = spark.createDataFrame([("a b c d",)], "text string")
+    out = decontaminate(docs, bench, "text", "id", n=4).collect()
+    # the 4-gram appears 3 times in the doc but is ONE distinct benchmark hit
+    assert [(r.id, r.n_hits) for r in out] == [(1, 1)]
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    from httrack2warc_spark.operators.corpus import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.org or d@e.io, ip 10.0.0.1, tel 555-123-4567"),
+         (2, "nothing sensitive here"),
+         (3, "999.1.2.3 still redacts the dotted quad by design")],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in redact_pii(docs, "text").collect()}
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (2, 1, 1)
+    assert rows[1].redacted == "mail <EMAIL> or <EMAIL>, ip <IP>, tel <PHONE>"
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_phone) == (0, 0, 0)
+    assert rows[2].redacted == "nothing sensitive here"
+    # \d{1,3} quads don't range-check octets — documented regex semantics
+    assert rows[3].n_ipv4 == 1 and rows[3].redacted.startswith("<IP>")
+    # original column is preserved alongside
+    assert rows[1].text.startswith("mail a.b+c@")
+
+
+def test_redact_pii_progressive_order(spark):
+    from httrack2warc_spark.operators.corpus import redact_pii
+
+    # an email whose domain ends in a dotted quad lookalike: the email
+    # pattern consumes it FIRST, so the ipv4 count sees none of it
+    docs = spark.createDataFrame([(1, "x 1.2.3.4@ab.cd y")], "id long, text string")
+    r = redact_pii(docs, "text").collect()[0]
+    assert (r.n_email, r.n_ipv4) == (1, 0)
+    assert r.redacted == "x <EMAIL> y"
+
+
+def test_repetition_topgram_stats_exact(spark):
+    from httrack2warc_spark.operators.corpus import repetition_topgram_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam eggs"),          # top1: 4/5, top2: 3*2/5
+         (2, "a b a b a b"),                       # top2 ("a b") = 3*2/6 = 1.0
+         (3, "all distinct words only here now")], # top1 = 1/6
+        "id long, text string",
+    )
+    rows = {r.id: r for r in
+            repetition_topgram_stats(docs, "text", "id").collect()}
+    assert rows[1].n_tokens == 5
+    assert rows[1].top1_frac == 0.8
+    assert rows[1].top2_frac == 1.2  # 3 occurrences x 2 tokens / 5 — can exceed 1 by overlap
+    assert rows[2].top2_frac == 1.0
+    assert rows[2].top3_frac == round(2 * 3 / 6, 6)
+    assert rows[3].top1_frac == round(1 / 6, 6)
+    # ns with no grams (n > token count) report 0, not a missing row
+    one = spark.createDataFrame([(9, "solo")], "id long, text string")
+    r9 = repetition_topgram_stats(one, "text", "id").collect()[0]
+    assert (r9.top1_frac, r9.top2_frac, r9.top3_frac) == (1.0, 0.0, 0.0)
