@@ -1184,6 +1184,38 @@ def decontaminate_bench_q(spark, sf_dir):
     return out.select("doc_id", "n_hits").orderBy("doc_id")
 
 
+def paragraph_dedup_q(spark, sf_dir):
+    """Paragraph-level exact dedup (MassiveText/RefinedWeb repeated-line
+    scrub): each document is deterministically rebuilt as newline-separated
+    paragraphs — its own text, a mod-7 newsletter line, a unique footer and a
+    mod-3 copyright line — so the corpus carries heavy cross-document
+    boilerplate plus whatever exact-duplicate documents the generator
+    planted. First global occurrence (by doc_id, position) of a paragraph
+    survives; boilerplate in more than max_df=20 distinct docs is dropped
+    everywhere. Returns the rebuilt text + kept/dropped counts, so the value
+    hash pins the split, the first-occurrence rule, the max_df rule and the
+    order-preserving rejoin."""
+    from httrack2warc_spark.operators.corpus import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to tier "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" newsletter\ndoc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" unique footer\ncopyright acme "),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(aug, "text", "doc_id", sep="\n", max_df=20)
+    return out.select(
+        "doc_id", "deduped", "n_kept", "n_dropped"
+    ).orderBy("doc_id")
+
+
 def pii_redact_q(spark, sf_dir):
     """PII redaction: each document is deterministically augmented with one
     synthetic email, IPv4 and phone (pure function of doc_id, recomputed by
@@ -1287,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": corpus_sample_q,
         "tfidf_keywords": tfidf_keywords_q,
         "decontaminate_bench": decontaminate_bench_q,
+        "paragraph_dedup": paragraph_dedup_q,
         "pii_redact": pii_redact_q,
         "repetition_filter": repetition_filter_q,
     }
@@ -2359,6 +2392,41 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_hits
             FROM doc_grams JOIN bench USING (g)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # paragraph_dedup: same deterministic augmentation; first global
+        # occurrence by (doc_id, position) survives, boilerplate in > 20
+        # distinct docs dropped everywhere, empties removed, order-preserving
+        # rejoin on chr(10).
+        "paragraph_dedup": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || chr(10) || 'subscribe to tier '
+                            || (doc_id % 7)::VARCHAR || ' newsletter'
+                            || chr(10) || 'doc ' || doc_id::VARCHAR
+                            || ' unique footer'
+                            || chr(10) || 'copyright acme '
+                            || (doc_id % 3)::VARCHAR AS t
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, ti.i, ps[ti.i] AS p
+                FROM (SELECT doc_id, string_split(t, chr(10)) AS ps FROM aug),
+                     UNNEST(range(1, len(ps) + 1)) AS ti(i)
+                WHERE ps[ti.i] <> ''
+            ), grp AS (
+                SELECT p, count(DISTINCT doc_id) AS nd FROM parts GROUP BY p
+            ), marked AS (
+                SELECT parts.doc_id, parts.i, parts.p,
+                       (row_number() OVER (PARTITION BY parts.p
+                                           ORDER BY parts.doc_id, parts.i) = 1
+                        AND grp.nd <= 20) AS keep
+                FROM parts JOIN grp USING (p)
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(p, chr(10) ORDER BY i)
+                            FILTER (WHERE keep), '') AS deduped,
+                   count(*) FILTER (WHERE keep) AS n_kept,
+                   count(*) FILTER (WHERE NOT keep) AS n_dropped
+            FROM marked GROUP BY doc_id ORDER BY doc_id
         """,
         # pii_redact: same deterministic augmentation, same pattern order
         # (email → ipv4 → phone), counts taken on the progressively-redacted

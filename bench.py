@@ -71,6 +71,7 @@ def main() -> None:
         "decontaminate_bench",
         "pii_redact",
         "repetition_filter",
+        "paragraph_dedup",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

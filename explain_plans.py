@@ -54,6 +54,23 @@ def main() -> None:
          "NO join; only the final orderBy exchanges"),
         ("tfidf_keywords", "two hash aggregates on (id, term) / (term) "
          "narrow keys + rank window — documents never shuffle"),
+        ("decontaminate_bench", "bench n-grams BroadcastHashJoin BuildRight: "
+         "the corpus side never exchanges before the join (scan → one "
+         "tokenize Project → Generate → BHJ), partial+final count on doc_id; "
+         "only the oracle orderBy range-exchanges"),
+        ("pii_redact", "map-only: scan → two Projects (augment, then "
+         "regexp_count/replace chain) in one WholeStageCodegen span — zero "
+         "shuffle except the oracle orderBy"),
+        ("paragraph_dedup", "paragraph rows shuffle once on the paragraph "
+         "key (stats aggregate with partial_count/partial_min map-side "
+         "combine), join back on the same key, then one doc-id exchange for "
+         "the order-preserving rebuild — document payloads cross the wire "
+         "as their paragraphs, never whole"),
+        ("repetition_filter", "one tagged Generate fans out n=1..3 grams, "
+         "then three partial+final HashAggregate pairs on narrowing keys "
+         "((id,n,g) → (id,n) → (id)) with map-side combine each time; the "
+         "pivot is conditional-agg, not a generic pivot scan; document "
+         "payloads never shuffle — only (id, n_tok, n, gram) rows"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 

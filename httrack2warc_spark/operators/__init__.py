@@ -19,6 +19,7 @@ from httrack2warc_spark.operators.similarity import (  # noqa: F401
 from httrack2warc_spark.operators.corpus import (  # noqa: F401
     chunk_documents,
     decontaminate,
+    dedup_paragraphs,
     deterministic_sample,
     redact_pii,
     repetition_topgram_stats,

@@ -21,6 +21,7 @@ from httrack2warc_spark.functions.text import word_tokens
 __all__ = [
     "chunk_documents",
     "decontaminate",
+    "dedup_paragraphs",
     "deterministic_sample",
     "redact_pii",
     "repetition_topgram_stats",
@@ -165,26 +166,101 @@ def decontaminate(
     from httrack2warc_spark.operators.dedup import _shingles_of
 
     bench_text_col = bench_text_col or text_col
+    # tokenize ONCE per row: _shingles_of references its word-array argument
+    # ~2n times (slice bases + size calls) — materializing __w keeps the
+    # split/lower/filter tree a single Project instead of 2n inlined copies
+    # in the Generate argument (same fix as repetition_topgram_stats; the
+    # Project survives because Generate is not a CollapseProject target)
     # production: wrap both __g in F.xxhash64() for an 8-byte join key
-    doc_grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                _shingles_of(word_tokens(F.col(text_col)), n)
-            )
-        ).alias("__g"),
+    doc_grams = (
+        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_shingles_of(F.col("__w"), n))).alias("__g"),
+        )
     )
-    bench_grams = bench.select(
-        F.explode(
-            F.array_distinct(
-                _shingles_of(word_tokens(F.col(bench_text_col)), n)
-            )
-        ).alias("__g")
-    ).distinct()
+    bench_grams = (
+        bench.select(word_tokens(F.col(bench_text_col)).alias("__w"))
+        .select(
+            F.explode(F.array_distinct(_shingles_of(F.col("__w"), n))).alias("__g")
+        )
+        .distinct()
+    )
     return (
         doc_grams.join(broadcast(bench_grams), "__g")
         .groupBy(id_col)
         .agg(F.count("*").alias(count_col))
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+    max_df: int | None = None,
+    out_col: str = "deduped",
+    kept_col: str = "n_kept",
+    dropped_col: str = "n_dropped",
+) -> DataFrame:
+    """Paragraph/line-level exact dedup (the MassiveText / RefinedWeb
+    repeated-line scrub — Rae et al. 2021 §A1.2, Penedo et al. 2023 §4.2):
+    split each document on the literal ``sep``, drop every later exact
+    occurrence of a paragraph already seen anywhere in the corpus (first
+    occurrence by ``(id, position)`` wins), and — with ``max_df`` set —
+    drop ALL occurrences of boilerplate paragraphs appearing in more than
+    ``max_df`` distinct documents (nav bars, cookie banners, copyright
+    footers). Returns ``(id, out_col, kept_col, dropped_col)`` with the
+    surviving paragraphs rejoined by ``sep`` in original order. Empty
+    paragraphs are removed unconditionally; a document with no non-empty
+    paragraphs is absent from the result.
+
+    Scale: paragraphs shuffle once on the paragraph key for the stats
+    aggregate (map-side combine collapses within-partition repeats — the
+    common case for boilerplate), once for the stats join back, and the
+    rebuilt docs shuffle on id. The join key is the paragraph STRING so a
+    SQL oracle reproduces it byte-for-byte; production would key on
+    ``xxhash64(paragraph)`` (8-byte exchange, then only the first-occurrence
+    winners carry their text). Hot boilerplate keys are exactly what
+    ``max_df`` bounds — the stats aggregate meets them with partial
+    aggregation, never a fat window.
+    """
+    import re
+
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep), -1)).alias(
+            "__i", "__p"
+        ),
+    ).where(F.col("__p") != "")
+    aggs = [
+        F.min(
+            F.struct(F.col(id_col).alias("f_id"), F.col("__i").alias("f_i"))
+        ).alias("__first")
+    ]
+    if max_df is not None:
+        aggs.append(F.count_distinct(F.col(id_col)).alias("__nd"))
+    stats = parts.groupBy("__p").agg(*aggs)
+    keep = (F.col(id_col) == F.col("__first.f_id")) & (
+        F.col("__i") == F.col("__first.f_i")
+    )
+    if max_df is not None:
+        keep = keep & (F.col("__nd") <= max_df)
+    marked = parts.join(stats, "__p").withColumn("__keep", keep)
+    # collect_list skips nulls → only kept paragraphs enter the rebuild;
+    # array_sort on (position, text) structs restores the original order
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("__i"), F.col("__p"))
+    )
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["__p"]
+            ),
+        ).alias(out_col),
+        F.sum(F.col("__keep").cast("long")).alias(kept_col),
+        F.sum((~F.col("__keep")).cast("long")).alias(dropped_col),
     )
 
 

@@ -204,3 +204,56 @@ def test_repetition_topgram_stats_exact(spark):
     one = spark.createDataFrame([(9, "solo")], "id long, text string")
     r9 = repetition_topgram_stats(one, "text", "id").collect()[0]
     assert (r9.top1_frac, r9.top2_frac, r9.top3_frac) == (1.0, 0.0, 0.0)
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from httrack2warc_spark.operators.corpus import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nbeta"),
+            (2, "shared line\ngamma\nshared line"),  # cross-doc + within-doc
+            (3, "delta\n\ndelta"),                   # empty para + within-doc dup
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in dedup_paragraphs(docs, "text", "id").collect()}
+    # doc 1 is the global first occurrence of "shared line" (id 1 < 2)
+    assert out[1].deduped == "alpha\nshared line\nbeta"
+    assert (out[1].n_kept, out[1].n_dropped) == (3, 0)
+    # doc 2 loses both copies (first occurrence lives in doc 1)
+    assert out[2].deduped == "gamma"
+    assert (out[2].n_kept, out[2].n_dropped) == (1, 2)
+    # the empty paragraph between the two deltas is removed unconditionally
+    # and the second delta is a within-doc duplicate
+    assert out[3].deduped == "delta"
+    assert (out[3].n_kept, out[3].n_dropped) == (1, 1)
+
+
+def test_dedup_paragraphs_max_df_drops_boilerplate_everywhere(spark):
+    from httrack2warc_spark.operators.corpus import dedup_paragraphs
+
+    rows = [(i, f"unique {i}\ncookie banner") for i in range(5)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    # banner appears in 5 docs > max_df=3: ALL occurrences dropped,
+    # including the first
+    out = {r.id: r for r in dedup_paragraphs(docs, "text", "id", max_df=3).collect()}
+    for i in range(5):
+        assert out[i].deduped == f"unique {i}"
+        assert (out[i].n_kept, out[i].n_dropped) == (1, 1)
+    # without max_df the first occurrence (doc 0) keeps the banner
+    out2 = {r.id: r for r in dedup_paragraphs(docs, "text", "id").collect()}
+    assert out2[0].deduped == "unique 0\ncookie banner"
+    assert all(out2[i].deduped == f"unique {i}" for i in range(1, 5))
+
+
+def test_dedup_paragraphs_order_and_custom_sep(spark):
+    from httrack2warc_spark.operators.corpus import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(7, "z||a||m||a||z")], "id long, text string"
+    )
+    out = dedup_paragraphs(docs, "text", "id", sep="||").collect()[0]
+    # duplicates removed, survivor order is the original document order
+    assert out.deduped == "z||a||m"
+    assert (out.n_kept, out.n_dropped) == (3, 2)
