@@ -257,3 +257,22 @@ def test_dedup_paragraphs_order_and_custom_sep(spark):
     # duplicates removed, survivor order is the original document order
     assert out.deduped == "z||a||m"
     assert (out.n_kept, out.n_dropped) == (3, 2)
+
+
+def test_dedup_paragraphs_idempotent(spark):
+    """After one pass every surviving paragraph is globally unique, so a
+    second pass (with or without max_df) must be the identity."""
+    from httrack2warc_spark.operators.corpus import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(i, f"unique {i}\nshared banner\nalso {i % 2}") for i in range(6)],
+        "id long, text string",
+    )
+    once = dedup_paragraphs(docs, "text", "id", max_df=4).select(
+        "id", F.col("deduped").alias("text")
+    )
+    twice = dedup_paragraphs(once, "text", "id", max_df=4)
+    rows = {r.id: r for r in twice.collect()}
+    base = {r.id: r.text for r in once.collect()}
+    assert {i: r.deduped for i, r in rows.items()} == base
+    assert all(r.n_dropped == 0 for r in rows.values())
