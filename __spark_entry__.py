@@ -1216,6 +1216,20 @@ def paragraph_dedup_q(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def pack_sequences_q(spark, sf_dir):
+    """GPT-style sequence packing: the documents' token streams (each
+    terminated by <eos>) concatenate in doc_id order and cut into 128-token
+    training examples; the trailing partial example is dropped. Runs the
+    distributed prefix-sum path (mode='ranged' — the 10^9-row shape). The
+    value hash pins the tokenization, the eos placement, the global
+    ordering, the cut points and the per-example doc fan-in."""
+    from httrack2warc_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, "text", "doc_id", seq_len=128, mode="ranged")
+    return out.select("example_id", "text", "n_docs").orderBy("example_id")
+
+
 def pii_redact_q(spark, sf_dir):
     """PII redaction: each document is deterministically augmented with one
     synthetic email, IPv4 and phone (pure function of doc_id, recomputed by
@@ -1320,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": tfidf_keywords_q,
         "decontaminate_bench": decontaminate_bench_q,
         "paragraph_dedup": paragraph_dedup_q,
+        "pack_sequences": pack_sequences_q,
         "pii_redact": pii_redact_q,
         "repetition_filter": repetition_filter_q,
     }
@@ -2427,6 +2442,41 @@ def _oracle_sqls() -> dict[str, str]:
                    count(*) FILTER (WHERE keep) AS n_kept,
                    count(*) FILTER (WHERE NOT keep) AS n_dropped
             FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+        # pack_sequences: concat-and-chunk packing — exclusive prefix sum of
+        # per-doc token counts (incl. the appended <eos>) in doc_id order,
+        # example k = global token positions [k*128, (k+1)*128), trailing
+        # partial dropped.
+        "pack_sequences": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_append(
+                           list_filter(
+                               regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                               x -> x <> ''),
+                           '<eos>') AS tk
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, tk, len(tk) AS n,
+                       coalesce(sum(len(tk)) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS st
+                FROM toks
+            ), tot AS (
+                SELECT sum(len(tk))::BIGINT AS total FROM toks
+            ), pieces AS (
+                SELECT s.st, t.k,
+                       s.tk[(greatest(t.k * 128, s.st) - s.st + 1)
+                            : (least((t.k + 1) * 128, s.st + s.n) - s.st)] AS sl
+                FROM sized s, tot,
+                     UNNEST(range(s.st // 128, (s.st + s.n - 1) // 128 + 1)) AS t(k)
+                WHERE t.k < tot.total // 128
+            )
+            SELECT k AS example_id,
+                   array_to_string(flatten(list(sl ORDER BY st)), ' ') AS text,
+                   count(*) AS n_docs
+            FROM pieces GROUP BY k ORDER BY example_id
         """,
         # pii_redact: same deterministic augmentation, same pattern order
         # (email → ipv4 → phone), counts taken on the progressively-redacted

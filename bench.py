@@ -72,6 +72,7 @@ def main() -> None:
         "pii_redact",
         "repetition_filter",
         "paragraph_dedup",
+        "pack_sequences",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

@@ -66,6 +66,12 @@ def main() -> None:
          "combine), join back on the same key, then one doc-id exchange for "
          "the order-preserving rebuild — document payloads cross the wire "
          "as their paragraphs, never whole"),
+        ("pack_sequences", "distributed prefix sum (range exchange + "
+         "per-partition window + broadcast per-partition offsets), then "
+         "Generate fans each doc out to only the examples it overlaps "
+         "carrying array slices; one hash exchange on the dense example id "
+         "for the rebuild; the total-token cutoff is a BroadcastNestedLoop "
+         "of a 1-row aggregate, not a driver collect"),
         ("repetition_filter", "one tagged Generate fans out n=1..3 grams, "
          "then three partial+final HashAggregate pairs on narrowing keys "
          "((id,n,g) → (id,n) → (id)) with map-side combine each time; the "

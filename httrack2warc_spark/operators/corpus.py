@@ -23,6 +23,7 @@ __all__ = [
     "decontaminate",
     "dedup_paragraphs",
     "deterministic_sample",
+    "pack_sequences",
     "redact_pii",
     "repetition_topgram_stats",
     "stratified_sample",
@@ -261,6 +262,102 @@ def dedup_paragraphs(
         ).alias(out_col),
         F.sum(F.col("__keep").cast("long")).alias(kept_col),
         F.sum((~F.col("__keep")).cast("long")).alias(dropped_col),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_len: int,
+    eos: str = "<eos>",
+    mode: str = "single",
+    example_col: str = "example_id",
+    out_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): append ``eos`` to every
+    document's token stream, concatenate the streams in ascending ``id_col``
+    order, and cut the result into consecutive ``seq_len``-token training
+    examples — the standard pretraining dataloader transform (GPT-2/3,
+    The Pile). The trailing partial example is dropped. Returns
+    ``(example_col, out_col, n_docs)`` where ``n_docs`` counts the documents
+    contributing tokens to the example.
+
+    Deterministic given unique ids: example k holds global token positions
+    ``[k*seq_len, (k+1)*seq_len)``, where a document's start position is the
+    exclusive prefix sum of earlier documents' token counts.
+
+    Scale: the prefix sum is ``with_running_total`` — ``mode="ranged"`` is
+    the distributed form (range exchange + per-partition prefix + a tiny
+    per-partition-totals collect; the 10^9-row path shared with the WARC
+    rotation planner, K2), ``single`` is one window for small inputs. Each
+    document then fans out to only the examples it overlaps (1 + n/seq_len
+    on average) carrying array SLICES, never per-token rows, and the
+    examples rebuild with one exchange on the dense example id. The total
+    token count joins in as a broadcast 1-row aggregate, not a driver
+    collect.
+    """
+    from httrack2warc_spark.operators.sequence import with_running_total
+
+    toks = df.select(
+        F.col(id_col),
+        F.concat(word_tokens(F.col(text_col)), F.array(F.lit(eos))).alias(
+            "__tk"
+        ),
+    ).withColumn("__n", F.size("__tk"))
+    started = with_running_total(
+        toks, [F.col(id_col)], F.col("__n"), out_col="__start", mode=mode
+    )
+    # total tokens = last doc's start + count; aggregating the prefix-summed
+    # frame (not toks) hits the ranged mode's internal persist instead of
+    # re-tokenizing the corpus a second time
+    total = F.broadcast(
+        started.agg(
+            F.max(F.col("__start") + F.col("__n")).alias("__total")
+        )
+    )
+    L = F.lit(seq_len).cast("long")
+    k0 = F.floor(F.col("__start") / L)
+    k1 = F.floor((F.col("__start") + F.col("__n") - 1) / L)
+    pieces = (
+        started.crossJoin(total)
+        .select(
+            F.col("__start"),
+            F.col("__tk"),
+            F.explode(F.sequence(k0, k1)).alias("__k"),
+            F.col("__total"),
+        )
+        # drop the trailing partial example
+        .where(F.col("__k") < F.floor(F.col("__total") / L))
+    )
+    g_from = F.greatest(F.col("__k") * L, F.col("__start"))
+    g_to_excl = F.least((F.col("__k") + 1) * L, F.col("__start") + F.size("__tk"))
+    sliced = pieces.select(
+        "__k",
+        "__start",
+        F.slice(
+            F.col("__tk"),
+            (g_from - F.col("__start") + 1).cast("int"),
+            (g_to_excl - g_from).cast("int"),
+        ).alias("__sl"),
+    )
+    return (
+        sliced.groupBy("__k")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__start", "__sl"))
+                        ),
+                        lambda x: x["__sl"],
+                    )
+                ),
+            ).alias(out_col),
+            F.count("*").alias("n_docs"),
+        )
+        .select(F.col("__k").alias(example_col), out_col, "n_docs")
     )
 
 

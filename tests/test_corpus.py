@@ -276,3 +276,50 @@ def test_dedup_paragraphs_idempotent(spark):
     base = {r.id: r.text for r in once.collect()}
     assert {i: r.deduped for i, r in rows.items()} == base
     assert all(r.n_dropped == 0 for r in rows.values())
+
+
+def test_pack_sequences_hand_computed(spark):
+    from httrack2warc_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f g h i j")], "id long, text string"
+    )
+    # streams: [a b c <eos>] [d e <eos>] [f g h i j <eos>] — 13 tokens,
+    # L=4 → 3 full examples, the trailing lone <eos> is dropped
+    out = {r.example_id: r for r in
+           pack_sequences(docs, "text", "id", seq_len=4).collect()}
+    assert len(out) == 3
+    assert (out[0].text, out[0].n_docs) == ("a b c <eos>", 1)
+    assert (out[1].text, out[1].n_docs) == ("d e <eos> f", 2)
+    assert (out[2].text, out[2].n_docs) == ("g h i j", 1)
+
+
+def test_pack_sequences_ranged_matches_single(spark):
+    from httrack2warc_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(1 + (i * 7) % 13)))
+         for i in range(200)],
+        "id long, text string",
+    ).repartition(8)
+    single = pack_sequences(docs, "text", "id", seq_len=32, mode="single")
+    ranged = pack_sequences(docs, "text", "id", seq_len=32, mode="ranged")
+    s = sorted((r.example_id, r.text, r.n_docs) for r in single.collect())
+    g = sorted((r.example_id, r.text, r.n_docs) for r in ranged.collect())
+    assert s == g and len(s) > 10
+    # every example is exactly seq_len tokens
+    assert all(len(t.split(" ")) == 32 for _, t, _ in s)
+
+
+def test_pack_sequences_empty_doc_contributes_eos(spark):
+    from httrack2warc_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a b c d e f g")], "id long, text string"
+    )
+    # doc 1 contributes a single <eos>; 9 tokens total, L=3 → 3 examples
+    out = {r.example_id: r.text for r in
+           pack_sequences(docs, "text", "id", seq_len=3).collect()}
+    assert out[0] == "<eos> a b"
+    assert out[1] == "c d e"
+    assert out[2] == "f g <eos>"
