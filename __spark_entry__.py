@@ -553,6 +553,46 @@ def lsh_ann_q(spark, sf_dir):
     ).orderBy(F.col("cos_sim").desc(), "vec_id")
 
 
+def phash_neardup_q(spark, sf_dir):
+    """Near-duplicate IMAGE detection over perceptual hashes: 48 real
+    generated images (the pHash column is the actual decode→DCT kernel
+    output) each get three variants with controlled fingerprint
+    perturbations — v1 flips 1 bit, v2 flips 2, v3 flips 3 — and the
+    pigeonhole block join (blocks=4, threshold=3: EXACT recall) must find
+    precisely the within-group pairs at distances (1, 2, 3) plus the
+    v1–v2 pair at distance 3. The synthetic gradient images CLUSTER in
+    pHash space (many hamming-0 collisions — they share one dominant
+    low-frequency ramp), unlike a photographic corpus, so the base
+    fingerprint is xxhash64(image_id, phash): still a deterministic
+    function of the real decode→DCT kernel output, with the cross-image
+    distinctness a real corpus has. That no cross-group pair lands ≤ 3 is
+    pinned by tests/test_dedup_similarity.py over this exact fixture, so
+    the oracle is the construction's pair arithmetic (the exact-recall
+    parameterization pattern used by minhash/lsh_ann)."""
+    from httrack2warc_spark.frontier.synth import generate_images
+    from httrack2warc_spark.operators.dedup import hamming_neardup_pairs
+
+    base = generate_images(spark, 48, w=16, h=16).select(
+        "image_id", F.xxhash64("image_id", "phash").alias("phash")
+    )
+    masks = [(1, 1 << 5), (2, (1 << 17) | (1 << 37)),
+             (3, (1 << 11) | (1 << 29) | (1 << 53))]
+    variants = [
+        base.select(
+            F.concat("image_id", F.lit(f"-v{m}")).alias("image_id"),
+            F.col("phash").bitwiseXOR(F.lit(mask).cast("long")).alias("phash"),
+        )
+        for m, mask in masks
+    ]
+    fps = base
+    for v in variants:
+        fps = fps.unionByName(v)
+    pairs = hamming_neardup_pairs(
+        fps, "phash", "image_id", hamming_threshold=3, blocks=4
+    ).dropDuplicates(["a", "b"])
+    return pairs.select("a", "b", "hamming").orderBy("a", "b")
+
+
 def image_invariant_q(spark, sf_dir):
     """Per-row image invariant over a deterministic generated table (rows-only:
     binary payloads aren't SQL-comparable)."""
@@ -1310,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": minhash_neardup_q,
         "simhash_neardup": simhash_neardup_q,
         "lsh_ann": lsh_ann_q,
+        "phash_neardup": phash_neardup_q,
         "image_invariant": image_invariant_q,
         "image_resize": image_resize_q,
         "image_features": image_features_q,
@@ -1756,6 +1797,20 @@ def _oracle_sqls() -> dict[str, str]:
         # every flag true, quarantined rows false/NULL. A regression in
         # codec, plumbing or kernel flips a flag (or drops a row) and the
         # value hash breaks.
+        # phash_neardup: the construction's pair arithmetic — per base
+        # group {b, v1, v2, v3} with flip masks of popcount 1/2/3 at
+        # disjoint positions, the pairs at hamming ≤ 3 are exactly
+        # (b,v1)=1, (b,v2)=2, (b,v3)=3 and (v1,v2)=1+2=3; cross-group
+        # collisions are pinned absent by the pytest fixture check.
+        "phash_neardup": """
+            WITH g AS (SELECT 'img-' || i::VARCHAR AS bid FROM range(48) t(i))
+            SELECT a, b, hamming FROM (
+                SELECT bid AS a, bid || '-v1' AS b, 1 AS hamming FROM g
+                UNION ALL SELECT bid, bid || '-v2', 2 FROM g
+                UNION ALL SELECT bid, bid || '-v3', 3 FROM g
+                UNION ALL SELECT bid || '-v1', bid || '-v2', 3 FROM g
+            ) ORDER BY a, b
+        """,
         "image_invariant": """
             SELECT 'img-' || i AS image_id,
                    (['png', 'jpeg', 'png', 'gif'])[(i % 4) + 1] AS fmt

@@ -73,6 +73,7 @@ def main() -> None:
         "repetition_filter",
         "paragraph_dedup",
         "pack_sequences",
+        "phash_neardup",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

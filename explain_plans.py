@@ -72,6 +72,11 @@ def main() -> None:
          "carrying array slices; one hash exchange on the dense example id "
          "for the rebuild; the total-token cutoff is a BroadcastNestedLoop "
          "of a 1-row aggregate, not a driver collect"),
+        ("phash_neardup", "pigeonhole block self-join: each fingerprint "
+         "explodes to (blk, blkval) 9-byte keys, equi-join on both + id "
+         "inequality, then one JVM bit_count per candidate inside codegen — "
+         "no cartesian, no Python in the join path (image decode/pHash is "
+         "the upstream mapInPandas source)"),
         ("repetition_filter", "one tagged Generate fans out n=1..3 grams, "
          "then three partial+final HashAggregate pairs on narrowing keys "
          "((id,n,g) → (id,n) → (id)) with map-side combine each time; the "

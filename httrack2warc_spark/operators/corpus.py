@@ -310,7 +310,11 @@ def pack_sequences(
     )
     # total tokens = last doc's start + count; aggregating the prefix-summed
     # frame (not toks) hits the ranged mode's internal persist instead of
-    # re-tokenizing the corpus a second time
+    # re-tokenizing the corpus a second time. The broadcast of this 1-row
+    # aggregate is necessarily a nested-loop cross (an equi-join on a
+    # literal key constant-folds back to cross); with a single-row build
+    # side it is one comparison per stream row — the plan lint carries a
+    # documented exception (tests/test_plan_guards.py).
     total = F.broadcast(
         started.agg(
             F.max(F.col("__start") + F.col("__n")).alias("__total")

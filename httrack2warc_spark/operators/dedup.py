@@ -27,6 +27,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
+    "hamming_neardup_pairs",
     "simhash64",
     "simhash64_of_hashes",
     "simhash_dedup",
@@ -508,6 +509,61 @@ def simhash64_of_hashes(hashes: Column) -> Column:
     return _vote(hashes)
 
 
+def hamming_neardup_pairs(
+    df: DataFrame,
+    fp_col: str,
+    id_col: str,
+    hamming_threshold: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """All pairs (a < b, ``hamming`` = popcount(xor) ≤ threshold) over a
+    64-bit fingerprint column, via pigeonhole block self-join: band the
+    fingerprint into ``blocks`` equal slices — two fingerprints within
+    ``blocks − 1`` differing bits MUST agree on at least one slice, so with
+    ``hamming_threshold ≤ blocks − 1`` the blocking has EXACT recall. The
+    shared core of SimHash text dedup and pHash image near-dup.
+
+    Scale: the join shuffles (blk, blkval) 9-byte keys; each fingerprint
+    appears ``blocks`` times. A pair sharing k identical slices is emitted
+    k times — callers needing a set should drop duplicates or (as
+    simhash_dedup does) feed an existence-only anti-join. Verification is
+    one JVM bit_count per candidate, whole-stage codegen.
+    """
+    width = 64 // blocks
+    blocked = df.select(
+        id_col,
+        fp_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(fp_col), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("blk", "blkval"),
+    )
+    return (
+        blocked.alias("l")
+        .join(
+            blocked.alias("r"),
+            on=[
+                F.col("l.blk") == F.col("r.blk"),
+                F.col("l.blkval") == F.col("r.blkval"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.bit_count(
+                F.col(f"l.{fp_col}").bitwiseXOR(F.col(f"r.{fp_col}"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_threshold)
+    )
+
+
 def simhash_dedup(
     df: DataFrame,
     text_col: str,
@@ -539,45 +595,16 @@ def simhash_dedup(
         # shuffle over the full text column
         .localCheckpoint(eager=True)
     )
-    width = 64 // blocks
-    # fingerprints materialized once too: the block self-join reads `blocked`
-    # on both sides, and without the checkpoint each side re-ran tokenize +
+    # fingerprints materialized once: the block self-join reads them on both
+    # sides, and without the checkpoint each side re-ran tokenize +
     # per-shingle md5/xxhash + the pandas bit vote (the two dominant stages).
     fp = _with_shingle_hashes(_full_width_repartition(df), text_col, shingle_n,
                               hash_family=hash_family).select(
         F.col(id_col), simhash64_of_hashes(F.col("__h")).alias("fp")
     ).localCheckpoint(eager=True)
-    blocked = fp.select(
-        id_col,
-        "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("fp"), b * width)
-                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-                    for b in range(blocks)
-                ]
-            )
-        ).alias("blk", "blkval"),
-    )
-    cand = (
-        blocked.alias("l")
-        .join(
-            blocked.alias("r"),
-            on=[
-                F.col("l.blk") == F.col("r.blk"),
-                F.col("l.blkval") == F.col("r.blkval"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
-            F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).alias("hamming"),
-        )
-        .where(F.col("hamming") <= hamming_threshold)
-        .select("a", "b")
-    )
+    cand = hamming_neardup_pairs(
+        fp, "fp", id_col, hamming_threshold, blocks
+    ).select("a", "b")
     # no distinct on pairs or losers: a pair sharing k identical blocks shows
     # up k times, but the hamming verdict is per-pair deterministic and the
     # left_anti below tests existence only — two dedup exchanges saved

@@ -336,3 +336,49 @@ def test_connected_components_nonconvergence_collapses(spark):
     st2: dict = {}
     connected_components(pairs, algorithm="star", stats=st2).collect()
     assert st2["converged"] is True
+
+
+def test_hamming_neardup_pairs_exact(spark):
+    """Pigeonhole block join finds exactly the pairs at hamming <= threshold
+    (exact recall when threshold <= blocks - 1), with the distance right."""
+    from httrack2warc_spark.operators.dedup import hamming_neardup_pairs
+
+    def s64(x):  # wrap to the signed-64 view a LongType column holds
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    rows = [
+        (1, 0b1010),            # base
+        (2, 0b1011),            # d(1,2)=1
+        (3, 0b1010 ^ (0b111 << 20)),   # d(1,3)=3 (all in one block)
+        (4, s64(0b1010 ^ ((1 << 5) | (1 << 25) | (1 << 45) | (1 << 63)))),  # d=4
+        (5, -1),                # far from everything
+    ]
+    df = spark.createDataFrame(rows, "id long, fp long")
+    got = {
+        (r.a, r.b): r.hamming
+        for r in hamming_neardup_pairs(df, "fp", "id", 3, 4)
+        .dropDuplicates(["a", "b"]).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 3
+    # d(2,3)=4 and d(1,4)=4 exceed the threshold; 5 is far from everything
+    assert set(got) == {(1, 2), (1, 3)}
+
+
+def test_phash_neardup_fixture_has_no_cross_group_pairs(spark):
+    """Pins the exact-recall parameterization of the phash_neardup graded
+    query: over the 48-image fixture with the three flip-mask variants, the
+    pair set is EXACTLY the construction's 4 within-group pairs per base —
+    i.e. no two distinct generated images land within hamming 3 of each
+    other (distinct 64-bit DCT fingerprints; if a future generator change
+    broke this, both this test and the driver oracle would fail)."""
+    import __spark_entry__ as entry
+
+    pairs = entry.queries()["phash_neardup"](spark, "/root/testdata/sf0.001")
+    rows = [(r.a, r.b, r.hamming) for r in pairs.collect()]
+    expected = []
+    for i in range(48):
+        b = f"img-{i}"
+        expected += [(b, f"{b}-v1", 1), (b, f"{b}-v2", 2), (b, f"{b}-v3", 3),
+                     (f"{b}-v1", f"{b}-v2", 3)]
+    assert sorted(rows) == sorted(expected)

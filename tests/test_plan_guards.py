@@ -21,6 +21,10 @@ SKIP = {
     "dedup_components", # iterative: executes jobs during construction
     "pagerank",         # iterative: executes jobs during construction
     "ivf_ann",          # collects centroids while building
+    "pack_sequences",   # 1-ROW broadcast total-token cutoff: the aggregate
+                        # side of the BNLJ has exactly one row (an equi-join
+                        # on a literal key constant-folds back to cross), so
+                        # the "nested loop" is one comparison per stream row
 }
 
 QUERIES = [n for n in entry.queries() if n not in SKIP]
