@@ -6,9 +6,18 @@ codegen, no Python in the hot path) and value-checkable against a SQL oracle
 md5-derived hash family (see ``operators.dedup._md5_long``) any SQL engine
 reproduces bit-for-bit.
 
+Round 5 additions: benchmark decontamination (n-gram leakage scrub), PII
+redaction, the Gopher repetition quality gate, paragraph-level exact dedup
+(repeated-line scrub) and GPT-style sequence packing — same contract: each
+output is an exact function of the text under explicit deterministic rules
+(ordered PII patterns, global first-occurrence paragraph rule, prefix-sum
+packing offsets) that any SQL engine reproduces bit-for-bit.
+
 Scale notes per op are on the functions; none of them ever shuffles document
 payloads except where the semantics force it (TF-IDF's term aggregation
-shuffles (term, count) pairs — 16-byte rows, not documents).
+shuffles (term, count) pairs — 16-byte rows, not documents; paragraph dedup
+shuffles paragraphs, never whole documents; packing ships array slices to
+only the examples a document overlaps).
 """
 
 from __future__ import annotations
