@@ -127,6 +127,50 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
+def q21_sole_blame_q(spark, sf_dir):
+    """Correlated EXISTS / NOT-EXISTS shape (TPC-H Q21-ish, adapted to the
+    available columns): suppliers who were the SOLE late shipper (shipdate
+    > orderdate + 90 days) on a finished multi-supplier order. Exercises the
+    non-equi semi-join (exists another supplier on the order) and non-equi
+    anti-join (no OTHER supplier was also late) operator class — equi key +
+    inequality residual, the classic decorrelated-subquery plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    fo = li.join(o.select("o_orderkey", "o_orderdate"),
+                 li["l_orderkey"] == o["o_orderkey"])
+    allp = fo.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        fo.where(F.col("l_shipdate") > F.col("o_orderdate")
+                 + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey").distinct()
+    )
+    c = late.alias("c")
+    blame = (
+        c.join(
+            allp.alias("p"),
+            on=[F.col("c.l_orderkey") == F.col("p.l_orderkey"),
+                F.col("c.l_suppkey") != F.col("p.l_suppkey")],
+            how="left_semi",
+        )
+        .join(
+            late.alias("l2"),
+            on=[F.col("c.l_orderkey") == F.col("l2.l_orderkey"),
+                F.col("c.l_suppkey") != F.col("l2.l_suppkey")],
+            how="left_anti",
+        )
+    )
+    return (
+        blame.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(10)
+    )
+
+
 def median_value_q(spark, sf_dir):
     """Exact percentile aggregation (median + p90 per event type) — Spark's
     exact `percentile` (linear interpolation) == DuckDB quantile_cont."""
@@ -1323,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q3_top_orders,
         "q5_local_volume": q5_local_volume,
         "q18_large_orders": q18_large_orders,
+        "q21_sole_blame": q21_sole_blame_q,
         "pagerank": pagerank_q,
         "rollup_revenue": rollup_revenue_q,
         "median_value": median_value_q,
@@ -1486,6 +1531,35 @@ def _oracle_sqls() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 20
+        """,
+        "q21_sole_blame": """
+            WITH fo AS (
+                SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ), allp AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM fo
+            ), late AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM fo
+                WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+            ), blame AS (
+                SELECT c.l_orderkey, c.l_suppkey FROM late c
+                WHERE EXISTS (
+                    SELECT 1 FROM allp p
+                    WHERE p.l_orderkey = c.l_orderkey
+                      AND p.l_suppkey <> c.l_suppkey)
+                  AND NOT EXISTS (
+                    SELECT 1 FROM late l2
+                    WHERE l2.l_orderkey = c.l_orderkey
+                      AND l2.l_suppkey <> c.l_suppkey)
+            )
+            SELECT s_suppkey, s_name, n_name, count(*) AS numwait
+            FROM blame
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY s_suppkey, s_name, n_name
+            ORDER BY numwait DESC, s_suppkey
+            LIMIT 10
         """,
         "pagerank": _pagerank_sql(3),
         "median_value": """

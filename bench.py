@@ -74,6 +74,7 @@ def main() -> None:
         "paragraph_dedup",
         "pack_sequences",
         "phash_neardup",
+        "q21_sole_blame",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan
