@@ -127,6 +127,36 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
+def asof_join_q(spark, sf_dir):
+    """Backward as-of join (pandas merge_asof / DuckDB ASOF JOIN — an
+    operator Spark's DataFrame API lacks): every click event gains the
+    latest view by the same user at or before it. Implemented as the
+    union-window form (ONE exchange + sort; a range join would explode
+    |L|x|R| per key). Views are pre-deduped per (user, ts) keeping the
+    max event id so the match is a total function — DuckDB's ASOF picks
+    an arbitrary row among equal timestamps otherwise."""
+    from httrack2warc_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    out = asof_join(
+        clicks, views, "user_id", "ts", "view_ts", ["view_id", "view_value"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "view_ts", "view_id", "view_value"
+    ).orderBy("event_id")
+
+
 def q21_sole_blame_q(spark, sf_dir):
     """Correlated EXISTS / NOT-EXISTS shape (TPC-H Q21-ish, adapted to the
     available columns): suppliers who were the SOLE late shipper (shipdate
@@ -1368,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_volume": q5_local_volume,
         "q18_large_orders": q18_large_orders,
         "q21_sole_blame": q21_sole_blame_q,
+        "asof_join": asof_join_q,
         "pagerank": pagerank_q,
         "rollup_revenue": rollup_revenue_q,
         "median_value": median_value_q,
@@ -1560,6 +1591,21 @@ def _oracle_sqls() -> dict[str, str]:
             GROUP BY s_suppkey, s_name, n_name
             ORDER BY numwait DESC, s_suppkey
             LIMIT 10
+        """,
+        "asof_join": """
+            WITH views AS (
+                SELECT user_id, ts AS view_ts, max(event_id) AS view_id,
+                       arg_max(value, event_id) AS view_value
+                FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            ), clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.view_ts, v.view_id, v.view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.view_ts
+            ORDER BY c.event_id
         """,
         "pagerank": _pagerank_sql(3),
         "median_value": """

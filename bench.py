@@ -75,6 +75,7 @@ def main() -> None:
         "pack_sequences",
         "phash_neardup",
         "q21_sole_blame",
+        "asof_join",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan
