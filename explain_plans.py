@@ -72,6 +72,10 @@ def main() -> None:
          "carrying array slices; one hash exchange on the dense example id "
          "for the rebuild; the total-token cutoff is a BroadcastNestedLoop "
          "of a 1-row aggregate, not a driver collect"),
+        ("asof_join", "union-window as-of: both inputs union (no join "
+         "operator at all), ONE exchange on the key feeding the sort + "
+         "running last(payload, ignorenulls) window; the right payload "
+         "rides a single struct column"),
         ("phash_neardup", "pigeonhole block self-join: each fingerprint "
          "explodes to (blk, blkval) 9-byte keys, equi-join on both + id "
          "inequality, then one JVM bit_count per candidate inside codegen — "
