@@ -1391,6 +1391,76 @@ def repetition_filter_q(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def hll_distinct_q(spark, sf_dir):
+    """HyperLogLog distinct-user estimate per event type (p=12, 4096
+    registers): the mergeable-sketch cardinality path for 10^10-row scale,
+    deterministic over the md5 hash family so the oracle recomputes the
+    registers and the DECIMAL-summed harmonic mean bit-for-bit."""
+    from httrack2warc_spark.operators.sketches import hll_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_cardinality(ev, "user_id", ["event_type"], p=12).orderBy(
+        "event_type"
+    )
+
+
+def heavy_words_q(spark, sf_dir):
+    """Misra-Gries heavy hitters with exact confirm: every word whose
+    corpus frequency exceeds n/64, found via bounded-memory per-partition
+    summaries (superset by the averaging argument) + an exact count over
+    the candidate set only — the full-tail groupBy never runs."""
+    from httrack2warc_spark.functions.text import word_tokens
+    from httrack2warc_spark.operators.sketches import frequent_items
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(word_tokens(F.col("text"))).alias("word"))
+    return frequent_items(words, "word", k=64).orderBy("word")
+
+
+def weighted_sample_q(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    25 documents drawn proportional to n_chars via the deterministic md5
+    uniform — membership is a pure function of (doc_id, seed, weight) that
+    the oracle's identical expression reselects."""
+    from httrack2warc_spark.operators.sketches import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "doc_id", "n_chars", k=25, seed=7)
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+def interval_join_q(spark, sf_dir):
+    """Interval-overlap join with no equi key (DuckDB range join): spike
+    incidents (error events, value>190) open a 2-hour window; count and
+    sum the purchase events falling inside each.  Bucketized to an equi
+    join (one 8-byte shuffle key) + exact range refinement — never a
+    BroadcastNestedLoop (plan-guarded)."""
+    from httrack2warc_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    incidents = ev.where(
+        (F.col("event_type") == "error") & (F.col("value") > 190)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "value"
+    )
+    j = interval_join(purchases, incidents, "ts", "s", "e", 7200)
+    return (
+        j.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("incident_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1454,6 +1524,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences_q,
         "pii_redact": pii_redact_q,
         "repetition_filter": repetition_filter_q,
+        "hll_distinct": hll_distinct_q,
+        "heavy_words": heavy_words_q,
+        "weighted_sample": weighted_sample_q,
+        "interval_join": interval_join_q,
     }
 
 
@@ -1500,6 +1574,17 @@ def _mime_values_sql() -> str:
     from httrack2warc_spark.sources.mime import FULL_MIME
 
     return ", ".join(f"('{k}', '{v}')" for k, v in sorted(FULL_MIME.items()))
+
+
+def _hll_oracle() -> str:
+    """DuckDB twin of hll_distinct_q, emitted by the operator module itself
+    (single source of truth for the register/estimate arithmetic)."""
+    from httrack2warc_spark.operators.sketches import hll_oracle_sql
+
+    return (
+        hll_oracle_sql("events", "user_id", ["event_type"], p=12)
+        + " ORDER BY event_type"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2727,6 +2812,45 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT doc_id, n_tokens, top1_frac, top2_frac, top3_frac,
                    (top2_frac <= 0.20 AND top3_frac <= 0.18) AS keep
             FROM pivoted ORDER BY doc_id
+        """,
+        "hll_distinct": _hll_oracle(),
+        "heavy_words": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                    x -> x <> '')) AS word
+                FROM documents
+            ), n AS (SELECT count(*) AS total FROM toks)
+            SELECT word, count(*) AS cnt
+            FROM toks GROUP BY word
+            HAVING count(*) > (SELECT total FROM n) / 64.0
+            ORDER BY word
+        """,
+        "weighted_sample": r"""
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       round(ln((CAST(('0x' || substr(
+                                 md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))
+                                 AS BIGINT) + 0.5) / 4294967296.0)
+                             / CAST(n_chars AS DOUBLE), 9) AS aes
+                FROM documents WHERE n_chars > 0
+                ORDER BY aes DESC, doc_id LIMIT 25
+            ) ORDER BY doc_id
+        """,
+        "interval_join": r"""
+            WITH incidents AS (
+                SELECT event_id AS incident_id, ts AS s,
+                       ts + INTERVAL 2 HOUR AS e
+                FROM events WHERE event_type = 'error' AND value > 190
+            ), p AS (
+                SELECT event_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT i.incident_id, count(*) AS n_events,
+                   CAST(round(sum(CAST(p.value AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS sum_value
+            FROM p JOIN incidents i ON p.ts BETWEEN i.s AND i.e
+            GROUP BY i.incident_id ORDER BY i.incident_id
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is

@@ -86,6 +86,19 @@ def main() -> None:
          "((id,n,g) → (id,n) → (id)) with map-side combine each time; the "
          "pivot is conditional-agg, not a generic pivot scan; document "
          "payloads never shuffle — only (id, n_tok, n, gram) rows"),
+        ("hll_distinct", "HLL sketch: one codegen'd Project (md5 → bucket "
+         "+ leading-zero rho), partial+final max on (event_type, bucket) "
+         "— map-side combine caps the exchange at m=4096 rows per group — "
+         "then a tiny per-group DECIMAL-sum aggregate; input rows never "
+         "shuffle, only registers"),
+        ("interval_join", "bucketized range join: intervals Generate over "
+         "their overlapped buckets, points project one bucket key, plain "
+         "shuffle/broadcast HASH join on __bucket + exact range Filter — "
+         "NO BroadcastNestedLoopJoin despite the join having no natural "
+         "equi key"),
+        ("weighted_sample", "A-ES: one codegen'd Project (md5 uniform → "
+         "ln(u)/w key) feeding TakeOrderedAndProject — the global top-k "
+         "never materializes a full sort"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 

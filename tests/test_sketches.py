@@ -1,0 +1,244 @@
+"""Sketch family: HyperLogLog cardinality, Misra-Gries heavy hitters with
+exact confirm, A-ES weighted sampling, and the bucketized interval join.
+
+Each test pins the property that makes the operator trustworthy at scale:
+HLL inside its published error bound and invariant to partitioning; MG
+candidates a guaranteed superset so the confirmed result is EXACT;
+weighted-sample membership a pure function of (id, seed, weight) — the
+same rows from any partitioning; interval join identical to the naive
+cross-join-with-range-filter it replaces, without the cross join.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from httrack2warc_spark.operators.interval import interval_join
+from httrack2warc_spark.operators.sketches import (
+    frequent_items,
+    hll_cardinality,
+    weighted_sample,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_error_bound_large_range(spark):
+    # 50k distinct ids: firmly in the harmonic-mean regime for p=12
+    n = 50_000
+    df = spark.range(n).select((F.col("id") * 7919 + 13).alias("v"))
+    est = hll_cardinality(df, "v", p=12).collect()[0]["est_distinct"]
+    rse = 1.04 / math.sqrt(1 << 12)  # published HLL relative standard error
+    assert abs(est - n) / n < 4 * rse, est
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.range(300).select(F.col("id").alias("v"))
+    est = hll_cardinality(df, "v", p=12).collect()[0]["est_distinct"]
+    assert abs(est - 300) <= 15, est  # linear counting: ~2% here (hash
+    # collisions in 4096 buckets at 300 keys make a handful invisible)
+
+
+def test_hll_partitioning_invariant_and_duplicate_blind(spark):
+    base = spark.range(2_000).select((F.col("id") % 500).alias("v"))
+    a = hll_cardinality(base.repartition(1), "v", p=12).collect()[0][0]
+    b = hll_cardinality(base.repartition(13), "v", p=12).collect()[0][0]
+    assert a == b  # registers are max-merged: order/placement free
+    solo = (
+        hll_cardinality(
+            spark.range(500).select(F.col("id").alias("v")), "v", p=12
+        ).collect()[0][0]
+    )
+    assert a == solo  # 4x duplication moves nothing
+
+
+def test_hll_grouped(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = hll_cardinality(ev, "user_id", ["event_type"], p=12)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("x")
+    )
+    joined = {
+        r["event_type"]: (r["est_distinct"], r["x"])
+        for r in out.join(exact, "event_type").collect()
+    }
+    assert len(joined) == 5
+    for est, x in joined.values():
+        assert abs(est - x) / x < 0.10, joined
+
+
+def test_hll_rejects_bad_p(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        hll_cardinality(df, "v", p=10)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_items_exact_on_skewed_stream(spark):
+    # 3 heavy items above n/k, a long tail below it, spread over partitions
+    # so no single partition sees a heavy item concentrated
+    rows = (
+        [("hot_a",)] * 900 + [("hot_b",)] * 700 + [("hot_c",)] * 450
+        + [(f"tail_{i}",) for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, ["v"]).repartition(11)
+    n, k = len(rows), 16
+    got = {
+        (r["v"], r["cnt"]) for r in frequent_items(df, "v", k=k).collect()
+    }
+    exact = {
+        (r["v"], r["cnt"])
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > n / k)
+        .collect()
+    }
+    assert got == exact
+    assert {"hot_a", "hot_b", "hot_c"} == {v for v, _ in got}
+
+
+def test_frequent_items_counts_are_exact_not_mg_estimates(spark):
+    rows = [("x",)] * 120 + [(f"t{i}",) for i in range(120)]
+    df = spark.createDataFrame(rows, ["v"]).repartition(5)
+    out = frequent_items(df, "v", k=4, total=len(rows)).collect()
+    assert [(r["v"], r["cnt"]) for r in out] == [("x", 120)]
+
+
+def test_frequent_items_empty_result(spark):
+    # perfectly uniform: nothing exceeds n/k
+    df = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    assert frequent_items(df, "v", k=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(
+        r["doc_id"]
+        for r in weighted_sample(
+            docs.repartition(1), "doc_id", "n_chars", 25, seed=7
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(
+            docs.repartition(17), "doc_id", "n_chars", 25, seed=7
+        ).collect()
+    )
+    assert a == b and len(a) == 25
+
+
+def test_weighted_sample_weight_bias(spark):
+    # one item carries ~all the mass: it must be drawn at every seed
+    rows = [(0, 10_000_000)] + [(i, 1) for i in range(1, 400)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    for seed in range(8):
+        got = {
+            r["id"] for r in weighted_sample(df, "id", "w", 5, seed=seed).collect()
+        }
+        assert 0 in got, (seed, got)
+
+
+def test_weighted_sample_excludes_nonpositive_and_seed_varies(spark):
+    rows = [(1, 0), (2, -5)] + [(i, 10) for i in range(3, 60)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    s1 = {r["id"] for r in weighted_sample(df, "id", "w", 10, seed=1).collect()}
+    s2 = {r["id"] for r in weighted_sample(df, "id", "w", 10, seed=2).collect()}
+    assert 1 not in s1 and 2 not in s1
+    assert s1 != s2  # different seeds draw different samples
+
+
+# ---------------------------------------------------------------------------
+# Interval join
+# ---------------------------------------------------------------------------
+
+
+def _naive(points, intervals, ts, s, e):
+    return points.crossJoin(intervals).where(
+        (F.col(ts) >= F.col(s)) & (F.col(ts) <= F.col(e))
+    )
+
+
+def test_interval_join_matches_naive(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    iv = (
+        ev.where((F.col("event_type") == "error") & (F.col("value") > 190))
+        .select(
+            F.col("event_id").alias("iid"),
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+        )
+    )
+    pts = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "ts"
+    )
+    fast = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, iv, "ts", "s", "e", 7200)
+        .select("pid", "iid")
+        .collect()
+    }
+    slow = {
+        (r["pid"], r["iid"])
+        for r in _naive(pts, iv, "ts", "s", "e").select("pid", "iid").collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+
+def test_interval_join_long_intervals_span_many_buckets(spark):
+    # interval length >> bucket width: explode covers every bucket, matches
+    # stay exact and unduplicated
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-03 00:00:00")],
+        ["iid", "s", "e"],
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, "2023-12-31 23:59:59"),
+            (2, "2024-01-01 00:00:00"),
+            (3, "2024-01-02 12:00:00"),
+            (4, "2024-01-03 00:00:00"),
+            (5, "2024-01-03 00:00:01"),
+        ],
+        ["pid", "ts"],
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    got = sorted(
+        r["pid"]
+        for r in interval_join(pts, iv, "ts", "s", "e", 3600).collect()
+    )
+    assert got == [2, 3, 4]  # inclusive ends, no pre/post, no dupes
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    iv = ev.limit(10).select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    plan = (
+        interval_join(ev.select("event_id", "ts"), iv, "ts", "s", "e")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
