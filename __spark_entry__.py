@@ -1461,6 +1461,69 @@ def interval_join_q(spark, sf_dir):
     )
 
 
+def image_caption_dedup_q(spark, sf_dir):
+    """Joint multimodal dedup over the BASELINE.json input_hint table shape
+    (image_id, bytes, w, h, fmt, caption, phash): near-duplicate IMAGES
+    (pHash hamming ≤ 3 via the pigeonhole block join) and exact-duplicate
+    CAPTIONS (the mirror/repost case: different pixels, same text) fuse
+    into one duplicate graph, and large-star/small-star connected
+    components label every member with its canonical representative.
+
+    Fixture: the 48-image pHash corpus of phash_neardup (bit-flip variants
+    v1/v2/v3 carry ALTERED captions so the hamming channel alone must
+    connect them) plus a caption-clone '-c' for every 5th image whose
+    fingerprint is fresh (xxhash64 re-salt: hamming-far from everything,
+    pinned by tests) — so the caption channel alone must connect it.
+    Caption edges are emitted as a STAR (min-id per caption → others),
+    never all-pairs: a caption duplicated d times costs d−1 edges, not
+    d(d−1)/2 — the 100 TB-safe shape for boilerplate captions. The oracle
+    is the construction's component arithmetic (phash_neardup precedent)."""
+    from httrack2warc_spark.frontier.synth import generate_images
+    from httrack2warc_spark.operators.dedup import (
+        connected_components,
+        hamming_neardup_pairs,
+    )
+
+    base = generate_images(spark, 48, w=16, h=16).select(
+        "image_id",
+        F.xxhash64("image_id", "phash").alias("phash"),
+        "caption",
+    )
+    masks = [(1, 1 << 5), (2, (1 << 17) | (1 << 37)),
+             (3, (1 << 11) | (1 << 29) | (1 << 53))]
+    variants = [
+        base.select(
+            F.concat("image_id", F.lit(f"-v{m}")).alias("image_id"),
+            F.col("phash").bitwiseXOR(F.lit(mask).cast("long")).alias("phash"),
+            F.concat("caption", F.lit(f" (variant {m})")).alias("caption"),
+        )
+        for m, mask in masks
+    ]
+    clones = base.where(
+        F.regexp_extract("image_id", r"img-(\d+)", 1).cast("long") % 5 == 0
+    ).select(
+        F.concat("image_id", F.lit("-c")).alias("image_id"),
+        F.xxhash64(F.concat("image_id", F.lit("-c")), "phash").alias("phash"),
+        "caption",  # EXACT caption of the base: the only connecting channel
+    )
+    fps = base
+    for v in variants:
+        fps = fps.unionByName(v)
+    fps = fps.unionByName(clones)
+
+    ham = hamming_neardup_pairs(
+        fps, "phash", "image_id", hamming_threshold=3, blocks=4
+    ).dropDuplicates(["a", "b"]).select("a", "b")
+    cmin = fps.groupBy("caption").agg(F.min("image_id").alias("a"))
+    cap = (
+        fps.join(cmin, "caption")
+        .where(F.col("image_id") != F.col("a"))
+        .select("a", F.col("image_id").alias("b"))
+    )
+    comp = connected_components(ham.unionByName(cap), "a", "b")
+    return comp.select("node", "component").orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1528,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_words": heavy_words_q,
         "weighted_sample": weighted_sample_q,
         "interval_join": interval_join_q,
+        "image_caption_dedup": image_caption_dedup_q,
     }
 
 
@@ -2812,6 +2876,19 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT doc_id, n_tokens, top1_frac, top2_frac, top3_frac,
                    (top2_frac <= 0.20 AND top3_frac <= 0.18) AS keep
             FROM pivoted ORDER BY doc_id
+        """,
+        "image_caption_dedup": """
+            WITH g AS (SELECT i FROM range(48) t(i)),
+            members AS (
+                SELECT 'img-' || i::VARCHAR AS node,
+                       'img-' || i::VARCHAR AS component FROM g
+                UNION ALL SELECT 'img-' || i || '-v1', 'img-' || i FROM g
+                UNION ALL SELECT 'img-' || i || '-v2', 'img-' || i FROM g
+                UNION ALL SELECT 'img-' || i || '-v3', 'img-' || i FROM g
+                UNION ALL SELECT 'img-' || i || '-c',  'img-' || i
+                          FROM g WHERE i % 5 = 0
+            )
+            SELECT node, component FROM members ORDER BY node
         """,
         "hll_distinct": _hll_oracle(),
         "heavy_words": r"""

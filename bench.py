@@ -76,6 +76,10 @@ def main() -> None:
         "phash_neardup",
         "q21_sole_blame",
         "asof_join",
+        "hll_distinct",
+        "heavy_words",
+        "weighted_sample",
+        "interval_join",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

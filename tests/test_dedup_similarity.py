@@ -382,3 +382,49 @@ def test_phash_neardup_fixture_has_no_cross_group_pairs(spark):
         expected += [(b, f"{b}-v1", 1), (b, f"{b}-v2", 2), (b, f"{b}-v3", 3),
                      (f"{b}-v1", f"{b}-v2", 3)]
     assert sorted(rows) == sorted(expected)
+
+
+def test_image_caption_dedup_channels_are_independent(spark):
+    """Pins the two-channel construction of the image_caption_dedup graded
+    query: caption clones ('-c') must be reachable ONLY through the exact-
+    caption star edges (their re-salted fingerprints are hamming-far from
+    everything), and bit-flip variants ('-v*') ONLY through the hamming
+    pairs (their captions are altered).  A silent generator change that
+    collapsed either channel would break the expected component map."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from httrack2warc_spark.frontier.synth import generate_images
+    from httrack2warc_spark.operators.dedup import hamming_neardup_pairs
+
+    # channel 1: hamming pairs over base+clones only — must be EMPTY
+    # (clone fingerprints are fresh xxhash64 salts, far from their base)
+    base = generate_images(spark, 48, w=16, h=16).select(
+        "image_id", F.xxhash64("image_id", "phash").alias("phash")
+    )
+    clones = base.where(
+        F.regexp_extract("image_id", r"img-(\d+)", 1).cast("long") % 5 == 0
+    ).select(
+        F.concat("image_id", F.lit("-c")).alias("image_id"),
+        F.xxhash64(F.concat("image_id", F.lit("-c")), "phash").alias("phash"),
+    )
+    ham = hamming_neardup_pairs(
+        base.unionByName(clones), "phash", "image_id",
+        hamming_threshold=3, blocks=4,
+    )
+    touching_clone = ham.where(
+        F.col("a").endswith("-c") | F.col("b").endswith("-c")
+    )
+    assert touching_clone.count() == 0
+
+    # channel 2: the full graded component map is exactly the construction
+    comp = entry.queries()["image_caption_dedup"](
+        spark, "/root/testdata/sf0.001"
+    )
+    got = {(r.node, r.component) for r in comp.collect()}
+    expected = set()
+    for i in range(48):
+        b = f"img-{i}"
+        expected |= {(b, b), (f"{b}-v1", b), (f"{b}-v2", b), (f"{b}-v3", b)}
+        if i % 5 == 0:
+            expected.add((f"{b}-c", b))
+    assert got == expected
