@@ -34,7 +34,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
-__all__ = ["hll_cardinality", "frequent_items", "weighted_sample"]
+__all__ = [
+    "hll_cardinality",
+    "hll_registers",
+    "hll_estimate_from_registers",
+    "frequent_items",
+    "weighted_sample",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -87,6 +93,11 @@ def hll_cardinality(
     order-sensitive in the last ulps and would flake a value-checked
     oracle).
     """
+    regs = hll_registers(df, value_col, group_cols, p, seed)
+    return hll_estimate_from_registers(regs, group_cols, p)
+
+
+def _hll_params(p: int) -> tuple[int, int, int, float]:
     if p % 4 != 0 or not 4 <= p <= 16:
         raise ValueError("p must be a multiple of 4 in [4, 16]")
     m = 1 << p
@@ -95,22 +106,53 @@ def hll_cardinality(
     alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
         0.697 if m == 64 else 0.673
     )
-    groups = list(group_cols or [])
+    return m, bucket_hex, w_hex, alpha
 
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+    seed: int = 0,
+) -> DataFrame:
+    """The mergeable half of the sketch: (groups..., __bucket, __rho) with
+    __rho max-aggregated.  max is the merge operator, so register sets from
+    any partitioning of the input — batch partitions, streaming
+    micro-batches, per-day shards — combine by another groupBy-max without
+    touching raw rows.  ``group_cols`` may be arbitrary Columns (e.g. a
+    streaming ``window()``), not just names."""
+    _, bucket_hex, w_hex, _ = _hll_params(p)
+    groups = list(group_cols or [])
+    gcols = [F.col(g) if isinstance(g, str) else g for g in groups]
     digest = F.md5(
         F.concat(F.col(value_col).cast("string"), F.lit(f":{seed}"))
     )
-    regs = (
-        df.select(
-            *groups,
-            F.conv(F.substring(digest, 1, bucket_hex), 16, 10)
-            .cast("int")
-            .alias("__bucket"),
-            _hll_rho(digest, bucket_hex, w_hex).alias("__rho"),
-        )
-        .groupBy(*groups, "__bucket")
-        .agg(F.max("__rho").alias("__rho"))
+    tmp = df.select(
+        *gcols,
+        F.conv(F.substring(digest, 1, bucket_hex), 16, 10)
+        .cast("int")
+        .alias("__bucket"),
+        _hll_rho(digest, bucket_hex, w_hex).alias("__rho"),
     )
+    gnames = [c for c in tmp.columns if c not in ("__bucket", "__rho")]
+    return tmp.groupBy(*gnames, "__bucket").agg(
+        F.max("__rho").alias("__rho")
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Finalize (groups..., __bucket, __rho) registers into per-group
+    ``est_distinct`` — the non-mergeable last step, shared by the batch
+    operator and the streaming finalize."""
+    m, _, _, alpha = _hll_params(p)
+    groups = [g for g in (group_cols or []) if isinstance(g, str)] or [
+        c for c in regs.columns if c not in ("__bucket", "__rho")
+    ]
     per_group = regs.groupBy(*groups).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("__rho")).cast("decimal(38,18)"))
         .alias("__s"),

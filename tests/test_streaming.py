@@ -253,3 +253,60 @@ def test_streaming_corpus_chunks(spark, tmp_path):
     assert len(got) == len(set(got))  # re-delivery appended nothing
     assert set(got) == expected       # batch-identical boundaries + sampling
     assert expected  # non-vacuous: the sampler kept documents to chunk
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """Windowed streaming HLL registers, delivered across two micro-batches,
+    finalize to the EXACT estimates of the batch operator over the same
+    events — max-merge across micro-batches is the sketch's merge."""
+    from httrack2warc_spark.operators.sketches import (
+        hll_cardinality,
+        hll_estimate_from_registers,
+    )
+    from httrack2warc_spark.streaming import streaming_hll_registers
+
+    rows = [
+        {"user": f"u{i % 37}", "ts": f"2024-01-01T10:{i % 2 * 30:02d}:{i % 60:02d}"}
+        for i in range(400)
+    ]
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[:250]))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows[250:]))
+
+    stream = (
+        spark.readStream.schema("user string, ts string").json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    regs_stream = streaming_hll_registers(
+        stream, "user", "ts", window="30 minutes", delay="5 minutes", p=12
+    )
+    q = (
+        regs_stream.writeStream.format("memory").queryName("hll_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_h"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    regs = spark.sql("SELECT * FROM hll_regs")
+    got = {
+        (str(r.window_start), r.est_distinct)
+        for r in hll_estimate_from_registers(
+            regs, ["window_start", "window_end"], p=12
+        ).collect()
+    }
+
+    batch = spark.createDataFrame(
+        [(r["user"], r["ts"]) for r in rows], "user string, ts string"
+    ).select(
+        "user",
+        F.window(F.col("ts").cast("timestamp"), "30 minutes").alias("__w"),
+    ).select("user", F.col("__w.start").alias("window_start"))
+    expected = {
+        (str(r.window_start), r.est_distinct)
+        for r in hll_cardinality(
+            batch, "user", ["window_start"], p=12
+        ).collect()
+    }
+    assert got == {(w, e) for (w, e) in expected} and len(got) == 2
