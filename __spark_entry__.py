@@ -1524,6 +1524,21 @@ def image_caption_dedup_q(spark, sf_dir):
     return comp.select("node", "component").orderBy("node")
 
 
+def quantile_sketch_q(spark, sf_dir):
+    """Mergeable binned-quantile sketch (equi-width histogram + rank
+    interpolation): p50/p95/p99 of event value per event type from two
+    map-side-combined aggregate passes — per-group state is 256 bin
+    counts that merge by SUM, the quantile-sketch architecture for
+    10^10-row scale.  Exact-integer ranks + identical double bin math
+    make the estimate engine-reproducible."""
+    from httrack2warc_spark.operators.sketches import binned_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return binned_quantiles(
+        ev, "value", [0.5, 0.95, 0.99], ["event_type"], bins=256
+    ).orderBy("event_type", "prob")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1592,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": weighted_sample_q,
         "interval_join": interval_join_q,
         "image_caption_dedup": image_caption_dedup_q,
+        "quantile_sketch": quantile_sketch_q,
     }
 
 
@@ -2889,6 +2905,47 @@ def _oracle_sqls() -> dict[str, str]:
                           FROM g WHERE i % 5 = 0
             )
             SELECT node, component FROM members ORDER BY node
+        """,
+        "quantile_sketch": r"""
+            WITH stats AS (
+                SELECT event_type, min(CAST(value AS DOUBLE)) lo,
+                       max(CAST(value AS DOUBLE)) hi
+                FROM events GROUP BY 1
+            ), b AS (
+                SELECT e.event_type,
+                       CASE WHEN s.hi = s.lo THEN 0
+                            ELSE least(CAST(floor(
+                                     (CAST(e.value AS DOUBLE) - s.lo)
+                                     / ((s.hi - s.lo) / 256.0)) AS INT), 255)
+                       END AS bin,
+                       s.lo, s.hi
+                FROM events e JOIN stats s USING (event_type)
+            ), counts AS (
+                SELECT event_type, bin, count(*) c,
+                       any_value(lo) lo, any_value(hi) hi
+                FROM b GROUP BY 1, 2
+            ), cum AS (
+                SELECT *,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY bin) AS cm,
+                       sum(c) OVER (PARTITION BY event_type) AS n
+                FROM counts
+            ), p AS (
+                SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS prob
+            ), hit AS (
+                SELECT event_type, prob,
+                       greatest(CAST(ceil(prob * n) AS BIGINT), 1) AS r,
+                       bin, c, cm, lo, hi
+                FROM cum, p
+                WHERE cm >= greatest(CAST(ceil(prob * n) AS BIGINT), 1)
+                  AND cm - c < greatest(CAST(ceil(prob * n) AS BIGINT), 1)
+            )
+            SELECT event_type, prob,
+                   round(CASE WHEN hi = lo THEN lo
+                              ELSE lo + ((hi - lo) / 256.0)
+                                   * (bin + (r - (cm - c)) * 1.0 / c)
+                         END, 6) AS quantile
+            FROM hit ORDER BY event_type, prob
         """,
         "hll_distinct": _hll_oracle(),
         "heavy_words": r"""

@@ -80,6 +80,8 @@ def main() -> None:
         "heavy_words",
         "weighted_sample",
         "interval_join",
+        "quantile_sketch",
+        "image_caption_dedup",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

@@ -242,3 +242,64 @@ def test_interval_join_plan_has_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Binned quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_binned_quantiles_accuracy_and_invariance(spark):
+    from httrack2warc_spark.operators.sketches import binned_quantiles
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = {
+        (r["event_type"], r["prob"]): r["quantile"]
+        for r in binned_quantiles(
+            ev, "value", [0.5, 0.95], ["event_type"], bins=256
+        ).collect()
+    }
+    exact = {
+        (r["event_type"], p): r[f"q{int(p*100)}"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("q50"),
+            F.expr("percentile(value, 0.95)").alias("q95"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+        for p in (0.5, 0.95)
+    }
+    widths = {
+        r["event_type"]: (r["hi"] - r["lo"]) / 256.0
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for (etype, p), q in out.items():
+        assert abs(q - exact[(etype, p)]) <= 2.5 * widths[etype], (etype, p)
+    # partitioning invariance: bin counts merge by sum
+    out2 = {
+        (r["event_type"], r["prob"]): r["quantile"]
+        for r in binned_quantiles(
+            ev.repartition(13), "value", [0.5, 0.95], ["event_type"], bins=256
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_binned_quantiles_global_and_degenerate(spark):
+    from httrack2warc_spark.operators.sketches import binned_quantiles
+
+    # global (no groups)
+    df = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    got = {
+        r["prob"]: r["quantile"]
+        for r in binned_quantiles(df, "v", [0.5, 0.99], bins=256).collect()
+    }
+    assert abs(got[0.5] - 49.5) < 1.0 and abs(got[0.99] - 99.0) < 1.5
+    # degenerate group: min == max
+    const = spark.range(50).select(F.lit(7.25).alias("v"))
+    one = binned_quantiles(const, "v", [0.5, 0.95], bins=256).collect()
+    assert all(r["quantile"] == 7.25 for r in one)
