@@ -1524,6 +1524,60 @@ def image_caption_dedup_q(spark, sf_dir):
     return comp.select("node", "component").orderBy("node")
 
 
+def q13_cust_dist_q(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join with
+    a join-condition residual (the NOT LIKE lives in the ON clause, not a
+    post-filter — semantically different for outer joins: excluded orders
+    still leave their customer with c_count 0) + double aggregation.
+    Covers the outer-join operator class the other graded relational
+    queries don't touch.  Q13's o_comment filter maps to o_orderpriority
+    on the synthetic schema (no comment column)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & ~orders.o_orderpriority.like("%URGENT%"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def event_gaps_q(spark, sf_dir):
+    """Analytic lead/lag + ntile: per-user inter-event gaps (exact integer
+    microseconds via unix_micros — a double epoch cast would round
+    differently across engines), quartiled by ntile(4) over the fully
+    deterministic (gap, user, event) ordering, then per-quartile stats.
+    Covers the lag/ntile window-function class."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.select("user_id", "event_id", us.alias("us"))
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+        .where(F.col("gap_us").isNotNull())
+    )
+    wq = Window.orderBy("gap_us", "user_id", "event_id")
+    tiled = gaps.withColumn("quartile", F.ntile(4).over(wq))
+    return (
+        tiled.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.round(F.avg("gap_us"), 3).alias("avg_gap_us"),
+        )
+        .orderBy("quartile")
+    )
+
+
 def quantile_sketch_q(spark, sf_dir):
     """Mergeable binned-quantile sketch (equi-width histogram + rank
     interpolation): p50/p95/p99 of event value per event type from two
@@ -1608,6 +1662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": interval_join_q,
         "image_caption_dedup": image_caption_dedup_q,
         "quantile_sketch": quantile_sketch_q,
+        "q13_cust_dist": q13_cust_dist_q,
+        "event_gaps": event_gaps_q,
     }
 
 
@@ -2905,6 +2961,34 @@ def _oracle_sqls() -> dict[str, str]:
                           FROM g WHERE i % 5 = 0
             )
             SELECT node, component FROM members ORDER BY node
+        """,
+        "q13_cust_dist": r"""
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c LEFT OUTER JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority NOT LIKE '%URGENT%'
+                GROUP BY c.c_custkey
+            ) GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "event_gaps": r"""
+            WITH g AS (
+                SELECT user_id, event_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+            ), t AS (
+                SELECT gap_us, ntile(4) OVER (
+                           ORDER BY gap_us, user_id, event_id
+                       ) AS quartile
+                FROM g WHERE gap_us IS NOT NULL
+            )
+            SELECT quartile, count(*) AS n,
+                   min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+                   round(avg(gap_us), 3) AS avg_gap_us
+            FROM t GROUP BY quartile ORDER BY quartile
         """,
         "quantile_sketch": r"""
             WITH stats AS (
