@@ -1524,6 +1524,21 @@ def image_caption_dedup_q(spark, sf_dir):
     return comp.select("node", "component").orderBy("node")
 
 
+def stratified_weighted_sample_q(spark, sf_dir):
+    """Per-stratum weighted sampling (training-mix assembly): 5 documents
+    per source, weight-proportional to n_chars, via the A-ES key ranked by
+    a per-group row_number — one exchange on the stratum key."""
+    from httrack2warc_spark.operators.sketches import grouped_weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = grouped_weighted_sample(
+        docs, "doc_id", "n_chars", "source", k=5, seed=11
+    )
+    return out.select("source", "doc_id", "n_chars").orderBy(
+        "source", "doc_id"
+    )
+
+
 def q13_cust_dist_q(spark, sf_dir):
     """TPC-H Q13 (customer order-count distribution): LEFT OUTER join with
     a join-condition residual (the NOT LIKE lives in the ON clause, not a
@@ -1664,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": quantile_sketch_q,
         "q13_cust_dist": q13_cust_dist_q,
         "event_gaps": event_gaps_q,
+        "stratified_weighted_sample": stratified_weighted_sample_q,
     }
 
 
@@ -2961,6 +2977,22 @@ def _oracle_sqls() -> dict[str, str]:
                           FROM g WHERE i % 5 = 0
             )
             SELECT node, component FROM members ORDER BY node
+        """,
+        "stratified_weighted_sample": r"""
+            SELECT source, doc_id, n_chars FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY round(ln((CAST(('0x' || substr(
+                                     md5(CAST(doc_id AS VARCHAR) || ':11'),
+                                     1, 8)) AS BIGINT) + 0.5)
+                                     / 4294967296.0)
+                                 / CAST(n_chars AS DOUBLE), 9) DESC,
+                               doc_id
+                       ) AS rn
+                FROM documents WHERE n_chars > 0
+            ) WHERE rn <= 5
+            ORDER BY source, doc_id
         """,
         "q13_cust_dist": r"""
             SELECT c_count, count(*) AS custdist FROM (

@@ -40,6 +40,7 @@ __all__ = [
     "hll_estimate_from_registers",
     "frequent_items",
     "weighted_sample",
+    "grouped_weighted_sample",
     "binned_quantiles",
 ]
 
@@ -352,6 +353,41 @@ def weighted_sample(
         .limit(k)
     )
     return ranked.drop("__aes")
+
+
+def grouped_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """k rows per group, weight-proportional without replacement — the
+    stratified form of :func:`weighted_sample` (training-mix assembly:
+    "k best-weighted docs per language/source").  Same A-ES key, ranked by
+    a row_number window per group: ONE exchange on the group key, and the
+    same engine-independence (the identical expression in SQL reselects
+    the identical rows per group)."""
+    from pyspark.sql import Window
+
+    digest = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    u = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") + 0.5
+    ) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__aes").desc(), F.col(id_col)
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__aes", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__aes", "__rn")
+    )
 
 
 # ---------------------------------------------------------------------------

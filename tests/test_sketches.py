@@ -303,3 +303,23 @@ def test_binned_quantiles_global_and_degenerate(spark):
     const = spark.range(50).select(F.lit(7.25).alias("v"))
     one = binned_quantiles(const, "v", [0.5, 0.95], bins=256).collect()
     assert all(r["quantile"] == 7.25 for r in one)
+
+
+def test_grouped_weighted_sample(spark):
+    from httrack2warc_spark.operators.sketches import grouped_weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = grouped_weighted_sample(docs, "doc_id", "n_chars", "source", k=5,
+                                  seed=11)
+    per = out.groupBy("source").count().collect()
+    n_sources = docs.select("source").distinct().count()
+    assert len(per) == n_sources and all(r["count"] <= 5 for r in per)
+    # partitioning invariance
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in grouped_weighted_sample(
+            docs.repartition(17), "doc_id", "n_chars", "source", k=5, seed=11
+        ).collect()
+    )
+    assert a == b
