@@ -99,6 +99,15 @@ def main() -> None:
         ("weighted_sample", "A-ES: one codegen'd Project (md5 uniform → "
          "ln(u)/w key) feeding TakeOrderedAndProject — the global top-k "
          "never materializes a full sort"),
+        ("quantile_sketch", "binned quantiles: two partial+final "
+         "HashAggregate pairs (per-group min/max broadcast back, then "
+         "(group, bin) counts), one ≤256-row window cumsum, probs attach "
+         "as Generate (explode of a literal array) — no join for the "
+         "probs, no BNLJ anywhere"),
+        ("q13_cust_dist", "TPC-H Q13: LEFT OUTER join with the NOT LIKE "
+         "residual inside the join (BuildRight broadcast of orders at this "
+         "SF; shuffled at scale), then two aggregates — count(o_orderkey) "
+         "per customer including zero-order customers, histogram on top"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 
