@@ -1524,6 +1524,81 @@ def image_caption_dedup_q(spark, sf_dir):
     return comp.select("node", "component").orderBy("node")
 
 
+def json_extract_agg_q(spark, sf_dir):
+    """Semi-structured column surface: events.props is a JSON string;
+    extract $.k path-wise (get_json_object — JVM-side JSON path, no UDF),
+    aggregate per event type.  Sums ride DECIMAL so the oracle's identical
+    extraction reproduces the values exactly."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def cube_revenue_q(spark, sf_dir):
+    """GROUP BY CUBE over (status, priority): all four grouping sets in ONE
+    Expand pass over the fact table (the rollup_revenue pattern, completed
+    to the full cross of subtotals).  DECIMAL sums keep the totals
+    engine-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def range_window_avg_q(spark, sf_dir):
+    """RANGE-frame window (the value-based frame running_total's ROWS frame
+    doesn't cover): per user, the trailing-1-hour moving average of event
+    value — frame bounds in exact integer microseconds (unix_micros /
+    epoch_us), sums in DECIMAL so variable-width windows stay
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    base = ev.select(
+        "user_id", "event_id", us.alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return (
+        base.withColumn("n_in_window", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "avg_1h",
+            F.round(
+                F.sum("v").over(w).cast("double")
+                / F.col("n_in_window").cast("double"),
+                6,
+            ),
+        )
+        .select("user_id", "event_id", "n_in_window", "avg_1h")
+        .orderBy("user_id", "event_id")
+    )
+
+
 def stratified_weighted_sample_q(spark, sf_dir):
     """Per-stratum weighted sampling (training-mix assembly): 5 documents
     per source, weight-proportional to n_chars, via the A-ES key ranked by
@@ -1680,6 +1755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_cust_dist": q13_cust_dist_q,
         "event_gaps": event_gaps_q,
         "stratified_weighted_sample": stratified_weighted_sample_q,
+        "json_extract_agg": json_extract_agg_q,
+        "cube_revenue": cube_revenue_q,
+        "range_window_avg": range_window_avg_q,
     }
 
 
@@ -2977,6 +3055,42 @@ def _oracle_sqls() -> dict[str, str]:
                           FROM g WHERE i % 5 = 0
             )
             SELECT node, component FROM members ORDER BY node
+        """,
+        "json_extract_agg": r"""
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                        AS BIGINT) AS sum_k,
+                   max(CAST(json_extract_string(props, '$.k') AS INT))
+                       AS max_k,
+                   round(avg(CAST(json_extract_string(props, '$.k')
+                                  AS INT)), 6) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "cube_revenue": r"""
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST,
+                     o_orderpriority ASC NULLS FIRST
+        """,
+        "range_window_avg": r"""
+            WITH b AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CAST(value AS DECIMAL(18,2)) AS v
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   count(*) OVER w AS n_in_window,
+                   round(CAST(sum(v) OVER w AS DOUBLE)
+                         / (count(*) OVER w), 6) AS avg_1h
+            FROM b
+            WINDOW w AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 3600000000 PRECEDING
+                                   AND CURRENT ROW)
+            ORDER BY user_id, event_id
         """,
         "stratified_weighted_sample": r"""
             SELECT source, doc_id, n_chars FROM (
