@@ -1524,6 +1524,51 @@ def image_caption_dedup_q(spark, sf_dir):
     return comp.select("node", "component").orderBy("node")
 
 
+def vector_norm_stats_q(spark, sf_dir):
+    """Higher-order array functions as a graded surface: per-label L2-norm
+    sums over the embedding column via F.aggregate (JVM lambda fold — the
+    DuckDB twin is list_sum(list_transform(...))).  Each element is cast
+    to double BEFORE squaring in both engines and the fold is the same
+    left-to-right array order, so per-row norms agree bit-for-bit; the
+    cross-row sum rides DECIMAL.  Division (avg) is deliberately avoided —
+    sum + count carry the same information without a cross-engine
+    quotient-rounding hazard."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.round(F.sqrt(sq), 6)
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("norm").cast("decimal(18,6)")), 4
+            ).cast("double").alias("sum_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def daily_counts_q(spark, sf_dir):
+    """Temporal truncation surface: per-day event counts + exact distinct
+    users, day as an ISO date string so the hash is engine-neutral."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").cast("string")
+    return (
+        ev.select(day.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )
+
+
 def json_extract_agg_q(spark, sf_dir):
     """Semi-structured column surface: events.props is a JSON string;
     extract $.k path-wise (get_json_object — JVM-side JSON path, no UDF),
@@ -1758,6 +1803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_agg": json_extract_agg_q,
         "cube_revenue": cube_revenue_q,
         "range_window_avg": range_window_avg_q,
+        "vector_norm_stats": vector_norm_stats_q,
+        "daily_counts": daily_counts_q,
     }
 
 
@@ -3055,6 +3102,25 @@ def _oracle_sqls() -> dict[str, str]:
                           FROM g WHERE i % 5 = 0
             )
             SELECT node, component FROM members ORDER BY node
+        """,
+        "vector_norm_stats": r"""
+            WITH norms AS (
+                SELECT label,
+                       round(sqrt(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                             6) AS norm
+                FROM embeddings
+            )
+            SELECT label, count(*) AS n,
+                   CAST(round(sum(CAST(norm AS DECIMAL(18,6))), 4)
+                        AS DOUBLE) AS sum_norm
+            FROM norms GROUP BY label ORDER BY label
+        """,
+        "daily_counts": r"""
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1 ORDER BY day
         """,
         "json_extract_agg": r"""
             SELECT event_type, count(*) AS n,
