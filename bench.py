@@ -82,6 +82,14 @@ def main() -> None:
         "interval_join",
         "quantile_sketch",
         "image_caption_dedup",
+        "stratified_weighted_sample",
+        "q13_cust_dist",
+        "event_gaps",
+        "json_extract_agg",
+        "cube_revenue",
+        "range_window_avg",
+        "vector_norm_stats",
+        "daily_counts",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

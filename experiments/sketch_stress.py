@@ -52,6 +52,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 from httrack2warc_spark.operators.interval import interval_join  # noqa: E402
 from httrack2warc_spark.operators.sketches import (  # noqa: E402
+    binned_quantiles,
     frequent_items,
     hll_cardinality,
     weighted_sample,
@@ -139,6 +140,8 @@ for n in SCALES:
         frequent_items(ev, "val", k=64)))
     row["weighted_sample"] = timed(f"wsample@{n}", lambda: force(
         weighted_sample(ev, "row_id", "w", k=100)))
+    row["quantiles"] = timed(f"quant@{n}", lambda: force(
+        binned_quantiles(ev, "w", [0.5, 0.95, 0.99], ["grp"], bins=256)))
     ij = interval_join(pts, iv, "ts", "s", "e", 3600)
     row["interval_join"] = timed(f"ivjoin@{n}", lambda: force(ij))
     row["interval_join_out_rows"] = ij.count()
