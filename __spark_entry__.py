@@ -157,6 +157,34 @@ def asof_join_q(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def asof_forward_q(spark, sf_dir):
+    """Forward as-of join: every click gains the EARLIEST view by the same
+    user at or after it — the same union-window operator traversed in
+    descending timestamp order (one exchange, no range join); DuckDB's
+    native ASOF with `<=` is the oracle."""
+    from httrack2warc_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    out = asof_join(
+        clicks, views, "user_id", "ts", "view_ts",
+        ["view_id", "view_value"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "view_ts", "view_id", "view_value"
+    ).orderBy("event_id")
+
+
 def q21_sole_blame_q(spark, sf_dir):
     """Correlated EXISTS / NOT-EXISTS shape (TPC-H Q21-ish, adapted to the
     available columns): suppliers who were the SOLE late shipper (shipdate
@@ -1799,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": quantile_sketch_q,
         "q13_cust_dist": q13_cust_dist_q,
         "event_gaps": event_gaps_q,
+        "asof_forward": asof_forward_q,
         "stratified_weighted_sample": stratified_weighted_sample_q,
         "json_extract_agg": json_extract_agg_q,
         "cube_revenue": cube_revenue_q,
@@ -1967,6 +1996,21 @@ def _oracle_sqls() -> dict[str, str]:
                    v.view_ts, v.view_id, v.view_value
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.view_ts
+            ORDER BY c.event_id
+        """,
+        "asof_forward": """
+            WITH views AS (
+                SELECT user_id, ts AS view_ts, max(event_id) AS view_id,
+                       arg_max(value, event_id) AS view_value
+                FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            ), clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.view_ts, v.view_id, v.view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts <= v.view_ts
             ORDER BY c.event_id
         """,
         "pagerank": _pagerank_sql(3),

@@ -35,10 +35,15 @@ def asof_join(
     right_cols: list[str],
     tiebreak: str | None = None,
     exact_matches: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every ``left`` row gains ``right_cols`` from the
-    right row with the largest ``right_ts`` ≤ ``left_ts`` (strictly < when
-    ``exact_matches=False``) sharing the ``on`` keys; nulls when no such row.
+    """As-of join: every ``left`` row gains ``right_cols`` from the right
+    row with the largest ``right_ts`` ≤ ``left_ts`` (``direction=
+    "backward"``, the default) or the smallest ``right_ts`` ≥ ``left_ts``
+    (``direction="forward"`` — "next reading after the event"); strict
+    inequality when ``exact_matches=False``; nulls when no such row.
+    Forward is the same union-window traversed in descending timestamp
+    order — still ONE exchange, no range join.
 
     ``tiebreak``: a right-side column totalizing the order among right rows
     with identical (key, ts) — REQUIRED for a deterministic result if such
@@ -46,6 +51,8 @@ def asof_join(
     tiebreak value). Left rows keep all their columns; ``right_ts`` is
     attached alongside ``right_cols`` (callers alias collisions beforehand).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     payload = F.struct(
         F.col(right_ts), *[F.col(c) for c in right_cols]
@@ -69,9 +76,12 @@ def asof_join(
         F.lit(None).cast(r_tagged.schema["__rp"].dataType).alias("__rp"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
+    ts_order = (
+        F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side", "__tb")
+        .orderBy(ts_order, "__side", "__tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -77,3 +77,62 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     ).sort_values("lid")
     assert list(got["val"].fillna(-1)) == list(exp["val"].fillna(-1))
     assert list(got["rts"].fillna(-1)) == list(exp["rts"].fillna(-1))
+
+
+def test_asof_join_forward_matches_pandas(spark):
+    """direction="forward" == pandas merge_asof(direction="forward") on a
+    300x200 pseudo-random fixture (right deduped per (k, ts) as in the
+    backward parity test)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    lpdf = pd.DataFrame({
+        "k": [f"k{i % 7}" for i in range(300)],
+        "lts": [(i * 37) % 1000 for i in range(300)],
+    })
+    rpdf = pd.DataFrame({
+        "k": [f"k{i % 7}" for i in range(200)],
+        "rts": [(i * 53) % 1000 for i in range(200)],
+        "val": list(range(200)),
+    })
+    rpdf = rpdf.sort_values(["k", "rts", "val"]).drop_duplicates(
+        ["k", "rts"], keep="last"
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    got = (
+        asof_join(left, right, "k", "lts", "rts", ["val"],
+                  direction="forward")
+        .orderBy("k", "lts").toPandas()
+    )
+    exp = pd.merge_asof(
+        lpdf.sort_values("lts"), rpdf.sort_values("rts"),
+        left_on="lts", right_on="rts", by="k", direction="forward",
+    ).sort_values(["k", "lts"]).reset_index(drop=True)
+    for c in ("rts", "val"):
+        assert got[c].fillna(-1).tolist() == exp[c].fillna(-1).tolist(), c
+
+
+def test_asof_join_forward_exact_matches(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([("a", 10)], ["k", "lts"])
+    right = spark.createDataFrame(
+        [("a", 10, "at"), ("a", 20, "after")], ["k", "rts", "val"]
+    )
+    inc = asof_join(left, right, "k", "lts", "rts", ["val"],
+                    direction="forward").collect()[0]
+    assert inc["val"] == "at"
+    exc = asof_join(left, right, "k", "lts", "rts", ["val"],
+                    direction="forward", exact_matches=False).collect()[0]
+    assert exc["val"] == "after"
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([("a", 1)], ["k", "lts"])
+    right = spark.createDataFrame([("a", 1, 1)], ["k", "rts", "val"])
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "k", "lts", "rts", ["val"],
+                  direction="nearest")
