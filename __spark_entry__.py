@@ -157,6 +157,32 @@ def asof_join_q(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def triangle_count_q(spark, sf_dir):
+    """Distributed triangle counting (degree-ordered node-iterator): per-node
+    triangle participation over a 2000-node circulant graph C(1,2) plus an
+    arithmetic chord per node — closed-form, so the oracle rebuilds the
+    identical edge set and counts triangles with a plain three-way SQL
+    join.  The degree orientation bounds wedge fan-out at O(sqrt(m)) per
+    node — the property that keeps a celebrity node from emitting d²
+    wedges at web scale."""
+    from httrack2warc_spark.operators.graph import triangle_counts
+
+    n = 2000
+    r = spark.range(n)
+    raw = (
+        r.select(F.col("id").alias("x"), ((F.col("id") + 1) % n).alias("y"))
+        .unionAll(
+            r.select(F.col("id").alias("x"), ((F.col("id") + 2) % n).alias("y"))
+        )
+        .unionAll(
+            r.select(
+                F.col("id").alias("x"), ((F.col("id") * 7 + 3) % n).alias("y")
+            )
+        )
+    )
+    return triangle_counts(raw, "x", "y").orderBy("node")
+
+
 def asof_forward_q(spark, sf_dir):
     """Forward as-of join: every click gains the EARLIEST view by the same
     user at or after it — the same union-window operator traversed in
@@ -1828,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_cust_dist": q13_cust_dist_q,
         "event_gaps": event_gaps_q,
         "asof_forward": asof_forward_q,
+        "triangle_count": triangle_count_q,
         "stratified_weighted_sample": stratified_weighted_sample_q,
         "json_extract_agg": json_extract_agg_q,
         "cube_revenue": cube_revenue_q,
@@ -1997,6 +2024,27 @@ def _oracle_sqls() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.view_ts
             ORDER BY c.event_id
+        """,
+        "triangle_count": """
+            WITH r AS (SELECT i FROM range(2000) t(i)),
+            raw AS (
+                SELECT i AS x, (i + 1) % 2000 AS y FROM r
+                UNION ALL SELECT i, (i + 2) % 2000 FROM r
+                UNION ALL SELECT i, (7 * i + 3) % 2000 FROM r
+            ),
+            e AS (
+                SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                FROM raw WHERE x <> y
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT node, count(*) AS n_triangles FROM (
+                SELECT unnest([x, y, z]) AS node FROM tri
+            ) GROUP BY node ORDER BY node
         """,
         "asof_forward": """
             WITH views AS (

@@ -323,3 +323,64 @@ def test_grouped_weighted_sample(spark):
         ).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_hand_graphs(spark):
+    from httrack2warc_spark.operators.graph import triangle_counts
+
+    # K4: 4 triangles, every node in exactly 3
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(
+            spark.createDataFrame(k4, ["a", "b"])
+        ).collect()
+    }
+    assert got == {(n, 3) for n in range(4)}
+    # triangle + pendant edge: node 3 in no triangle, absent from output
+    g = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    got2 = {
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(
+            spark.createDataFrame(g, ["a", "b"])
+        ).collect()
+    }
+    assert got2 == {(0, 1), (1, 1), (2, 1)}
+
+
+def test_triangle_counts_normalizes_dupes_loops_direction(spark):
+    from httrack2warc_spark.operators.graph import triangle_counts
+
+    # same triangle given with duplicates, reversed edges and a self loop
+    g = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2)]
+    got = {
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(
+            spark.createDataFrame(g, ["a", "b"])
+        ).collect()
+    }
+    assert got == {(0, 1), (1, 1), (2, 1)}
+
+
+def test_triangle_counts_hub_graph(spark):
+    from httrack2warc_spark.operators.graph import triangle_counts
+    from pyspark.sql import functions as F
+
+    # star hub 0 connected to 1..40, plus rim edges (i, i+1) for odd i:
+    # 20 disjoint triangles (0, 2k+1, 2k+2), hub in all 20
+    edges = [(0, i) for i in range(1, 41)] + [
+        (i, i + 1) for i in range(1, 40, 2)
+    ]
+    out = {
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(
+            spark.createDataFrame(edges, ["a", "b"])
+        ).collect()
+    }
+    assert (0, 20) in out
+    assert sum(c for _, c in out) == 60  # 20 triangles x 3 nodes
