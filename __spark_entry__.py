@@ -157,6 +157,50 @@ def asof_join_q(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def funnel_conversion_q(spark, sf_dir):
+    """Funnel analysis (click → purchase within 1 hour, same user): the
+    forward as-of join attaches each click's NEXT purchase, a horizon
+    filter keeps conversions inside the window, and per-day counts +
+    conversion rate come out — the product-analytics pattern expressed as
+    one as-of pass instead of a range join.  The rate is a quotient of two
+    exact integers, so round(·, 6) is engine-stable."""
+    from httrack2warc_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("p_id"))
+    )
+    matched = asof_join(
+        clicks, purchases, "user_id", "ts", "p_ts", ["p_id"],
+        direction="forward",
+    )
+    conv = F.col("p_ts").isNotNull() & (
+        F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        matched.select(
+            F.col("ts").cast("date").cast("string").alias("day"),
+            conv.cast("int").alias("converted"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum("converted").alias("n_converted"),
+            F.round(
+                F.sum("converted").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("conv_rate"),
+        )
+        .orderBy("day")
+    )
+
+
 def triangle_count_q(spark, sf_dir):
     """Distributed triangle counting (degree-ordered node-iterator): per-node
     triangle participation over a 2000-node circulant graph C(1,2) plus an
@@ -1855,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": event_gaps_q,
         "asof_forward": asof_forward_q,
         "triangle_count": triangle_count_q,
+        "funnel_conversion": funnel_conversion_q,
         "stratified_weighted_sample": stratified_weighted_sample_q,
         "json_extract_agg": json_extract_agg_q,
         "cube_revenue": cube_revenue_q,
@@ -2024,6 +2069,30 @@ def _oracle_sqls() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.view_ts
             ORDER BY c.event_id
+        """,
+        "funnel_conversion": """
+            WITH purchases AS (
+                SELECT user_id, ts AS p_ts, max(event_id) AS p_id
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            ), clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), m AS (
+                SELECT c.ts, p.p_ts
+                FROM clicks c ASOF LEFT JOIN purchases p
+                  ON c.user_id = p.user_id AND c.ts <= p.p_ts
+            )
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   count(*) AS n_clicks,
+                   CAST(sum(CASE WHEN p_ts IS NOT NULL
+                                  AND p_ts <= ts + INTERVAL 1 HOUR
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                   round(sum(CASE WHEN p_ts IS NOT NULL
+                                   AND p_ts <= ts + INTERVAL 1 HOUR
+                             THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                       AS conv_rate
+            FROM m GROUP BY 1 ORDER BY day
         """,
         "triangle_count": """
             WITH r AS (SELECT i FROM range(2000) t(i)),
