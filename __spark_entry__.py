@@ -157,6 +157,70 @@ def asof_join_q(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def daily_anomalies_q(spark, sf_dir):
+    """Z-score outlier days per event type, cross-engine-deterministic:
+    stddev_samp over doubles is partition-order-sensitive, so instead the
+    variance is assembled from EXACT decimal components (Σx and Σx² per
+    day, then per type across days) and only the final mean/var/sqrt/z
+    arithmetic runs in double — identical inputs, identical IEEE ops,
+    identical z in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("daily_sum"))
+        .select(
+            "event_type", "day", F.col("daily_sum").cast("double").alias("x")
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,2)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sx2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sx2") / F.col("n") - mean * mean
+    z = (F.col("x") - mean) / F.sqrt(var)
+    return (
+        j.withColumn("z", F.round(z, 6))
+        .where(F.abs("z") > 1.5)
+        .select(
+            "event_type", "day",
+            F.round("x", 2).alias("daily_total"), "z",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def cohort_retention_q(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, activity
+    counted per whole-week offset — two aggregations and a broadcast-able
+    first-seen join, all exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    acts = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    first = acts.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        acts.join(first, "user_id")
+        .select(
+            F.col("cohort_d").cast("string").alias("cohort_day"),
+            F.floor(F.datediff("d", "cohort_d") / 7).cast("int").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
 def funnel_conversion_q(spark, sf_dir):
     """Funnel analysis (click → purchase within 1 hour, same user): the
     forward as-of join attaches each click's NEXT purchase, a horizon
@@ -1900,6 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": asof_forward_q,
         "triangle_count": triangle_count_q,
         "funnel_conversion": funnel_conversion_q,
+        "cohort_retention": cohort_retention_q,
+        "daily_anomalies": daily_anomalies_q,
         "stratified_weighted_sample": stratified_weighted_sample_q,
         "json_extract_agg": json_extract_agg_q,
         "cube_revenue": cube_revenue_q,
@@ -2069,6 +2135,39 @@ def _oracle_sqls() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.view_ts
             ORDER BY c.event_id
+        """,
+        "daily_anomalies": """
+            WITH daily AS (
+                SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+                FROM events GROUP BY 1, 2
+            ), stats AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(sum(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+                       CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE)
+                           AS sx2
+                FROM daily GROUP BY 1
+            )
+            SELECT event_type, day, round(x, 2) AS daily_total,
+                   round((x - sx / n) / sqrt(sx2 / n - (sx / n) * (sx / n)),
+                         6) AS z
+            FROM daily JOIN stats USING (event_type)
+            WHERE abs(round((x - sx / n)
+                      / sqrt(sx2 / n - (sx / n) * (sx / n)), 6)) > 1.5
+            ORDER BY event_type, day
+        """,
+        "cohort_retention": """
+            WITH acts AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ), first AS (
+                SELECT user_id, min(d) AS cohort_d FROM acts GROUP BY user_id
+            )
+            SELECT CAST(cohort_d AS VARCHAR) AS cohort_day,
+                   CAST(floor(date_diff('day', cohort_d, d) / 7.0) AS INT)
+                       AS week_offset,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM acts a JOIN first f USING (user_id)
+            GROUP BY 1, 2 ORDER BY cohort_day, week_offset
         """,
         "funnel_conversion": """
             WITH purchases AS (
