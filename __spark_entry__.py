@@ -157,6 +157,35 @@ def asof_join_q(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def event_transitions_q(spark, sf_dir):
+    """First-order transition matrix over per-user event sequences (lead
+    window): counts and row-normalized probabilities for every
+    event_type → next event_type edge; the probability is an
+    exact-integer quotient so round(·, 6) is engine-stable."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_row = Window.partitionBy("event_type")
+    return (
+        counts.withColumn("row_total", F.sum("n").over(w_row))
+        .select(
+            "event_type", "next_type", "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_total").cast("double"),
+                6,
+            ).alias("p"),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
 def daily_anomalies_q(spark, sf_dir):
     """Z-score outlier days per event type, cross-engine-deterministic:
     stddev_samp over doubles is partition-order-sensitive, so instead the
@@ -1966,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": funnel_conversion_q,
         "cohort_retention": cohort_retention_q,
         "daily_anomalies": daily_anomalies_q,
+        "event_transitions": event_transitions_q,
         "stratified_weighted_sample": stratified_weighted_sample_q,
         "json_extract_agg": json_extract_agg_q,
         "cube_revenue": cube_revenue_q,
@@ -2135,6 +2165,22 @@ def _oracle_sqls() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.view_ts
             ORDER BY c.event_id
+        """,
+        "event_transitions": """
+            WITH pairs AS (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_type
+                FROM events
+            ), counts AS (
+                SELECT event_type, next_type, count(*) AS n
+                FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT event_type, next_type, n,
+                   round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+                       PARTITION BY event_type) AS DOUBLE), 6) AS p
+            FROM counts ORDER BY event_type, next_type
         """,
         "daily_anomalies": """
             WITH daily AS (
