@@ -256,26 +256,27 @@ def frequent_items(
     """Every item whose frequency strictly exceeds n/k, with its EXACT
     count — (value, cnt) ordered nowhere (caller sorts).
 
-    Two passes: (1) a Misra-Gries summary with k counters per partition
-    (Arrow-batched, O(k) memory however large the partition) emits a
-    candidate set; the averaging argument guarantees any item with global
-    count > n/k exceeds its local threshold in at least one partition, so
-    candidates ⊇ the true answer.  (2) a broadcast semi-join keeps only
-    candidate rows and counts them exactly — the full-key groupBy over the
-    heavy tail (the 100 TB killer: billions of distinct near-singleton
-    keys shuffled to be counted once) never happens.
+    Two source scans total: (1) a Misra-Gries summary with k counters per
+    partition (Arrow-batched, O(k) memory however large the partition)
+    emits a candidate set AND each batch's row count in the same pass —
+    the averaging argument guarantees any item with global count > n/k
+    exceeds its local threshold in at least one partition, so candidates
+    ⊇ the true answer, and the summed batch counts give the exact n
+    without a separate count() scan.  (2) a broadcast semi-join keeps
+    only candidate rows and counts them exactly — the full-key groupBy
+    over the heavy tail (the 100 TB killer: billions of distinct
+    near-singleton keys shuffled to be counted once) never happens.
 
-    ``total``: pass the known row count to skip the count() job.
+    ``total``: pass the known row count to make pass (1) candidates-only.
     """
     src = df.select(F.col(value_col).alias("v"))
-    n = total if total is not None else src.count()
-    threshold = n / k
 
     def mg(batches: Iterator) -> Iterator:
         import pandas as pd
 
         counters: dict = {}
         for batch in batches:
+            n_batch = len(batch)
             for val, cnt in batch["v"].value_counts().items():
                 cnt = int(cnt)
                 if val in counters:
@@ -300,12 +301,28 @@ def frequent_items(
                             if cnt > 0:
                                 counters[val] = cnt
                             cnt = 0
-            yield pd.DataFrame({"v": list(counters.keys())})
+            yield pd.DataFrame(
+                {"v": list(counters.keys()) + [None],
+                 "__bn": [None] * len(counters) + [n_batch]}
+            )
             counters = {}
 
-    candidates = (
-        src.mapInPandas(mg, schema=src.schema).distinct()
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("v", src.schema["v"].dataType, True),  # None = count row
+        StructField("__bn", LongType(), True),
+    ])
+    summary = src.mapInPandas(
+        mg, schema=out_schema
+    ).localCheckpoint(eager=True)  # tiny (≤ k+1 rows per Arrow batch);
+    # materialized so candidates and the count don't re-run the scan
+    if total is not None:
+        n = total
+    else:
+        n = summary.agg(F.sum("__bn")).collect()[0][0] or 0
+    threshold = n / k
+    candidates = summary.where(F.col("v").isNotNull()).select("v").distinct()
     exact = (
         src.join(F.broadcast(candidates), on="v", how="leftsemi")
         .groupBy("v")
