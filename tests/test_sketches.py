@@ -384,3 +384,25 @@ def test_triangle_counts_hub_graph(spark):
     }
     assert (0, 20) in out
     assert sum(c for _, c in out) == 60  # 20 triangles x 3 nodes
+
+
+def test_hll_xxhash64_family(spark):
+    # production hash family: same register/estimate machinery, integer
+    # hashing — error bound and partitioning invariance must hold like md5
+    n = 50_000
+    df = spark.range(n).select((F.col("id") * 7919 + 13).alias("v"))
+    est = hll_cardinality(df, "v", p=12, hash_family="xxhash64").collect()[0][
+        "est_distinct"
+    ]
+    rse = 1.04 / math.sqrt(1 << 12)
+    assert abs(est - n) / n < 4 * rse, est
+    base = spark.range(2_000).select((F.col("id") % 500).alias("v"))
+    a = hll_cardinality(
+        base.repartition(1), "v", p=12, hash_family="xxhash64"
+    ).collect()[0][0]
+    b = hll_cardinality(
+        base.repartition(13), "v", p=12, hash_family="xxhash64"
+    ).collect()[0][0]
+    assert a == b
+    with pytest.raises(ValueError):
+        hll_cardinality(df, "v", p=12, hash_family="sha1")
