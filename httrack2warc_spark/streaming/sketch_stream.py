@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from httrack2warc_spark.operators.sketches import hll_registers
 
-__all__ = ["streaming_hll_registers"]
+__all__ = ["streaming_hll_registers", "streaming_quantile_bins"]
 
 
 def streaming_hll_registers(
@@ -55,4 +55,51 @@ def streaming_hll_registers(
         F.col("__w.end").alias("window_end"),
         "__bucket",
         "__rho",
+    )
+
+
+def streaming_quantile_bins(
+    stream: DataFrame,
+    value_col: str,
+    ts_col: str,
+    lo: float,
+    hi: float,
+    window: str = "10 minutes",
+    delay: str = "10 minutes",
+    bins: int = 256,
+) -> DataFrame:
+    """Windowed quantile-sketch bins over a stream: (window_start,
+    window_end, __bin, __c) counts on a FIXED [lo, hi] grid — the design
+    point that distinguishes the streaming form from the batch operator:
+    the batch form fixes its grid with a first min/max pass, which an
+    unbounded stream cannot take, so the bounds are explicit parameters
+    (domain knowledge: byte sizes, latencies, prices) and out-of-range
+    values clamp into the edge bins.  Counts merge by SUM, so state is
+    ≤ bins rows per open window; finalize stored bins into quantiles with
+    the same rank-interpolation arithmetic as ``binned_quantiles``
+    (equality with the batch operator on in-range data is asserted in
+    test_streaming)."""
+    if hi <= lo:
+        raise ValueError("hi must exceed lo")
+    width = (hi - lo) / float(bins)
+    v = F.col(value_col).cast("double")
+    idx = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    )
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("__w"),
+            idx.alias("__bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            "__bin",
+            "__c",
+        )
     )

@@ -310,3 +310,64 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == {(w, e) for (w, e) in expected} and len(got) == 2
+
+
+def test_streaming_quantile_bins_match_batch(spark, tmp_path):
+    """Fixed-grid streaming quantile bins: two micro-batches of events
+    merge (counts SUM) into exactly the bin table a batch pass over the
+    same rows computes on the same [lo, hi] grid; state stays <= bins rows
+    per window."""
+    from httrack2warc_spark.streaming import streaming_quantile_bins
+
+    rows = [
+        {"v": (i * 37) % 100 + (0.5 if i % 3 else 0.0),
+         "ts": f"2024-01-01T10:{i % 2 * 30:02d}:{i % 60:02d}"}
+        for i in range(300)
+    ]
+    src = tmp_path / "qb_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[:200]))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows[200:]))
+
+    stream = (
+        spark.readStream.schema("v double, ts string").json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        streaming_quantile_bins(
+            stream, "v", "ts", lo=0.0, hi=100.0,
+            window="30 minutes", delay="5 minutes", bins=64,
+        )
+        .writeStream.format("memory").queryName("qbins")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qb"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (str(r.window_start), r["__bin"], r["__c"])
+        for r in spark.sql("SELECT * FROM qbins").collect()
+    }
+    batch = spark.createDataFrame(
+        [(r["v"], r["ts"]) for r in rows], "v double, ts string"
+    ).select(
+        "v",
+        F.window(F.col("ts").cast("timestamp"), "30 minutes").alias("__w"),
+    )
+    width = 100.0 / 64
+    idx = F.least(
+        F.greatest(F.floor(F.col("v") / F.lit(width)).cast("int"), F.lit(0)),
+        F.lit(63),
+    )
+    expected = {
+        (str(r["start"]), r["__bin"], r["c"])
+        for r in batch.groupBy(
+            F.col("__w.start").alias("start"), idx.alias("__bin")
+        ).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == expected
+    per_window = {}
+    for w, _b, _c in got:
+        per_window[w] = per_window.get(w, 0) + 1
+    assert all(n <= 64 for n in per_window.values()) and len(per_window) == 2
