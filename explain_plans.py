@@ -108,6 +108,11 @@ def main() -> None:
          "residual inside the join (BuildRight broadcast of orders at this "
          "SF; shuffled at scale), then two aggregates — count(o_orderkey) "
          "per customer including zero-order customers, histogram on top"),
+        ("heavy_words", "Misra-Gries heavy hitters: tokenize Generate → "
+         "MG summary (one mapInPandas, O(k) state, candidates + row count "
+         "in one pass) feeds a collected bounded candidate list; the "
+         "confirm is a pure-codegen isin Filter + partial/final count "
+         "aggregate — the full-tail groupBy never appears in the plan"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 
