@@ -150,7 +150,7 @@ def main() -> None:
               f"(load {frontier_runs[-1]['load_avg_1m']})", file=sys.stderr)
         spark.catalog.clearCache()
         # re-cache + materialize the (identical) input before the next run so
-        # concurrent stages never race to fill the cache (CLAUDE.md)
+        # concurrent stages never race to fill the cache (see build notes)
         web.pages = web.pages.persist()
         web.links = web.links.persist()
         web.pages.count(), web.links.count()
