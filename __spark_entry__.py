@@ -1925,6 +1925,227 @@ def quantile_sketch_q(spark, sf_dir):
     ).orderBy("event_type", "prob")
 
 
+def q6_revenue_scan_q(spark, sf_dir):
+    """Canonical pushdown scan-aggregate (TPC-H Q6 shape): every predicate
+    reaches the parquet reader as PushedFilters, the projection prunes the
+    scan to the three referenced columns, and the single scalar is a partial
+    + final aggregate — zero joins, no wide shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q4_order_priority_q(spark, sf_dir):
+    """EXISTS-semi-join priority census (TPC-H Q4 shape, adapted: a lineitem
+    is "late" when it ships more than 60 days after the order date — the
+    synthetic schema carries no commit/receipt dates). The decorrelated plan
+    is one equi-semi-join on the order key with the date inequality as a
+    residual; only the quarter's orders flow into it."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        on=[
+            o["o_orderkey"] == li["l_orderkey"],
+            li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS"),
+        ],
+        how="left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q14_promo_share_q(spark, sf_dir):
+    """Conditional-aggregation ratio (TPC-H Q14 shape): one month's revenue
+    share from PROMO-type parts. The part dim broadcasts; the percentage is
+    derived from the two ALREADY-ROUNDED sums so both engines divide
+    bit-identical doubles (never hash a raw double quotient — build notes)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2
+        ).alias("promo_revenue"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+def q17_small_qty_q(spark, sf_dir):
+    """Correlated-average decorrelation (TPC-H Q17 shape): revenue locked in
+    small orders — one brand's lineitems whose quantity is below 20% of that
+    part's average order quantity. The correlated subquery decorrelates to a
+    per-part aggregate joined back (broadcast: one brand's parts are tiny);
+    the threshold `qty < 0.2 * avg(qty)` is restated in EXACT integer
+    arithmetic (`5 * qty * n < sum_qty`; quantities are integer-valued) so no
+    engine-specific float average can flip a boundary row."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    li = _t(spark, sf_dir, "lineitem")
+    bl = li.join(
+        F.broadcast(p.select("p_partkey")), li["l_partkey"] == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    stats = bl.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    small = bl.join(F.broadcast(stats), bl["l_partkey"] == F.col("pk")).where(
+        F.lit(5) * F.col("l_quantity").cast("bigint") * F.col("n_li")
+        < F.col("sum_qty")
+    )
+    agg = small.agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("rev2"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+    return agg.select(
+        F.round(F.col("rev2") / F.lit(7.0), 6).alias("avg_yearly"), "n_small"
+    )
+
+
+def q19_disjunctive_q(spark, sf_dir):
+    """Disjunctive-predicate join (TPC-H Q19 shape): an OR of three
+    brand/size/quantity conjunct groups over the lineitem ⨝ part equi-join.
+    Catalyst keeps the common l_partkey = p_partkey equi-condition for a
+    BroadcastHashJoin and leaves the disjunction as a residual, while
+    per-side implied ranges push into both scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q22_lapsed_rich_q(spark, sf_dir):
+    """Scalar-threshold anti-join (TPC-H Q22 shape): per-nation census of
+    above-average-balance customers with no orders since 2000. The global
+    average is a single-scalar aggregate collected on the driver (O(1) rows —
+    the same documented pattern as the IVF centroid collect) and folded into
+    the filter as a literal; the no-recent-orders side is a shuffled anti-join
+    on the customer key (orders is the BIG side at scale — never broadcast)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    )
+    recent = o.where(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey")
+    return (
+        c.where(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q15_top_supplier_q(spark, sf_dir):
+    """Max-of-aggregate selection (TPC-H Q15 shape): the supplier(s) with the
+    quarter's top revenue. The max is NOT a global window (that would funnel
+    every supplier through one partition at scale) — the per-supplier
+    aggregate equi-joins its own 1-row max() on the rounded revenue key, a
+    broadcast hash join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("total_rev"))
+    return (
+        rev.join(F.broadcast(top), "total_rev")
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+def q2_min_cost_q(spark, sf_dir):
+    """Correlated-min decorrelation / per-group argmin (TPC-H Q2 shape over
+    the available schema: lineitem stands in for partsupp — a (part, supplier)
+    pair's offer price is its cheapest observed extendedprice). The argmin is
+    a keyed window-min (one shuffle on p_partkey, no global window) with
+    EXACT double equality: min() selects an existing value, no arithmetic,
+    so both engines agree bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    s = _t(spark, sf_dir, "supplier")
+    offers = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = offers.withColumn("min_cost", F.min("cost").over(w)).where(
+        F.col("cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "cost")
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2008,6 +2229,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_window_avg": range_window_avg_q,
         "vector_norm_stats": vector_norm_stats_q,
         "daily_counts": daily_counts_q,
+        "q6_revenue_scan": q6_revenue_scan_q,
+        "q4_order_priority": q4_order_priority_q,
+        "q14_promo_share": q14_promo_share_q,
+        "q17_small_qty": q17_small_qty_q,
+        "q19_disjunctive": q19_disjunctive_q,
+        "q22_lapsed_rich": q22_lapsed_rich_q,
+        "q15_top_supplier": q15_top_supplier_q,
+        "q2_min_cost": q2_min_cost_q,
     }
 
 
@@ -3593,6 +3822,118 @@ def _oracle_sqls() -> dict[str, str]:
                         AS DOUBLE) AS sum_value
             FROM p JOIN incidents i ON p.ts BETWEEN i.s AND i.e
             GROUP BY i.incident_id ORDER BY i.incident_id
+        """,
+        "q6_revenue_scan": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= CAST(0.05 AS DOUBLE)
+              AND l_discount <= CAST(0.07 AS DOUBLE)
+              AND l_quantity < 24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o.o_orderkey
+                  AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q14_promo_share": """
+            WITH a AS (
+                SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE CAST(0 AS DOUBLE) END), 2)
+                           AS promo_revenue,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+            )
+            SELECT promo_revenue, total_revenue,
+                   round(CAST(100 AS DOUBLE) * promo_revenue / total_revenue,
+                         6) AS promo_pct
+            FROM a
+        """,
+        "q17_small_qty": """
+            WITH bl AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#23'
+            ), stats AS (
+                SELECT l_partkey AS pk,
+                       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                       count(*) AS n_li
+                FROM bl GROUP BY l_partkey
+            )
+            SELECT round(round(sum(l_extendedprice), 2)
+                         / CAST(7 AS DOUBLE), 6) AS avg_yearly,
+                   count(*) AS n_small
+            FROM bl JOIN stats ON l_partkey = pk
+            WHERE 5 * CAST(l_quantity AS BIGINT) * n_li < sum_qty
+        """,
+        "q19_disjunctive": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_lapsed_rich": """
+            WITH t AS (
+                SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer, t
+            WHERE c_acctbal > ab
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_rev
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q2_min_cost": """
+            WITH offers AS (
+                SELECT p_partkey, p_brand, l_suppkey,
+                       min(l_extendedprice) AS cost
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_size <= 5
+                GROUP BY p_partkey, p_brand, l_suppkey
+            )
+            SELECT p_partkey, p_brand, l_suppkey AS s_suppkey, s_name, cost
+            FROM offers JOIN supplier ON l_suppkey = s_suppkey
+            WHERE cost = (SELECT min(cost) FROM offers o2
+                          WHERE o2.p_partkey = offers.p_partkey)
+            ORDER BY p_partkey, s_suppkey
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is

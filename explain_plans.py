@@ -108,6 +108,24 @@ def main() -> None:
          "residual inside the join (BuildRight broadcast of orders at this "
          "SF; shuffled at scale), then two aggregates — count(o_orderkey) "
          "per customer including zero-order customers, histogram on top"),
+        ("q6_revenue_scan", "TPC-H Q6: every predicate (shipdate range, "
+         "discount band, quantity cap) lands in PushedFilters, ReadSchema "
+         "prunes to the referenced columns, partial+final scalar aggregate "
+         "— zero joins"),
+        ("q19_disjunctive", "TPC-H Q19 shape: Catalyst keeps the common "
+         "l_partkey=p_partkey equi-condition for a BroadcastHashJoin and "
+         "evaluates the OR-of-conjuncts as a codegen residual filter"),
+        ("q15_top_supplier", "max-of-aggregate via a 1-row broadcast "
+         "equi-join on the normalized rounded-revenue key — NOT a global "
+         "window (which would single-partition every supplier at scale)"),
+        ("q22_lapsed_rich", "scalar threshold folded as a literal into "
+         "PushedFilters on the customer scan; LeftAnti join against recent "
+         "orders (broadcast at this SF, shuffled at scale — orders is the "
+         "big side and is never forced broadcast)"),
+        ("q2_min_cost", "per-group argmin: keyed window-min over the "
+         "(part, supplier) offer aggregate — one exchange on p_partkey "
+         "shared by the aggregate and the window, no global window, exact "
+         "double-equality selection"),
         ("heavy_words", "Misra-Gries heavy hitters: tokenize Generate → "
          "MG summary (one mapInPandas, O(k) state, candidates + row count "
          "in one pass) feeds a collected bounded candidate list; the "
