@@ -2146,6 +2146,69 @@ def q2_min_cost_q(spark, sf_dir):
     )
 
 
+def fuzzy_title_match_q(spark, sf_dir):
+    """Blocked fuzzy string matching (edit-distance join): near-duplicate
+    document titles via an 8-char-prefix blocking key + levenshtein ≤ 8
+    refinement. The blocking equi-join keeps the plan a hash join (the naive
+    form is an all-pairs cross join paying a quadratic edit-distance bill);
+    levenshtein evaluates JVM-side in codegen on block candidates only."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 24)).alias("title"),
+        F.lower(F.substring("text", 1, 8)).alias("blk"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.title"), F.col("b.title")).alias("dist"),
+        )
+        .where(F.col("dist") <= 8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def unpivot_metrics_q(spark, sf_dir):
+    """Unpivot / melt (wide → long): the per-returnflag metric matrix flips
+    to (flag, metric, value) rows — the inverse of pivot_counts' conditional
+    aggregation. The Expand operator runs over the already-aggregated tiny
+    frame, never over the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "metric", "value"
+    ).orderBy("l_returnflag", "metric")
+
+
+def running_distinct_q(spark, sf_dir):
+    """Running windowed distinct-count — an aggregate Spark's window API has
+    no native DISTINCT form for: per user, the number of distinct event
+    types seen up to each event. Expressed as size(collect_set() OVER w);
+    set state stays bounded by |event_type| per user, one exchange on
+    user_id, ties fully ordered by (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types"),
+    ).orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2237,6 +2300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_lapsed_rich": q22_lapsed_rich_q,
         "q15_top_supplier": q15_top_supplier_q,
         "q2_min_cost": q2_min_cost_q,
+        "fuzzy_title_match": fuzzy_title_match_q,
+        "unpivot_metrics": unpivot_metrics_q,
+        "running_distinct": running_distinct_q,
     }
 
 
@@ -3934,6 +4000,45 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE cost = (SELECT min(cost) FROM offers o2
                           WHERE o2.p_partkey = offers.p_partkey)
             ORDER BY p_partkey, s_suppkey
+        """,
+        "fuzzy_title_match": """
+            WITH t AS (
+                SELECT doc_id, lower(substr(text, 1, 24)) AS title,
+                       lower(substr(text, 1, 8)) AS blk
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.title, b.title) AS dist
+            FROM t a JOIN t b
+              ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.title, b.title) <= 8
+            ORDER BY doc_a, doc_b
+        """,
+        "unpivot_metrics": """
+            WITH wide AS (
+                SELECT l_returnflag,
+                       round(sum(l_quantity), 2) AS sum_qty,
+                       round(sum(l_extendedprice), 2) AS sum_price,
+                       CAST(count(*) AS DOUBLE) AS n_rows
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, metric, value FROM (
+                SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value
+                FROM wide
+                UNION ALL
+                SELECT l_returnflag, 'sum_price', sum_price FROM wide
+                UNION ALL
+                SELECT l_returnflag, 'n_rows', n_rows FROM wide
+            )
+            ORDER BY l_returnflag, metric
+        """,
+        "running_distinct": """
+            SELECT event_id, user_id,
+                   count(DISTINCT event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS n_types
+            FROM events ORDER BY event_id
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is
