@@ -2149,29 +2149,22 @@ def q2_min_cost_q(spark, sf_dir):
 def fuzzy_title_match_q(spark, sf_dir):
     """Blocked fuzzy string matching (edit-distance join): near-duplicate
     document titles via an 8-char-prefix blocking key + levenshtein ≤ 8
-    refinement. The blocking equi-join keeps the plan a hash join (the naive
-    form is an all-pairs cross join paying a quadratic edit-distance bill);
-    levenshtein evaluates JVM-side in codegen on block candidates only."""
+    refinement (operators/fuzzy.py). The blocking equi-join keeps the plan a
+    hash join (the naive form is an all-pairs cross join paying a quadratic
+    edit-distance bill); levenshtein evaluates JVM-side in codegen on block
+    candidates only. The hot-block cap is carried (the 100-TB guard) but
+    sized above every fixture block so the oracle is the uncapped truth."""
+    from httrack2warc_spark.operators.fuzzy import fuzzy_match_pairs
+
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.lower(F.substring("text", 1, 24)).alias("title"),
-        F.lower(F.substring("text", 1, 8)).alias("blk"),
+        "doc_id", F.lower(F.substring("text", 1, 24)).alias("title")
     )
-    a, b = d.alias("a"), d.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.title"), F.col("b.title")).alias("dist"),
-        )
-        .where(F.col("dist") <= 8)
-        .orderBy("doc_a", "doc_b")
+    pairs = fuzzy_match_pairs(
+        d, "doc_id", "title", max_dist=8, max_block_size=1000
     )
+    return pairs.select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "dist"
+    ).orderBy("doc_a", "doc_b")
 
 
 def unpivot_metrics_q(spark, sf_dir):

@@ -30,6 +30,7 @@ from httrack2warc_spark.operators.dedup import (  # noqa: F401
     connected_components,
     dedup_by_components,
 )
+from httrack2warc_spark.operators.fuzzy import fuzzy_match_pairs  # noqa: F401
 from httrack2warc_spark.operators.pagerank import pagerank  # noqa: F401
 from httrack2warc_spark.operators.asof import asof_join  # noqa: F401
 from httrack2warc_spark.operators.interval import interval_join  # noqa: F401

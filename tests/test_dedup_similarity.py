@@ -428,3 +428,52 @@ def test_image_caption_dedup_channels_are_independent(spark):
         if i % 5 == 0:
             expected.add((f"{b}-c", b))
     assert got == expected
+
+
+def test_fuzzy_match_pairs_blocked_equals_naive(spark):
+    from httrack2warc_spark.operators.fuzzy import fuzzy_match_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", F.lower(F.substring("text", 1, 24)).alias("title"))
+    )
+    got = {
+        (r.a, r.b, r.dist)
+        for r in fuzzy_match_pairs(docs, "doc_id", "title", max_dist=8).collect()
+    }
+    a, b = docs.alias("a"), docs.alias("b")
+    naive = {
+        (r.a, r.b, r.dist)
+        for r in a.crossJoin(b)
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lower(F.substring(F.col("a.title"), 1, 8))
+                == F.lower(F.substring(F.col("b.title"), 1, 8))
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.levenshtein(F.col("a.title"), F.col("b.title")).alias("dist"),
+        )
+        .where(F.col("dist") <= 8)
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_fuzzy_match_pairs_hot_block_cap(spark):
+    from httrack2warc_spark.operators.fuzzy import fuzzy_match_pairs
+
+    # 6 rows share one boilerplate prefix block, 2 rows a small block
+    rows = [(i, "the same boilerplate " + str(i)) for i in range(6)]
+    rows += [(10, "rare key one"), (11, "rare key two")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    capped = fuzzy_match_pairs(
+        df, "id", "s", max_dist=20, max_block_size=5
+    ).collect()
+    # the hot block (6 > cap) is dropped entirely; the small block survives
+    assert {(r.a, r.b) for r in capped} == {(10, 11)}
+    uncapped = fuzzy_match_pairs(df, "id", "s", max_dist=20).count()
+    assert uncapped == 15 + 1  # C(6,2) hot-block pairs + the rare pair
