@@ -2202,6 +2202,270 @@ def running_distinct_q(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q7_volume_shipping_q(spark, sf_dir):
+    """Directional two-nation trade volume (TPC-H Q7 shape): revenue shipped
+    between NATION_3 suppliers and NATION_7 customers over two ship years,
+    both directions kept as separate groups.  The nation dim broadcasts
+    TWICE (one copy per role — supplier side and customer side resolve
+    independently); the symmetric pair predicate is a residual after the
+    joins, so the plan stays four hash joins plus one partially-aggregated
+    shuffle on (supp_nation, cust_nation, year).  Money rides DECIMAL so
+    both engines sum exactly (build notes)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("sn_key"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("cn_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(rev.cast("decimal(38,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share_q(spark, sf_dir):
+    """National market share (TPC-H Q8 shape): among ASIA-region customers'
+    PROMO-part purchases, the yearly revenue fraction supplied by NATION_3.
+    The share divides two doubles each derived from an EXACT decimal sum, so
+    the quotient is bit-identical across engines before the final round.
+    part / supplier / nation / region all broadcast; the only wide exchange
+    is the order-year aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    j = (
+        li.join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n_c), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(r.select("r_regionkey")), F.col("cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_s), s["s_nationkey"] == F.col("sn_key"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast("decimal(38,6)")))
+        .cast("double")
+        .alias("nation_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_revenue",
+        "total_revenue",
+        F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias(
+            "mkt_share"
+        ),
+    ).orderBy("o_year")
+
+
+def q9_nation_profit_q(spark, sf_dir):
+    """Nation × order-year profit rollup (TPC-H Q9 shape over the available
+    schema — no partsupp, so profit = discounted revenue from each supplier
+    nation).  Full-corpus two-fact join (lineitem ⋈ orders on the order key)
+    with broadcast dims, aggregated on a low-cardinality composite key
+    (25 nations × 7 years); partial aggregation collapses almost everything
+    map-side before the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(rev).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+def q10_returned_items_q(spark, sf_dir):
+    """Returned-item revenue ranking (TPC-H Q10 shape): customers ranked by
+    revenue lost to returns (l_returnflag = 'R') in one quarter, top 20.
+    The LIMIT rides a TOTAL order — (revenue DESC, c_custkey ASC) — so the
+    boundary is deterministic under any partitioning; Spark plans it as
+    TakeOrderedAndProject (per-partition top-20, then a 20-row merge on the
+    driver — no global sort materializes)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li["l_orderkey"] == o["o_orderkey"])
+        .join(c.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def gaps_islands_q(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive same-typed events per
+    user.  The island key is the row_number difference (rank over the user
+    stream minus rank over the (user, type) substream — constant exactly
+    while the type repeats); both windows shuffle on the SAME user_id key so
+    the second sort is partition-local, no extra exchange.  Island starts in
+    exact integer microseconds (unix_micros == epoch_us, build notes)."""
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("us").alias("start_us"),
+        )
+        .drop("grp")
+        .orderBy("user_id", "start_us")
+    )
+
+
+def sssp_relax_q(spark, sf_dir):
+    """Weighted single-source shortest path, four UNROLLED Bellman-Ford
+    relaxation rounds from vertex 0 over the events-derived graph (same
+    edge rule as pagerank; weight = (s*7 + t*13) % 20 + 1, a pure integer
+    function of the endpoints both engines compute identically).  Each round
+    is dist ∪ (dist ⋈ edges → d+w) re-minimized per vertex — the frontier
+    stays tiny (≤|V| rows) against the broadcast-joined edge set, distances
+    stay integers so the min is exact.  A FIXED round count (not
+    run-to-convergence) keeps the result a pure function of the graph,
+    value-checkable round-for-round against the unrolled SQL twin."""
+    ev = _t(spark, sf_dir, "events")
+    e = (
+        ev.select(
+            (F.col("user_id") % 100).alias("s"),
+            ((F.col("user_id") * 3 + F.col("event_id")) % 100).alias("t"),
+        )
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .withColumn("w", (F.col("s") * 7 + F.col("t") * 13) % 20 + 1)
+    )
+    # seed = {vertex 0: dist 0}; derived from range(1).id, NOT lit(0) — a
+    # literal join key constant-folds the equi-join back to a cross join
+    # (build notes), and the plan lint forbids BNLJ.
+    dist = spark.range(1).select(
+        F.col("id").alias("vertex"), F.col("id").alias("dist")
+    )
+    for _ in range(4):
+        relaxed = dist.join(e, dist["vertex"] == e["s"]).select(
+            F.col("t").alias("vertex"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.orderBy("vertex")
+
+
+def pareto_frontier_q(spark, sf_dir):
+    """2-D skyline (Pareto frontier): the (p_retailprice, p_size) pairs not
+    dominated by any cheaper-and-smaller pair.  The fact table first
+    collapses to DISTINCT pairs (bounded by the price grid, not the row
+    count — that aggregate is the scale step); the skyline itself is then a
+    single sorted sweep: ordered by (price ASC, size ASC), a pair survives
+    iff every strictly-preceding pair has a LARGER size (running min over
+    the preceding frame).  The oracle states the same set as the textbook
+    NOT EXISTS dominance quantifier — two independent formulations, one
+    answer.  No arithmetic touches the doubles, so comparisons are exact."""
+    p = _t(spark, sf_dir, "part")
+    pairs = p.select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    ).distinct()
+    w = (
+        Window.orderBy("price", "size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pairs.withColumn("prev_min", F.min("size").over(w))
+        .where(F.col("prev_min").isNull() | (F.col("prev_min") > F.col("size")))
+        .select("price", "size")
+        .orderBy("price", "size")
+    )
+
+
+def mode_per_group_q(spark, sf_dir):
+    """Per-group mode (most frequent value): each user's dominant event
+    type, ties broken alphabetically so the answer is a total function.
+    Count-then-rank — the count aggregate and the rank window shuffle on the
+    same user_id key, so the window sort is partition-local after one
+    exchange."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2296,6 +2560,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_title_match": fuzzy_title_match_q,
         "unpivot_metrics": unpivot_metrics_q,
         "running_distinct": running_distinct_q,
+        "q7_volume_shipping": q7_volume_shipping_q,
+        "q8_market_share": q8_market_share_q,
+        "q9_nation_profit": q9_nation_profit_q,
+        "q10_returned_items": q10_returned_items_q,
+        "gaps_islands": gaps_islands_q,
+        "sssp_relax": sssp_relax_q,
+        "pareto_frontier": pareto_frontier_q,
+        "mode_per_group": mode_per_group_q,
     }
 
 
@@ -2333,6 +2605,36 @@ def _pagerank_sql(iterations: int = 3) -> str:
         {", ".join(steps)}
         SELECT vertex, round(rank, 6) AS rank
         FROM r{iterations} ORDER BY vertex
+    """
+
+
+def _sssp_sql(rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford oracle — the DuckDB twin of sssp_relax_q, one
+    CTE per relaxation round so both engines compute the identical
+    fixed-round function (no convergence test on either side)."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""d{i} AS (
+            SELECT vertex, min(dist) AS dist FROM (
+                SELECT vertex, dist FROM d{i-1}
+                UNION ALL
+                SELECT ew.t AS vertex, d{i-1}.dist + ew.w AS dist
+                FROM d{i-1} JOIN ew ON ew.s = d{i-1}.vertex
+            ) GROUP BY vertex
+        )""")
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT user_id % 100 AS s,
+                   (user_id * 3 + event_id) % 100 AS t
+            FROM events
+            WHERE user_id % 100 <> (user_id * 3 + event_id) % 100
+        ), ew AS (
+            SELECT s, t, (s * 7 + t * 13) % 20 + 1 AS w FROM e
+        ), d0 AS (
+            SELECT CAST(0 AS BIGINT) AS vertex, CAST(0 AS BIGINT) AS dist
+        ),
+        {", ".join(steps)}
+        SELECT vertex, dist FROM d{rounds} ORDER BY vertex
     """
 
 
@@ -4032,6 +4334,121 @@ def _oracle_sqls() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS n_types
             FROM events ORDER BY event_id
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            WITH j AS (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(38,6)) AS rev,
+                       ns.n_name AS supp_nation
+                FROM lineitem
+                JOIN part     ON l_partkey = p_partkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation nc ON c_nationkey = nc.n_nationkey
+                JOIN region   ON nc.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ns ON s_nationkey = ns.n_nationkey
+                WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+            ), agg AS (
+                SELECT o_year,
+                       CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                     THEN rev ELSE CAST(0 AS DECIMAL(38,6))
+                                END) AS DOUBLE) AS nation_revenue,
+                       CAST(sum(rev) AS DOUBLE) AS total_revenue
+                FROM j GROUP BY o_year
+            )
+            SELECT o_year, nation_revenue, total_revenue,
+                   round(nation_revenue / total_revenue, 6) AS mkt_share
+            FROM agg ORDER BY o_year
+        """,
+        "q9_nation_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS profit,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "gaps_islands": """
+            WITH runs AS (
+                SELECT user_id, event_type, epoch_us(ts) AS us,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                     - row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS grp
+                FROM events
+            )
+            SELECT user_id, event_type,
+                   count(*) AS run_len, min(us) AS start_us
+            FROM runs GROUP BY user_id, event_type, grp
+            ORDER BY user_id, start_us
+        """,
+        "sssp_relax": _sssp_sql(rounds=4),
+        "pareto_frontier": """
+            WITH pairs AS (
+                SELECT DISTINCT p_retailprice AS price, p_size AS size
+                FROM part
+            )
+            SELECT price, size FROM pairs p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pairs q
+                WHERE q.price <= p.price AND q.size <= p.size
+                  AND (q.price < p.price OR q.size < p.size)
+            )
+            ORDER BY price, size
+        """,
+        "mode_per_group": """
+            WITH counts AS (
+                SELECT user_id, event_type, count(*) AS cnt
+                FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id, event_type AS mode_type, cnt
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY cnt DESC, event_type ASC) AS rn
+                FROM counts
+            ) WHERE rn = 1
+            ORDER BY user_id
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is
