@@ -2466,6 +2466,104 @@ def mode_per_group_q(spark, sf_dir):
     )
 
 
+def cooccurrence_pairs_q(spark, sf_dir):
+    """Co-occurrence mining (market-basket pairs): unordered event-type
+    pairs observed within one user's stream, with user support counts.
+    The pair space is built from the DEDUPLICATED (user, type) set — the
+    self-join runs on |users|·|types| rows, never on raw events — and the
+    `a < b` residual halves the output without a distinct."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+def date_densify_q(spark, sf_dir):
+    """Calendar densification (gap filling): the per-day purchase count with
+    MISSING days restored as explicit zero rows.  The date spine is a
+    sequence() explode over the observed [min, max] range — one 2-row
+    aggregate drives the generator, so the spine costs one tiny job-side
+    expansion, not a join against a stored calendar; the left join back to
+    the daily counts broadcasts the aggregated (not raw) side."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return (
+        spine.join(F.broadcast(daily), "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n_purchases"))
+        .orderBy("day")
+    )
+
+
+def locf_fill_q(spark, sf_dir):
+    """Last-observation-carried-forward: at every event, the value of the
+    user's most recent PURCHASE (NULL until the first one) — the classic
+    sparse-measurement fill.  One window, `last(..., ignorenulls=True)` over
+    the unbounded-preceding frame; values keyed in exact DECIMAL so both
+    engines carry the identical scalar forward."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.col("value").cast("decimal(18,2)"),
+        ).alias("purchase_value"),
+    )
+    return (
+        marked.select(
+            "event_id",
+            "user_id",
+            F.last("purchase_value", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("last_purchase"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def value_distribution_q(spark, sf_dir):
+    """Rank-distribution statistics: percent_rank and cume_dist of each
+    order's total price within its priority class.  Both statistics are
+    integer-quotient functions of rank positions — (rank-1)/(n-1) and
+    peers/n — so the doubles are bit-identical across engines; the ordering
+    is total ((o_totalprice, o_orderkey)) so tied prices rank stably."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2568,6 +2666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_relax": sssp_relax_q,
         "pareto_frontier": pareto_frontier_q,
         "mode_per_group": mode_per_group_q,
+        "cooccurrence_pairs": cooccurrence_pairs_q,
+        "date_densify": date_densify_q,
+        "locf_fill": locf_fill_q,
+        "value_distribution": value_distribution_q,
     }
 
 
@@ -4449,6 +4551,53 @@ def _oracle_sqls() -> dict[str, str]:
                 FROM counts
             ) WHERE rn = 1
             ORDER BY user_id
+        """,
+        "cooccurrence_pairs": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_users
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY type_a, type_b
+            ORDER BY type_a, type_b
+        """,
+        "date_densify": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                FROM events WHERE event_type = 'purchase' GROUP BY day
+            ), b AS (
+                SELECT min(day) AS lo, max(day) AS hi FROM daily
+            ), spine AS (
+                SELECT CAST(unnest(generate_series(
+                    CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                    INTERVAL 1 DAY)) AS DATE) AS day
+                FROM b
+            )
+            SELECT spine.day, COALESCE(n, 0) AS n_purchases
+            FROM spine LEFT JOIN daily ON spine.day = daily.day
+            ORDER BY spine.day
+        """,
+        "locf_fill": """
+            SELECT event_id, user_id,
+                   CAST(last_value(
+                       CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,2)) END
+                       IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS last_purchase
+            FROM events ORDER BY event_id
+        """,
+        "value_distribution": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cum_dist
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderkey
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is
