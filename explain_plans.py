@@ -131,6 +131,21 @@ def main() -> None:
          "in one pass) feeds a collected bounded candidate list; the "
          "confirm is a pure-codegen isin Filter + partial/final count "
          "aggregate — the full-tail groupBy never appears in the plan"),
+        ("q7_volume_shipping", "TPC-H Q7: the nation dim broadcasts TWICE "
+         "(supplier role + customer role), the symmetric pair predicate "
+         "is a codegen residual after the joins, and the final "
+         "(nation, nation, year) aggregate partial-combines map-side"),
+        ("q10_returned_items", "TPC-H Q10: TakeOrderedAndProject — each "
+         "partition keeps its local top-20 on (revenue DESC, custkey), "
+         "the driver merges 20-row heaps; no global sort materializes"),
+        ("sssp_relax", "unrolled Bellman-Ford: each relaxation round is a "
+         "BroadcastHashJoin of the tiny dist frontier against the edge "
+         "set + a re-min HashAggregate — the seed comes from range(1).id "
+         "because a lit(0) join key would constant-fold to a cross join"),
+        ("date_densify", "calendar spine: sequence() explode over a 2-row "
+         "min/max aggregate (no stored calendar), left BroadcastHashJoin "
+         "back to the AGGREGATED daily counts — the raw events never "
+         "join the spine"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 
