@@ -2564,6 +2564,61 @@ def value_distribution_q(spark, sf_dir):
     )
 
 
+def share_of_total_q(spark, sf_dir):
+    """Ratio-to-report (share of total): each market segment's slice of
+    total order revenue.  Aggregate FIRST (5 segment rows), then the
+    grand-total window runs over those 5 rows — never a whole-table window;
+    numerator and denominator are the same exact DECIMAL sums cast once, so
+    the quotient is bit-identical across engines before the round."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d")
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        seg.select(
+            "c_mktsegment",
+            F.col("rev_d").cast("double").alias("segment_revenue"),
+            F.round(
+                F.col("rev_d").cast("double")
+                / F.sum("rev_d").over(w).cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def type_entropy_q(spark, sf_dir):
+    """Shannon entropy of each user's event-type distribution — the
+    information-theoretic "how varied is this user" score used in
+    behavioral segmentation.  Probabilities are exact integer quotients
+    (count/total — identical doubles on both engines); the log2 sum is
+    rounded to 6, well inside cross-libm ulp agreement.  Two aggregates on
+    narrowing keys ((user, type) → user), both partial-combined."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("user_id")
+    probs = counts.select(
+        "user_id",
+        (F.col("c").cast("double") / F.sum("c").over(w).cast("double")).alias(
+            "p"
+        ),
+    )
+    return (
+        probs.groupBy("user_id")
+        .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy"))
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2670,6 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_densify": date_densify_q,
         "locf_fill": locf_fill_q,
         "value_distribution": value_distribution_q,
+        "share_of_total": share_of_total_q,
+        "type_entropy": type_entropy_q,
     }
 
 
@@ -4598,6 +4655,34 @@ def _oracle_sqls() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_orderpriority
                          ORDER BY o_totalprice, o_orderkey)
             ORDER BY o_orderkey
+        """,
+        "share_of_total": """
+            WITH seg AS (
+                SELECT c_mktsegment,
+                       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_mktsegment
+            )
+            SELECT c_mktsegment,
+                   CAST(rev_d AS DOUBLE) AS segment_revenue,
+                   round(CAST(rev_d AS DOUBLE)
+                         / CAST(sum(rev_d) OVER () AS DOUBLE), 6)
+                       AS revenue_share
+            FROM seg ORDER BY c_mktsegment
+        """,
+        "type_entropy": """
+            WITH counts AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events GROUP BY user_id, event_type
+            ), probs AS (
+                SELECT user_id,
+                       CAST(c AS DOUBLE)
+                       / CAST(sum(c) OVER (PARTITION BY user_id) AS DOUBLE)
+                           AS p
+                FROM counts
+            )
+            SELECT user_id, round(-sum(p * log2(p)), 6) AS entropy
+            FROM probs GROUP BY user_id ORDER BY user_id
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is
