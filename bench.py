@@ -93,6 +93,14 @@ def main() -> None:
         "range_window_avg",
         "vector_norm_stats",
         "daily_counts",
+        # round 5 second-wave additions (not in earlier suite totals):
+        # TPC-H Q7/Q9/Q10 shapes + the new analytics classes
+        "q7_volume_shipping",
+        "q9_nation_profit",
+        "q10_returned_items",
+        "gaps_islands",
+        "value_distribution",
+        "cooccurrence_pairs",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan
