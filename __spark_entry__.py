@@ -2619,6 +2619,49 @@ def type_entropy_q(spark, sf_dir):
     )
 
 
+def curate_image_captions_q(spark, sf_dir):
+    """End-to-end image+caption curation pipeline over the BASELINE.json
+    input_hint table shape — the training-data-prep composition of gates a
+    100 TB multimodal corpus runs before anything reaches a trainer:
+    (1) format whitelist (png/jpeg), (2) caption quality (≥6 distinct
+    tokens — repeated-word boilerplate drops), (3) exact caption dedup
+    among the survivors (min image_id wins; a reposted image whose original
+    was format-dropped survives as the new canonical).  Every gate is a
+    JVM built-in over the metadata columns — the binary payload column is
+    never touched, so at scale the scan prunes it away entirely.  The
+    fixture plants a same-caption clone on every 6th image; the oracle is
+    the generator arithmetic replayed independently (constant-table
+    pattern, see image_invariant)."""
+    from httrack2warc_spark.frontier.synth import generate_images
+
+    imgs = generate_images(spark, 96, w=16, h=16).select(
+        "image_id", "fmt", "caption"
+    )
+    clones = imgs.where(
+        F.regexp_extract("image_id", r"img-(\d+)", 1).cast("long") % 6 == 0
+    ).select(
+        F.concat("image_id", F.lit("-dup")).alias("image_id"),
+        F.lit("png").alias("fmt"),
+        "caption",
+    )
+    corpus = imgs.unionByName(clones)
+    toks = F.split(F.col("caption"), " ")
+    gated = corpus.select(
+        "image_id",
+        "fmt",
+        "caption",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).where(F.col("fmt").isin("png", "jpeg") & (F.col("n_distinct") >= 6))
+    w = Window.partitionBy("caption").orderBy("image_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("image_id", "fmt", "n_tokens", "n_distinct")
+        .orderBy("image_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2727,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_distribution": value_distribution_q,
         "share_of_total": share_of_total_q,
         "type_entropy": type_entropy_q,
+        "curate_image_captions": curate_image_captions_q,
     }
 
 
@@ -2794,6 +2838,43 @@ def _sssp_sql(rounds: int = 4) -> str:
         ),
         {", ".join(steps)}
         SELECT vertex, dist FROM d{rounds} ORDER BY vertex
+    """
+
+
+def _curate_images_sql(n: int = 96) -> str:
+    """Constant-table oracle for curate_image_captions_q: the generator
+    arithmetic (fmt cycle, crc32 caption, every-6th clone) replayed in pure
+    Python — independent of the Spark pipeline's split/array_distinct/
+    window machinery — then the same three gates applied sequentially."""
+    from httrack2warc_spark.functions.images import synth_caption
+
+    fmt_cycle = ("png", "jpeg", "png", "gif")
+    corpus = []
+    for i in range(n):
+        iid = f"img-{i}"
+        cap = synth_caption(iid)
+        corpus.append((iid, fmt_cycle[i % 4], cap))
+        if i % 6 == 0:
+            corpus.append((f"{iid}-dup", "png", cap))
+    survivors = [
+        (iid, fmt, cap)
+        for iid, fmt, cap in corpus
+        if fmt in ("png", "jpeg") and len(set(cap.split(" "))) >= 6
+    ]
+    first_per_caption = {}
+    for iid, fmt, cap in sorted(survivors):
+        first_per_caption.setdefault(cap, (iid, fmt))
+    rows = sorted(
+        (iid, fmt, len(cap.split(" ")), len(set(cap.split(" "))))
+        for cap, (iid, fmt) in first_per_caption.items()
+    )
+    values = ", ".join(
+        f"('{iid}', '{fmt}', {nt}, {nd})" for iid, fmt, nt, nd in rows
+    )
+    return f"""
+        SELECT * FROM (VALUES {values})
+            AS t(image_id, fmt, n_tokens, n_distinct)
+        ORDER BY image_id
     """
 
 
@@ -4684,6 +4765,7 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT user_id, round(-sum(p * log2(p)), 6) AS entropy
             FROM probs GROUP BY user_id ORDER BY user_id
         """,
+        "curate_image_captions": _curate_images_sql(96),
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is
         # value-checked via frontier_bfs / frontier_polite.
