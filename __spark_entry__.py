@@ -2662,6 +2662,71 @@ def curate_image_captions_q(spark, sf_dir):
     )
 
 
+def event_debounce_q(spark, sf_dir):
+    """Debounce (double-fire suppression): drop any event that repeats the
+    same user's same event type within 10 minutes of the previous kept-or-
+    dropped occurrence — the duplicate-click scrub a stream gets before
+    sessionization.  One lag() per (user, type) partition over exact integer
+    microseconds; the NULL first-in-partition lag passes the gate by
+    definition.  (This is lag-debounce — gap from the previous RAW event,
+    the stateless form; a carry-forward debounce would need a running
+    anchor.)"""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", gap.alias("gap_us"))
+        .where(F.col("gap_us").isNull() | (F.col("gap_us") > 600_000_000))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+def trailing_window_count_q(spark, sf_dir):
+    """Trailing event-time window (RANGE frame on the physical clock): for
+    every event, how many of the same user's events fall in the preceding
+    hour — rate-limiter / anomaly input.  The frame is rangeBetween over
+    exact integer microseconds (NOT row-count), so irregular event spacing
+    is honored; counts are integers, cross-engine exact."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    with_us = ev.select("event_id", "user_id", us.alias("us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        with_us.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def topk_with_ties_q(spark, sf_dir):
+    """Top-k per group WITH ties (dense_rank ≤ k): the three highest order
+    prices per priority class, every order at a tied price kept — the rank
+    family's set-valued form (row_number would drop ties arbitrarily;
+    dense_rank makes the cutoff a property of the VALUE, so the result is a
+    total function of the data)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.dense_rank().over(w).alias("price_rank"),
+        )
+        .where(F.col("price_rank") <= 3)
+        .orderBy("o_orderkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2771,6 +2836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "share_of_total": share_of_total_q,
         "type_entropy": type_entropy_q,
         "curate_image_captions": curate_image_captions_q,
+        "event_debounce": event_debounce_q,
+        "trailing_window_count": trailing_window_count_q,
+        "topk_with_ties": topk_with_ties_q,
     }
 
 
@@ -4766,6 +4834,37 @@ def _oracle_sqls() -> dict[str, str]:
             FROM probs GROUP BY user_id ORDER BY user_id
         """,
         "curate_image_captions": _curate_images_sql(96),
+        "event_debounce": """
+            WITH g AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS gap_us
+                FROM events
+            )
+            SELECT event_id, user_id, event_type
+            FROM g WHERE gap_us IS NULL OR gap_us > 600000000
+            ORDER BY event_id
+        """,
+        "trailing_window_count": """
+            SELECT event_id, user_id,
+                   count(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+                   ) AS n_last_hour
+            FROM events ORDER BY event_id
+        """,
+        "topk_with_ties": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice, price_rank
+            FROM (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       dense_rank() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC) AS price_rank
+                FROM orders
+            ) WHERE price_rank <= 3
+            ORDER BY o_orderkey
+        """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is
         # value-checked via frontier_bfs / frontier_polite.
