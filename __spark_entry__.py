@@ -2727,6 +2727,65 @@ def topk_with_ties_q(spark, sf_dir):
     )
 
 
+def weighted_median_q(spark, sf_dir):
+    """Exact weighted median per group (lower weighted median: the smallest
+    value whose cumulative weight reaches half the total) — the
+    corpus-stats quantile where documents carry token weights.  Weights are
+    integers derived from the key, so the cumulative sums are exact; the
+    pick is a running-sum window + min() — no interpolation, the result is
+    an EXISTING value (bit-exact across engines).  One exchange on the
+    group key shared by the window and the final aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    wt = (F.col("o_orderkey") % 5 + 1).cast("long")
+    base = o.select(
+        "o_orderpriority", F.col("o_totalprice").alias("v"), wt.alias("wt")
+    )
+    w_run = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("o_orderpriority")
+    marked = base.select(
+        "o_orderpriority",
+        "v",
+        F.sum("wt").over(w_run).alias("cum"),
+        F.sum("wt").over(w_tot).alias("tot"),
+    )
+    return (
+        marked.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("v").alias("weighted_median"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def mom_growth_q(spark, sf_dir):
+    """Month-over-month growth: the revenue time series aggregated to
+    calendar months, each month's percent change vs the previous observed
+    month (NULL for the first).  lag() runs over the ~80-row aggregate,
+    never the fact table; the quotient divides two doubles cast from the
+    same exact DECIMAL sums, rounded once."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp")).alias(
+            "month"
+        )
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev_d").over(w)
+    return monthly.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.col("rev_d").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev_d").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+            * 100,
+            6,
+        ).alias("mom_pct"),
+    ).orderBy("month")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2839,6 +2898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_debounce": event_debounce_q,
         "trailing_window_count": trailing_window_count_q,
         "topk_with_ties": topk_with_ties_q,
+        "weighted_median": weighted_median_q,
+        "mom_growth": mom_growth_q,
     }
 
 
@@ -4864,6 +4925,38 @@ def _oracle_sqls() -> dict[str, str]:
                 FROM orders
             ) WHERE price_rank <= 3
             ORDER BY o_orderkey
+        """,
+        "weighted_median": """
+            WITH base AS (
+                SELECT o_orderpriority, o_totalprice AS v,
+                       o_orderkey % 5 + 1 AS wt
+                FROM orders
+            ), marked AS (
+                SELECT o_orderpriority, v,
+                       sum(wt) OVER (PARTITION BY o_orderpriority ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum,
+                       sum(wt) OVER (PARTITION BY o_orderpriority) AS tot
+                FROM base
+            )
+            SELECT o_orderpriority, min(v) AS weighted_median
+            FROM marked WHERE cum * 2 >= tot
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "mom_growth": """
+            WITH monthly AS (
+                SELECT date_trunc('month', o_orderdate) AS month,
+                       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+                FROM orders GROUP BY month
+            )
+            SELECT strftime(month, '%Y-%m') AS month,
+                   CAST(rev_d AS DOUBLE) AS revenue,
+                   round((CAST(rev_d AS DOUBLE)
+                          - CAST(lag(rev_d) OVER (ORDER BY month) AS DOUBLE))
+                         / CAST(lag(rev_d) OVER (ORDER BY month) AS DOUBLE)
+                         * 100, 6) AS mom_pct
+            FROM monthly ORDER BY month
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is
