@@ -2146,6 +2146,136 @@ def q2_min_cost_q(spark, sf_dir):
     )
 
 
+def q11_important_stock_q(spark, sf_dir):
+    """Global-fraction HAVING (TPC-H Q11 shape): per-part stock value for one
+    region's suppliers, keeping parts whose value exceeds 0.01% of the grand
+    total. Two-pass: the per-part aggregate shuffles once on l_partkey; the
+    grand total is a single-scalar driver collect (O(1) rows, the documented
+    q22/IVF pattern) folded into the filter as a literal. The value is summed
+    in DECIMAL so the 0.0001 threshold is EXACT integer-scaled arithmetic
+    (`value * 10000 > total`) — no engine's float sum order can flip a
+    boundary part — and only the final display column is rounded to double."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    sup = s.join(
+        F.broadcast(n.select("n_nationkey")),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    val = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("bigint")
+    stock = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value_dec"))
+    )
+    total = stock.agg(F.sum("value_dec")).collect()[0][0]
+    return (
+        stock.where(F.col("value_dec") * 10000 > F.lit(total))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec"), 2).cast("double").alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "l_partkey")
+    )
+
+
+def q12_priority_class_q(spark, sf_dir):
+    """Big-big join + conditional aggregation (TPC-H Q12 shape): one year's
+    lineitems classified by their order's priority, counted per linestatus.
+    lineitem ⨝ orders is the canonical big-big shuffle hash join on the order
+    key (neither side broadcasts at scale); the priority split is a CASE
+    inside sum, one pass, exact integer counts."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q16_supplier_cnt_q(spark, sf_dir):
+    """Excluded-set distinct count (TPC-H Q16 shape): how many distinct
+    suppliers can furnish each (brand, type, size) combination, excluding a
+    blocklisted supplier set (negative account balance stands in for the
+    'Customer Complaints' comment — the schema carries no s_comment). The
+    part-supplier relation is the distinct (l_partkey, l_suppkey) projection
+    of lineitem (the q2 partsupp stand-in); the blocklist is a broadcast
+    anti-join; the count(DISTINCT) shuffles once on the 3-part group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#17")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 2, 5, 11, 28, 37, 44, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), pairs["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_excess_stock_q(spark, sf_dir):
+    """Nested decorrelated IN-chains (TPC-H Q20 shape): one region's suppliers
+    holding more than half a year's shipments of any 'small…' part. Both
+    correlated IN subqueries decorrelate to aggregates joined on their keys:
+    per-(part, supplier) stock vs per-part 1997 shipment volume, compared in
+    EXACT integer arithmetic (`2 * stock > shipped`; quantities are
+    integer-valued). The part and supplier dims broadcast; the only big
+    shuffles are the two lineitem aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    stock = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("stock"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy(F.col("l_partkey").alias("sp_partkey"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("shipped"))
+    )
+    keep = (
+        stock.join(shipped, stock["l_partkey"] == shipped["sp_partkey"])
+        .where(F.lit(2) * F.col("stock") > F.col("shipped"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    return (
+        keep.join(s, keep["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(n.select("n_nationkey")),
+            s["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def fuzzy_title_match_q(spark, sf_dir):
     """Blocked fuzzy string matching (edit-distance join): near-duplicate
     document titles via an 8-char-prefix blocking key + levenshtein ≤ 8
@@ -2877,6 +3007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_lapsed_rich": q22_lapsed_rich_q,
         "q15_top_supplier": q15_top_supplier_q,
         "q2_min_cost": q2_min_cost_q,
+        "q11_important_stock": q11_important_stock_q,
+        "q12_priority_class": q12_priority_class_q,
+        "q16_supplier_cnt": q16_supplier_cnt_q,
+        "q20_excess_stock": q20_excess_stock_q,
         "fuzzy_title_match": fuzzy_title_match_q,
         "unpivot_metrics": unpivot_metrics_q,
         "running_distinct": running_distinct_q,
@@ -4664,6 +4798,76 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE cost = (SELECT min(cost) FROM offers o2
                           WHERE o2.p_partkey = offers.p_partkey)
             ORDER BY p_partkey, s_suppkey
+        """,
+        "q11_important_stock": """
+            WITH stock AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_quantity AS BIGINT)) AS value_dec
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_regionkey = 2
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey,
+                   CAST(round(value_dec, 2) AS DOUBLE) AS stock_value
+            FROM stock
+            WHERE value_dec * 10000 > (SELECT sum(value_dec) FROM stock)
+            ORDER BY stock_value DESC, l_partkey
+        """,
+        "q12_priority_class": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "q16_supplier_cnt": """
+            WITH pairs AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM pairs JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#17'
+              AND p_type <> 'ECONOMY'
+              AND p_size IN (1, 2, 5, 11, 28, 37, 44, 49)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_excess_stock": """
+            WITH small_parts AS (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+            ), stock AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(CAST(l_quantity AS BIGINT)) AS stock
+                FROM lineitem JOIN small_parts ON l_partkey = p_partkey
+                GROUP BY l_partkey, l_suppkey
+            ), shipped AS (
+                SELECT l_partkey AS sp_partkey,
+                       sum(CAST(l_quantity AS BIGINT)) AS shipped
+                FROM lineitem JOIN small_parts ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_partkey
+            )
+            SELECT DISTINCT s_suppkey, s_name
+            FROM stock
+            JOIN shipped ON l_partkey = sp_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE 2 * stock > shipped AND n_regionkey = 2
+            ORDER BY s_suppkey
         """,
         "fuzzy_title_match": """
             WITH t AS (
