@@ -2276,6 +2276,109 @@ def q20_excess_stock_q(spark, sf_dir):
     )
 
 
+def listagg_sorted_q(spark, sf_dir):
+    """Order-sensitive string aggregation made deterministic (LISTAGG /
+    string_agg class): per-nation roster of supplier names. collect_list is
+    partition-order nondeterministic by contract, so the list is array_sort'ed
+    BEFORE concat — the only way a distributed listagg can be value-stable.
+    The nation dim broadcasts; one exchange on the group key."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias(
+                "suppliers"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def bit_bool_aggs_q(spark, sf_dir):
+    """Bitwise and boolean aggregate surface (BIT_AND/BIT_OR/BIT_XOR +
+    BOOL_AND/BOOL_OR): order-independent by algebra (commutative, associative)
+    so cross-engine exact with no decimal tricks. One pass over orders,
+    grouped by status; XOR over the key set doubles as a cheap order-invariant
+    set fingerprint (the same identity the url_seen checksum audit uses)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("o_orderkey").alias("key_band"),
+            F.bit_or("o_orderkey").alias("key_bor"),
+            F.bit_xor("o_orderkey").alias("key_bxor"),
+            F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def argmax_per_group_q(spark, sf_dir):
+    """Aggregate argmax (MAX_BY class, no window): the top-balance customer
+    per market segment via max(struct(value, tiebreak)) — structs compare
+    lexicographically, so the custkey tiebreak makes the answer a total
+    function even under duplicate balances, and the whole thing is ONE
+    partial-aggregable pass (a window argmax would sort every partition;
+    max(struct) combines map-side). Oracle restates it as a row_number pick."""
+    c = _t(spark, sf_dir, "customer")
+    m = (
+        c.groupBy("c_mktsegment")
+        .agg(F.max(F.struct("c_acctbal", "c_custkey")).alias("best"))
+    )
+    return m.select(
+        "c_mktsegment",
+        F.col("best.c_custkey").alias("best_custkey"),
+        F.col("best.c_acctbal").alias("best_acctbal"),
+    ).orderBy("c_mktsegment")
+
+
+def grouped_corr_q(spark, sf_dir):
+    """Per-group Pearson correlation, cross-engine exact: corr(time, value)
+    per event type. Never hash an engine's corr() — accumulation order moves
+    the last ulps. Instead the five sufficient statistics are EXACT BIGINT
+    sums (integer seconds offset to the epoch floor; value at its native
+    2-decimal grain ×100), and the final coefficient is the same double
+    expression evaluated from identical integers in both engines — IEEE ops
+    on equal inputs are bit-identical. One partial-aggregable pass."""
+    e = _t(spark, sf_dir, "events")
+    x = (
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)
+    ).cast("bigint") - F.lit(1704067200)
+    y = F.round(F.col("value") * 100).cast("bigint")
+    stats = (
+        e.select(F.col("event_type"), x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_tv"),
+    ).orderBy("event_type")
+
+
 def fuzzy_title_match_q(spark, sf_dir):
     """Blocked fuzzy string matching (edit-distance join): near-duplicate
     document titles via an 8-char-prefix blocking key + levenshtein ≤ 8
@@ -3011,6 +3114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_class": q12_priority_class_q,
         "q16_supplier_cnt": q16_supplier_cnt_q,
         "q20_excess_stock": q20_excess_stock_q,
+        "listagg_sorted": listagg_sorted_q,
+        "bit_bool_aggs": bit_bool_aggs_q,
+        "argmax_per_group": argmax_per_group_q,
+        "grouped_corr": grouped_corr_q,
         "fuzzy_title_match": fuzzy_title_match_q,
         "unpivot_metrics": unpivot_metrics_q,
         "running_distinct": running_distinct_q,
@@ -4868,6 +4975,67 @@ def _oracle_sqls() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE 2 * stock > shipped AND n_regionkey = 2
             ORDER BY s_suppkey
+        """,
+        "listagg_sorted": """
+            SELECT n_name,
+                   string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+                   count(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "bit_bool_aggs": """
+            SELECT o_orderstatus,
+                   bit_and(o_orderkey) AS key_band,
+                   bit_or(o_orderkey) AS key_bor,
+                   bit_xor(o_orderkey) AS key_bxor,
+                   bool_and(o_totalprice > CAST(1000 AS DOUBLE))
+                       AS all_over_1k,
+                   bool_or(o_totalprice > CAST(400000 AS DOUBLE))
+                       AS any_over_400k,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
+        "argmax_per_group": """
+            SELECT c_mktsegment, c_custkey AS best_custkey,
+                   c_acctbal AS best_acctbal
+            FROM (
+                SELECT c_mktsegment, c_custkey, c_acctbal,
+                       row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+                FROM customer
+            )
+            WHERE rn = 1
+            ORDER BY c_mktsegment
+        """,
+        "grouped_corr": """
+            WITH s AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 1000000) - 1704067200 AS x,
+                       CAST(round(value * 100) AS BIGINT) AS y
+                FROM events
+            ), stats AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM s GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                         6) AS corr_tv
+            FROM stats
+            ORDER BY event_type
         """,
         "fuzzy_title_match": """
             WITH t AS (

@@ -101,6 +101,8 @@ def main() -> None:
         "gaps_islands",
         "value_distribution",
         "cooccurrence_pairs",
+        # TPC-H completion wave: the big-big shuffle-join + CASE-sum shape
+        "q12_priority_class",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

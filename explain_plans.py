@@ -146,6 +146,20 @@ def main() -> None:
          "min/max aggregate (no stored calendar), left BroadcastHashJoin "
          "back to the AGGREGATED daily counts — the raw events never "
          "join the spine"),
+        ("q12_priority_class", "fact-fact equi-join on the order key with "
+         "shipdate PushedFilters and CASE-sums partial+final; the join is "
+         "declared with NO broadcast hint so AQE picks broadcast at fixture "
+         "scale and shuffle join when both sides are facts at 100 TB"),
+        ("q11_important_stock", "two-pass global-fraction HAVING: one "
+         "exchange on l_partkey for the per-part DECIMAL aggregate; the "
+         "grand total folds in as a LITERAL (O(1)-row driver collect, the "
+         "q22 pattern) so the filter is codegen, not a second join"),
+        ("argmax_per_group", "aggregate argmax: partial_max(struct) "
+         "combines MAP-SIDE before the single group-key exchange — no "
+         "window sort anywhere in the plan"),
+        ("grouped_corr", "five exact BIGINT sufficient statistics in ONE "
+         "partial-aggregable pass; the coefficient is a codegen projection "
+         "over the 5-row aggregate"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 
