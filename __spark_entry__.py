@@ -2940,6 +2940,81 @@ def trailing_window_count_q(spark, sf_dir):
     )
 
 
+def time_weighted_avg_q(spark, sf_dir):
+    """Time-weighted average (TWAP class): per-user mean of `value` weighted
+    by how long each observation was in force (duration to the NEXT event —
+    the step-function integral a price/telemetry series needs; a plain avg
+    over-weights bursts). Numerator and denominator are EXACT BIGINT sums
+    (integer-microsecond durations × the value at its native 2-decimal grain)
+    so the final quotient divides identical integers in both engines; the
+    last observation per user carries no duration by definition. One lead()
+    window and one aggregate on the same user_id partitioning — the exchange
+    is shared."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.lead(us).over(w) - us
+    y = F.round(F.col("value") * 100).cast("bigint")
+    stepped = ev.select(
+        "user_id", dur.alias("dur_us"), (y * dur).alias("wv")
+    ).where(F.col("dur_us").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum("dur_us").alias("total_us"),
+            F.sum("wv").alias("sum_wv"),
+            F.count(F.lit(1)).alias("n_steps"),
+        )
+        .where(F.col("total_us") > 0)
+        .select(
+            "user_id",
+            "n_steps",
+            F.round(
+                F.col("sum_wv").cast("double")
+                / F.col("total_us").cast("double")
+                / F.lit(100.0),
+                6,
+            ).alias("twap_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def ohlc_bars_q(spark, sf_dir):
+    """OHLC resampling (bar aggregation class): per (event_type, day) open/
+    high/low/close of `value`. Open and close are aggregate argmin/argmax via
+    min(struct)/max(struct) with the event_id tiebreak — ONE partial-
+    aggregable grouped pass, no window sort over the facts — and every output
+    is an EXISTING double (picks, never arithmetic), so cross-engine equality
+    is exact with no decimal tricks. Day is an ISO string so the hash is
+    engine-neutral."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = F.col("ts").cast("date").cast("string")
+    rows = ev.select(
+        "event_type",
+        day.alias("day"),
+        F.struct(us.alias("us"), F.col("event_id"), F.col("value")).alias("k"),
+        "value",
+    )
+    agg = rows.groupBy("event_type", "day").agg(
+        F.min("k").alias("first_k"),
+        F.max("k").alias("last_k"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "day",
+        F.col("first_k.value").alias("open"),
+        "high",
+        "low",
+        F.col("last_k.value").alias("close"),
+        "n_events",
+    ).orderBy("event_type", "day")
+
+
 def topk_with_ties_q(spark, sf_dir):
     """Top-k per group WITH ties (dense_rank ≤ k): the three highest order
     prices per priority class, every order at a tied price kept — the rank
@@ -3141,6 +3216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_with_ties": topk_with_ties_q,
         "weighted_median": weighted_median_q,
         "mom_growth": mom_growth_q,
+        "time_weighted_avg": time_weighted_avg_q,
+        "ohlc_bars": ohlc_bars_q,
     }
 
 
@@ -5329,6 +5406,47 @@ def _oracle_sqls() -> dict[str, str]:
                          / CAST(lag(rev_d) OVER (ORDER BY month) AS DOUBLE)
                          * 100, 6) AS mom_pct
             FROM monthly ORDER BY month
+        """,
+        "time_weighted_avg": """
+            WITH s AS (
+                SELECT user_id,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           - epoch_us(ts) AS dur_us,
+                       CAST(round(value * 100) AS BIGINT) AS y
+                FROM events
+            ), st AS (
+                SELECT user_id, count(*) AS n_steps,
+                       CAST(sum(dur_us) AS BIGINT) AS total_us,
+                       CAST(sum(y * dur_us) AS BIGINT) AS sum_wv
+                FROM s WHERE dur_us IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id, n_steps,
+                   round(CAST(sum_wv AS DOUBLE) / CAST(total_us AS DOUBLE)
+                         / CAST(100 AS DOUBLE), 6) AS twap_value
+            FROM st WHERE total_us > 0 ORDER BY user_id
+        """,
+        "ohlc_bars": """
+            WITH r AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value,
+                       row_number() OVER (
+                           PARTITION BY event_type, CAST(ts AS DATE)
+                           ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (
+                           PARTITION BY event_type, CAST(ts AS DATE)
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM events
+            ), agg AS (
+                SELECT event_type, day,
+                       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                       max(value) AS high, min(value) AS low,
+                       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+                       count(*) AS n_events
+                FROM r GROUP BY event_type, day
+            )
+            SELECT event_type, day, open, high, low, close, n_events
+            FROM agg ORDER BY event_type, day
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is
