@@ -3015,6 +3015,33 @@ def ohlc_bars_q(spark, sf_dir):
     ).orderBy("event_type", "day")
 
 
+def spend_quartiles_q(spark, sf_dir):
+    """Two-level aggregate → window → re-aggregate (RFM/segmentation class):
+    customers bucketed into spend quartiles, then per-quartile stats. The
+    per-customer spend is an EXACT DECIMAL sum; ntile runs over the total
+    order (spend, custkey) so ties are deterministic; the outer aggregate is
+    counts + decimal sums again. The window operates on the ALREADY-AGGREGATED
+    per-customer frame (one row per customer), never the orders fact — at
+    100 TB the facts see exactly one exchange (the groupBy), and the ntile's
+    single-partition sort handles only |customers| rows of 16-byte pairs."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_d")
+    )
+    w = Window.orderBy("spend_d", "o_custkey")
+    q = spend.withColumn("quartile", F.ntile(4).over(w))
+    return (
+        q.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend_d"), 2).cast("double").alias("total_spend"),
+            F.round(F.min("spend_d"), 2).cast("double").alias("min_spend"),
+            F.round(F.max("spend_d"), 2).cast("double").alias("max_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
 def topk_with_ties_q(spark, sf_dir):
     """Top-k per group WITH ties (dense_rank ≤ k): the three highest order
     prices per priority class, every order at a tied price kept — the rank
@@ -3218,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mom_growth": mom_growth_q,
         "time_weighted_avg": time_weighted_avg_q,
         "ohlc_bars": ohlc_bars_q,
+        "spend_quartiles": spend_quartiles_q,
     }
 
 
@@ -5447,6 +5475,23 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT event_type, day, open, high, low, close, n_events
             FROM agg ORDER BY event_type, day
+        """,
+        "spend_quartiles": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_d
+                FROM orders GROUP BY o_custkey
+            ), q AS (
+                SELECT o_custkey, spend_d,
+                       ntile(4) OVER (ORDER BY spend_d, o_custkey) AS quartile
+                FROM spend
+            )
+            SELECT quartile, count(*) AS n_customers,
+                   CAST(round(sum(spend_d), 2) AS DOUBLE) AS total_spend,
+                   CAST(round(min(spend_d), 2) AS DOUBLE) AS min_spend,
+                   CAST(round(max(spend_d), 2) AS DOUBLE) AS max_spend
+            FROM q GROUP BY quartile
+            ORDER BY quartile
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is
