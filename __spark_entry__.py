@@ -2718,6 +2718,45 @@ def cooccurrence_pairs_q(spark, sf_dir):
     )
 
 
+def basket_lift_q(spark, sf_dir):
+    """Association-rule metrics (support / confidence / lift) over the
+    co-occurrence pairs: lift = P(a∧b) / (P(a)·P(b)) from EXACT integer
+    user counts — the quotient divides identical BIGINTs in both engines, so
+    round-6 is deterministic. Singleton counts broadcast (|types| rows); the
+    total-user scalar is an O(1) driver collect (the q22 pattern); the only
+    fact-sized work is the same dedup + tiny self-join as cooccurrence."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_total = ut.select("user_id").distinct().count()
+    singles = ut.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(F.col("t").alias("type_a"), F.col("n_single").alias("n_a"))
+    sb = singles.select(F.col("t").alias("type_b"), F.col("n_single").alias("n_b"))
+    j = pairs.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        F.round(
+            F.col("n_both").cast("double") / F.col("n_a").cast("double"), 6
+        ).alias("confidence_ab"),
+        F.round(
+            (F.col("n_both").cast("double") * F.lit(float(n_total)))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("lift"),
+    ).orderBy("type_a", "type_b")
+
+
 def date_densify_q(spark, sf_dir):
     """Calendar densification (gap filling): the per-day purchase count with
     MISSING days restored as explicit zero rows.  The date spine is a
@@ -3232,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier": pareto_frontier_q,
         "mode_per_group": mode_per_group_q,
         "cooccurrence_pairs": cooccurrence_pairs_q,
+        "basket_lift": basket_lift_q,
         "date_densify": date_densify_q,
         "locf_fill": locf_fill_q,
         "value_distribution": value_distribution_q,
@@ -5305,6 +5345,33 @@ def _oracle_sqls() -> dict[str, str]:
             FROM ut a JOIN ut b
               ON a.user_id = b.user_id AND a.event_type < b.event_type
             GROUP BY type_a, type_b
+            ORDER BY type_a, type_b
+        """,
+        "basket_lift": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            ), tot AS (
+                SELECT count(DISTINCT user_id) AS n_total FROM ut
+            ), singles AS (
+                SELECT event_type AS t, count(*) AS n_single
+                FROM ut GROUP BY event_type
+            ), pairs AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       count(*) AS n_both
+                FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY type_a, type_b
+            )
+            SELECT type_a, type_b, n_both,
+                   round(CAST(n_both AS DOUBLE) / CAST(sa.n_single AS DOUBLE),
+                         6) AS confidence_ab,
+                   round((CAST(n_both AS DOUBLE) * CAST(n_total AS DOUBLE))
+                         / (CAST(sa.n_single AS DOUBLE)
+                            * CAST(sb.n_single AS DOUBLE)),
+                         6) AS lift
+            FROM pairs, tot
+            JOIN singles sa ON sa.t = type_a
+            JOIN singles sb ON sb.t = type_b
             ORDER BY type_a, type_b
         """,
         "date_densify": """
