@@ -122,11 +122,15 @@ def main() -> None:
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3,
                                 threshold=0.5, max_shingle_df=1000)
     walls["ngram_jaccard"] = timed(lambda: force(pairs))
-    # +1 bit per corpus doubling from the §4 anchor (bits=12 @ 80k):
-    # 80k → 1M is ~3.6 doublings → bits=16
+    # sized by MEASUREMENT, not just the +1-bit rule: this corpus's
+    # components are correlated, so sign-patterns are non-uniform and
+    # bits=16 leaves ~210M candidate pairs (profiled: signature 4.7 s,
+    # bucket cap 5.1 s, join+distinct 44.5 s, exact re-rank ~225 s).
+    # bits=20 + cap=500 cut the wall 280 s → 30 s at UNCHANGED recall
+    # (exactly the 200k planted pairs) — BENCH/BASELINE.md §9.
     walls["embedding_neardup"] = timed(lambda: force(
         embedding_neardup_lsh(emb, "v", "vec_id", threshold=0.98,
-                              bits=16, num_tables=8, max_bucket_size=2000)))
+                              bits=20, num_tables=8, max_bucket_size=500)))
     walls["connected_components"] = timed(lambda: force(
         connected_components(pairs)))
     total = round(sum(walls.values()), 2)
