@@ -2,6 +2,7 @@
 
 from httrack2warc_spark.operators.ordinal_join import ordinal_fifo_join  # noqa: F401
 from httrack2warc_spark.operators.dedup import (  # noqa: F401
+    embedding_lsh_candidates,
     embedding_neardup_candidates,
     exact_dedup,
     first_occurrence,

@@ -32,6 +32,7 @@ __all__ = [
     "simhash64_of_hashes",
     "simhash_dedup",
     "embedding_neardup_candidates",
+    "embedding_lsh_candidates",
     "embedding_neardup_lsh",
     "connected_components",
     "dedup_by_components",
@@ -645,6 +646,52 @@ def embedding_neardup_candidates(
     )
 
 
+def embedding_lsh_candidates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    bits: int = 2,
+    num_tables: int = 32,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Bucketed candidate pairs (a < b, distinct) for hyperplane-LSH
+    embedding dedup — exposed separately so the BENCH §9 sizing audit is one
+    call: before paying the exact re-rank, ``candidates.count()`` and compare
+    against the expected true-pair count; when the ratio exceeds ~100×, the
+    sign-patterns are skewed for this corpus (correlated components) and
+    ``bits`` must rise / ``max_bucket_size`` tighten — at 1M vectors that
+    audit was the difference between a 280 s and a 29.7 s wall at identical
+    recall (BENCH/BASELINE.md §9)."""
+    from .similarity import _sign_buckets_udf
+
+    bucket_fn = _sign_buckets_udf(bits, num_tables, seed)
+    bk = df.select(
+        F.col(id_col),
+        F.posexplode(bucket_fn(F.col(vec_col))).alias("table", "bucket"),
+    )
+    if max_bucket_size is not None:
+        wc = Window.partitionBy("table", "bucket")
+        bk = (
+            bk.withColumn("__n", F.count("*").over(wc))
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    return (
+        bk.alias("l")
+        .join(
+            bk.alias("r"),
+            on=[
+                F.col("l.table") == F.col("r.table"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     vec_col: str,
@@ -668,39 +715,20 @@ def embedding_neardup_lsh(
     against the brute-force baseline at fixture scale
     (tests/test_similarity.py). At corpus scale raise ``bits`` (smaller
     buckets, cheaper join) and ``num_tables`` to taste; ``max_bucket_size``
-    caps degenerate buckets exactly like minhash_lsh_candidates.
+    caps degenerate buckets exactly like minhash_lsh_candidates. ``bits`` and
+    the cap must be sized TOGETHER against the measured candidate volume —
+    correlated embedding components skew sign-patterns far above the
+    n/2^bits uniform estimate while every bucket stays under a loose cap;
+    audit with ``embedding_lsh_candidates(...).count()`` per its docstring.
 
     Shuffle profile: explode multiplies rows by num_tables but each row is
     (id, table, bucket) — 24 bytes; the candidate self-join and the distinct
     both shuffle those narrow rows; vectors are joined back only for the
     surviving candidate pairs.
     """
-    from .similarity import _sign_buckets_udf
-
-    bucket_fn = _sign_buckets_udf(bits, num_tables, seed)
-    bk = df.select(
-        F.col(id_col),
-        F.posexplode(bucket_fn(F.col(vec_col))).alias("table", "bucket"),
-    )
-    if max_bucket_size is not None:
-        wc = Window.partitionBy("table", "bucket")
-        bk = (
-            bk.withColumn("__n", F.count("*").over(wc))
-            .where(F.col("__n") <= max_bucket_size)
-            .drop("__n")
-        )
-    cand = (
-        bk.alias("l")
-        .join(
-            bk.alias("r"),
-            on=[
-                F.col("l.table") == F.col("r.table"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
+    cand = embedding_lsh_candidates(
+        df, vec_col, id_col, bits=bits, num_tables=num_tables, seed=seed,
+        max_bucket_size=max_bucket_size,
     )
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
     v = df.select(F.col(id_col), F.col(vec_col).alias("__v"), norm.alias("__nrm"))

@@ -148,6 +148,37 @@ def test_embedding_neardup_lsh_matches_bruteforce(spark):
     assert lsh == brute and len(brute) >= 5
 
 
+def test_embedding_lsh_candidates_audit_hook(spark):
+    """The exposed candidate frame (the §9 sizing audit hook) is a distinct
+    a<b superset of the final near-dup pair set, and the re-rank never adds
+    pairs the buckets didn't propose."""
+    from httrack2warc_spark.operators.dedup import (
+        embedding_lsh_candidates,
+        embedding_neardup_lsh,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cand = [
+        (r.a, r.b)
+        for r in embedding_lsh_candidates(
+            emb, "v", "vec_id", bits=2, num_tables=32
+        ).collect()
+    ]
+    final = {
+        (r.a, r.b)
+        for r in embedding_neardup_lsh(
+            emb, "v", "vec_id", 0.45, bits=2, num_tables=32
+        ).collect()
+    }
+    cset = set(cand)
+    assert len(cand) == len(cset)  # distinct
+    assert all(a < b for a, b in cset)
+    assert final <= cset and len(final) >= 5
+
+
 def test_embedding_neardup_lsh_plan_has_no_cartesian(spark):
     """The graded near-dup plan must be equi-join-bucketed: no
     CartesianProduct / BroadcastNestedLoopJoin anywhere."""
