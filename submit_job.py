@@ -28,6 +28,13 @@ def main() -> None:
     p.add_argument("--pages", type=int, default=100)
     p.add_argument("--budget", type=int, default=100_000)
     p.add_argument("--parts", type=int, default=16)
+    # loop-shape knobs so the BENCH §2 configuration can run through the
+    # literal spark-submit --py-files mode (defaults match the original CLI)
+    p.add_argument("--capacity", type=int, default=10_000)
+    p.add_argument("--max-rounds", type=int, default=20)
+    p.add_argument("--summary-every", type=int, default=1)
+    p.add_argument("--commit-every", type=int, default=1)
+    p.add_argument("--batch-levels", type=int, default=1)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,9 +57,12 @@ def main() -> None:
     cat = TableCatalog(spark, tempfile.mkdtemp(prefix="submit_crawl_"))
     sched = FrontierScheduler(
         spark, cat, web,
-        CrawlConfig(num_parts=args.parts, max_rounds=20,
+        CrawlConfig(num_parts=args.parts, max_rounds=args.max_rounds,
                     default_host_budget=args.budget, fetch_robots=False,
-                    summary_capacity_per_part=10_000),
+                    summary_capacity_per_part=args.capacity,
+                    summary_every=args.summary_every,
+                    seq_mode="auto", commit_every=args.commit_every,
+                    batch_levels=args.batch_levels),
     )
     t0 = time.time()
     log = sched.run(seeds=seeds)
