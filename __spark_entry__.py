@@ -3160,6 +3160,45 @@ def mom_growth_q(spark, sf_dir):
     ).orderBy("month")
 
 
+def bm25_rank_q(spark, sf_dir):
+    """Okapi BM25 retrieval ranking (operators/corpus.py bm25_topk): top-20
+    documents for the 3-term query (customer, window, merge), k1=1.2 b=0.75.
+    Only query-term token hits shuffle; N/avgdl and the per-term document
+    frequencies collapse to literals, scoring is a codegen'd projection, and
+    the score ships as floor(score*1e6) BIGINT — per-term contributions add
+    in a FIXED order in both engines, so the doubles (and their floors) are
+    bit-identical."""
+    from httrack2warc_spark.operators.corpus import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(
+        docs, "text", "doc_id", ["customer", "window", "merge"], k=20
+    )
+    return out.orderBy("doc_id")
+
+
+def sorted_neighborhood_q(spark, sf_dir):
+    """Sorted-neighborhood dedup candidates (operators/fuzzy.py): records
+    sort by a 24-char lowercased title, each compares to its next 5
+    neighbours in sort order (window=6), refined by levenshtein <= 8 —
+    the O(n*w), skew-immune complement to fuzzy_title_match's O(block^2)
+    prefix blocking. Sort runs inside 2-char-prefix partitions (one hash
+    exchange, never a global single-partition window)."""
+    from httrack2warc_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring("text", 1, 24)).alias("title")
+    )
+    pairs = sorted_neighborhood_pairs(
+        d, "doc_id", "title", window=6, max_dist=8, partition_prefix=2
+    )
+    return pairs.select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        F.col("dist").cast("long").alias("dist"),
+    ).orderBy("doc_a", "doc_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -3218,6 +3257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": doc_chunks_q,
         "corpus_sample": corpus_sample_q,
         "tfidf_keywords": tfidf_keywords_q,
+        "bm25_rank": bm25_rank_q,
+        "sorted_neighborhood": sorted_neighborhood_q,
         "decontaminate_bench": decontaminate_bench_q,
         "paragraph_dedup": paragraph_dedup_q,
         "pack_sequences": pack_sequences_q,
@@ -4579,6 +4620,86 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT doc_id, term, score FROM ranked
             WHERE rn <= 3 ORDER BY doc_id, term
+        """,
+        # bm25_rank: Okapi BM25 for the fixed 3-term query, per-term
+        # contributions added in query order (the identical IEEE tree the
+        # Spark side states), score shipped as floor(score*1e6) BIGINT.
+        "bm25_rank": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+                FROM toks
+            ), hits AS (
+                SELECT doc_id, len(w) AS dl, t.term
+                FROM toks, UNNEST(w) AS t(term)
+                WHERE t.term IN ('customer', 'window', 'merge')
+            ), per_doc AS (
+                SELECT doc_id, min(dl) AS dl,
+                       sum(CASE WHEN term = 'customer' THEN 1 ELSE 0 END) AS tf0,
+                       sum(CASE WHEN term = 'window'   THEN 1 ELSE 0 END) AS tf1,
+                       sum(CASE WHEN term = 'merge'    THEN 1 ELSE 0 END) AS tf2
+                FROM hits GROUP BY 1
+            ), dfs AS (
+                SELECT sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                FROM per_doc
+            ), scored AS (
+                SELECT p.doc_id,
+                       CAST(floor((
+                         CASE WHEN p.tf0 > 0 THEN
+                           ln(CAST(1.0 AS DOUBLE) + (s.n - d.df0 + CAST(0.5 AS DOUBLE)) / (d.df0 + CAST(0.5 AS DOUBLE)))
+                           * ((CAST(p.tf0 AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                              / (CAST(p.tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                                 * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(p.dl AS DOUBLE) / s.avgdl))))
+                         ELSE CAST(0.0 AS DOUBLE) END
+                         + CASE WHEN p.tf1 > 0 THEN
+                           ln(CAST(1.0 AS DOUBLE) + (s.n - d.df1 + CAST(0.5 AS DOUBLE)) / (d.df1 + CAST(0.5 AS DOUBLE)))
+                           * ((CAST(p.tf1 AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                              / (CAST(p.tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                                 * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(p.dl AS DOUBLE) / s.avgdl))))
+                         ELSE CAST(0.0 AS DOUBLE) END
+                         + CASE WHEN p.tf2 > 0 THEN
+                           ln(CAST(1.0 AS DOUBLE) + (s.n - d.df2 + CAST(0.5 AS DOUBLE)) / (d.df2 + CAST(0.5 AS DOUBLE)))
+                           * ((CAST(p.tf2 AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                              / (CAST(p.tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                                 * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(p.dl AS DOUBLE) / s.avgdl))))
+                         ELSE CAST(0.0 AS DOUBLE) END
+                       ) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_u
+                FROM per_doc p, stats s, dfs d
+            ), ranked AS (
+                SELECT doc_id, score_u,
+                       row_number() OVER (ORDER BY score_u DESC, doc_id) AS rn
+                FROM scored
+            )
+            SELECT doc_id, score_u FROM ranked WHERE rn <= 20
+            ORDER BY doc_id
+        """,
+        # sorted_neighborhood: merge/purge candidate pairs — records sort by
+        # 24-char lowercased title inside 2-char-prefix partitions, each
+        # compares to its next 5 neighbours, levenshtein <= 8 refinement.
+        "sorted_neighborhood": r"""
+            WITH base AS (
+                SELECT doc_id, lower(substr(text, 1, 24)) AS s
+                FROM documents
+            ), keyed AS (
+                SELECT doc_id, s, substr(s, 1, 2) AS blk,
+                       row_number() OVER (PARTITION BY substr(s, 1, 2)
+                                          ORDER BY s, doc_id) AS rn
+                FROM base
+            )
+            SELECT least(l.doc_id, r.doc_id) AS doc_a,
+                   greatest(l.doc_id, r.doc_id) AS doc_b,
+                   CAST(levenshtein(l.s, r.s) AS BIGINT) AS dist
+            FROM keyed l JOIN keyed r
+              ON l.blk = r.blk AND r.rn > l.rn AND r.rn <= l.rn + 5
+            WHERE levenshtein(l.s, r.s) <= 8
+            ORDER BY doc_a, doc_b
         """,
         # decontaminate_bench: benchmark = first 20 tokens of every 23rd
         # doc; contamination = sharing any word 4-gram; n_hits counts

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from httrack2warc_spark.functions.text import word_tokens
 
 __all__ = [
+    "bm25_topk",
     "chunk_documents",
     "decontaminate",
     "dedup_paragraphs",
@@ -509,3 +510,88 @@ def tfidf_topk(
         .where(F.col("__r") <= k)
         .drop("__r")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query by Okapi BM25 (the
+    Lucene/Robertson scoring every retrieval-based curation pipeline ranks
+    with — e.g. selecting in-domain documents by similarity to a seed set):
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        tfn(t,d)= tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+        score   = sum over query terms of idf * tfn
+
+    Cross-engine determinism (the value-hash contract): the per-document
+    score is ONE fixed-shape expression — per-term contributions added in
+    query_terms order, never a float groupBy-sum whose partial-sum order
+    the engine picks — so an ANSI oracle stating the identical IEEE tree
+    reproduces the double bit-for-bit, and the returned score is
+    ``floor(score × 10^6)`` as BIGINT: floor of identical doubles is
+    identical, with none of round()'s repr-boundary hazards.
+
+    Scale shape: tokens are filtered to the query vocabulary BEFORE the
+    per-document aggregation, so only query-term hits shuffle — a |q|-term
+    query over 100 TB shuffles O(hits), never O(tokens); the aggregation is
+    one groupBy(id) with |q| conditional counts (single exchange, map-side
+    partials). Document frequencies are |q| scalars off that same frame and
+    the corpus N/avgdl pair is one metadata-grade aggregate — both collapse
+    to literals in the scoring expression (the ``tfidf_topk`` n_docs
+    pattern), so scoring itself is a codegen'd projection. The global top-k
+    is TakeOrderedAndProject (per-partition heads, never a full sort).
+
+    Returns (id, score_u) ranked on (score_u desc, id) — the oracle's exact
+    ordering key.
+    """
+    import math
+
+    n_docs, total_tokens = df.select(
+        F.count(F.lit(1)),
+        F.coalesce(F.sum(F.size(word_tokens(F.col(text_col)))), F.lit(0)),
+    ).first()
+    avgdl = float(total_tokens) / float(n_docs) if n_docs else 1.0
+
+    terms = list(query_terms)
+    toks = df.select(
+        F.col(id_col),
+        F.size(word_tokens(F.col(text_col))).alias("__dl"),
+        F.explode(word_tokens(F.col(text_col))).alias("__term"),
+    ).where(F.col("__term").isin(terms))
+    per_doc = toks.groupBy(id_col).agg(
+        F.first("__dl").alias("__dl"),
+        *[
+            F.sum((F.col("__term") == t).cast("long")).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # |q| scalars: docs containing each term (metadata-grade collect)
+    dfs = per_doc.select(
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ]
+    ).first()
+
+    dl_norm = 1.0 - b + b * (F.col("__dl").cast("double") / F.lit(avgdl))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        df_t = int(dfs[i] or 0)
+        idf = math.log(1.0 + (float(n_docs) - df_t + 0.5) / (df_t + 0.5))
+        tf = F.col(f"__tf{i}").cast("double")
+        contrib = F.when(
+            F.col(f"__tf{i}") > 0,
+            F.lit(idf) * ((tf * (k1 + 1.0)) / (tf + k1 * dl_norm)),
+        ).otherwise(F.lit(0.0))
+        score = score + contrib
+    scored = per_doc.select(
+        id_col,
+        F.floor(score * F.lit(1000000.0)).cast("long").alias("score_u"),
+    )
+    return scored.orderBy(F.col("score_u").desc(), F.col(id_col)).limit(k)

@@ -323,3 +323,40 @@ def test_pack_sequences_empty_doc_contributes_eos(spark):
     assert out[0] == "<eos> a b"
     assert out[1] == "c d e"
     assert out[2] == "f g <eos>"
+
+
+def test_bm25_topk_hand_computed(spark):
+    from httrack2warc_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"),   # dl=3: apple tf=2
+         (2, "banana cherry"),        # dl=2: no query hit
+         (3, "apple dates kiwi lime")],  # dl=4: apple tf=1
+        "id long, text string",
+    )
+    out = {r.id: r.score_u for r in bm25_topk(
+        docs, "text", "id", ["apple", "mango"], k=10).collect()}
+    # N=3, avgdl=3, df(apple)=2, mango absent everywhere
+    k1, b = 1.2, 0.75
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+
+    def tfn(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 3.0))
+
+    assert out == {
+        1: math.floor(idf * tfn(2, 3) * 1e6),
+        3: math.floor(idf * tfn(1, 4) * 1e6),
+    }
+    # doc 1 has the higher tf at below-average length: it must rank first
+    top = bm25_topk(docs, "text", "id", ["apple"], k=1).collect()
+    assert [r.id for r in top] == [1]
+
+
+def test_bm25_topk_partitioning_invariant(spark):
+    from httrack2warc_spark.operators.corpus import bm25_topk
+
+    rows = [(i, f"alpha beta w{i % 5} " * (1 + i % 3)) for i in range(40)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    a = bm25_topk(docs.repartition(1), "text", "id", ["alpha", "w2"], k=40)
+    b = bm25_topk(docs.repartition(13, "id"), "text", "id", ["alpha", "w2"], k=40)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -103,3 +103,45 @@ def test_lsh_bucket_cap(spark):
     got = {(r.a, r.b) for r in capped.collect()}
     assert (100, 101) in got  # small-bucket pair survives
     assert not any(a < 100 and b < 100 for a, b in got)  # hot bucket dropped
+
+
+def test_sorted_neighborhood_pairs_window_semantics(spark):
+    """Every pair within `window` positions of the blk-partitioned sort order
+    (and under max_dist) is found, each exactly once; nothing beyond the
+    window or over the distance bound leaks through."""
+    from httrack2warc_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "aaaa"), (2, "aaab"), (3, "aaba"), (4, "abzz"),
+        (5, "zzzz"),              # different 2-char prefix partition
+        (6, "aabb"), (7, "qqqq"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {(r.a, r.b): r.dist for r in sorted_neighborhood_pairs(
+        df, "id", "s", window=3, max_dist=2, partition_prefix=2).collect()}
+
+    # brute-force oracle: sort within prefix blocks, compare next 2 in order
+    import itertools
+
+    def lev(x, y):
+        d = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            prev, d[0] = d[0], i
+            for j, cy in enumerate(y, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (cx != cy))
+        return d[len(y)]
+
+    expect = {}
+    key = sorted(rows, key=lambda r: (r[1], r[0]))
+    by_blk = itertools.groupby(key, key=lambda r: r[1][:2])
+    for _, grp in by_blk:
+        grp = list(grp)
+        for i, (ida, sa) in enumerate(grp):
+            for idb, sb in grp[i + 1:i + 3]:
+                d = lev(sa, sb)
+                if d <= 2:
+                    expect[(min(ida, idb), max(ida, idb))] = d
+    assert got == expect
+    # skew immunity: each record generates at most window-1 forward candidates
+    assert len(got) <= len(rows) * 2
