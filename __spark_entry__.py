@@ -3160,6 +3160,22 @@ def mom_growth_q(spark, sf_dir):
     ).orderBy("month")
 
 
+def mutual_nn_q(spark, sf_dir):
+    """Mutual nearest-neighbor mining (operators/similarity.py
+    mutual_nn_pairs): (a, b) kept iff each is the other's best cosine
+    neighbor among candidates >= 0.45 — the bitext/alignment-mining
+    primitive. Candidates ride the exact-recall LSH equi-join
+    (embedding_neardup's guarantee), argmax ranks on (round(cos,6) desc,
+    neighbor id), so the DuckDB brute-force twin selects identical pairs."""
+    from httrack2warc_spark.operators.similarity import mutual_nn_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = mutual_nn_pairs(emb, "v", "vec_id", threshold=0.45)
+    return out.orderBy("a", "b")
+
+
 def bm25_rank_q(spark, sf_dir):
     """Okapi BM25 retrieval ranking (operators/corpus.py bm25_topk): top-20
     documents for the 3-term query (customer, window, merge), k1=1.2 b=0.75.
@@ -3257,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": doc_chunks_q,
         "corpus_sample": corpus_sample_q,
         "tfidf_keywords": tfidf_keywords_q,
+        "mutual_nn": mutual_nn_q,
         "bm25_rank": bm25_rank_q,
         "sorted_neighborhood": sorted_neighborhood_q,
         "decontaminate_bench": decontaminate_bench_q,
@@ -4620,6 +4637,29 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT doc_id, term, score FROM ranked
             WHERE rn <= 3 ORDER BY doc_id, term
+        """,
+        # mutual_nn: mutual nearest neighbors above the 0.45 cosine floor —
+        # brute-force pair set, per-source argmax on (round(cos,6), dst),
+        # pair kept iff best in BOTH directions.
+        "mutual_nn": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), pairs AS (
+                SELECT x.vec_id AS src, y.vec_id AS dst,
+                       round(list_cosine_similarity(x.e, y.e), 6) AS cos
+                FROM v x JOIN v y ON x.vec_id <> y.vec_id
+                WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.45
+            ), best AS (
+                SELECT src, dst, cos,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY cos DESC, dst) AS rn
+                FROM pairs
+            )
+            SELECT l.src AS a, l.dst AS b, l.cos AS cosine
+            FROM best l JOIN best r
+              ON l.src = r.dst AND l.dst = r.src AND r.rn = 1
+            WHERE l.rn = 1 AND l.src < l.dst
+            ORDER BY a, b
         """,
         # bm25_rank: Okapi BM25 for the fixed 3-term query, per-term
         # contributions added in query order (the identical IEEE tree the

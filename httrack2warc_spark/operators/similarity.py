@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
-__all__ = ["cosine", "brute_force_topk", "lsh_ann_topk", "ivf_topk"]
+__all__ = ["cosine", "brute_force_topk", "lsh_ann_topk", "ivf_topk", "mutual_nn_pairs"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -262,4 +262,71 @@ def ivf_topk(
         scored.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= k)
         .drop("__r")
+    )
+
+
+def mutual_nn_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    bits: int = 2,
+    num_tables: int = 32,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mutual nearest-neighbor pairs above a cosine floor — the
+    bitext/alignment-mining primitive (Artetxe & Schwenk's margin-free
+    base case): (a, b) survives iff b is a's best-scoring neighbor AND a is
+    b's, among all candidates with cosine ≥ ``threshold``. The floor is part
+    of the semantics (alignment mining never pairs below a score cut) and
+    what makes the op 100-TB-shaped: candidates come from the hyperplane-LSH
+    equi-join (``embedding_neardup_lsh`` — exact recall at the default
+    (bits, num_tables) for cosine ≥ 0.45, no cartesian anywhere), so each
+    side's argmax is over the same deterministic pair set an exact oracle
+    recomputes.
+
+    Ranking key is (round(cosine, round_digits) DESC, neighbor id ASC) — the
+    rounded-value key the oracle states, so rounded ties break identically
+    cross-engine (the lsh_ann precedent).
+
+    Shuffle profile: directed edges are (src, dst, cos) 24-byte rows; one
+    exchange on src for the per-source argmax window, one self-join on the
+    (src, dst) 16-byte key for the mutuality test.
+    """
+    from .dedup import embedding_neardup_lsh
+
+    pairs = embedding_neardup_lsh(
+        df, vec_col, id_col, threshold=threshold - 1e-6, bits=bits,
+        num_tables=num_tables, seed=seed, max_bucket_size=max_bucket_size,
+    ).select(
+        "a", "b", F.round("cosine", round_digits).alias("__cos")
+    ).where(F.col("__cos") >= threshold)
+
+    directed = pairs.select(
+        F.col("a").alias("__src"), F.col("b").alias("__dst"), "__cos"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("__src"), F.col("a").alias("__dst"), "__cos"
+        )
+    )
+    w = Window.partitionBy("__src").orderBy(
+        F.col("__cos").desc(), F.col("__dst")
+    )
+    best = directed.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") == 1
+    )
+    fwd = best.select("__src", "__dst", "__cos")
+    rev = best.select(
+        F.col("__dst").alias("__src"), F.col("__src").alias("__dst")
+    )
+    return (
+        fwd.join(rev, ["__src", "__dst"])
+        .where(F.col("__src") < F.col("__dst"))
+        .select(
+            F.col("__src").alias("a"),
+            F.col("__dst").alias("b"),
+            F.col("__cos").alias("cosine"),
+        )
     )

@@ -508,3 +508,40 @@ def test_fuzzy_match_pairs_hot_block_cap(spark):
     assert {(r.a, r.b) for r in capped} == {(10, 11)}
     uncapped = fuzzy_match_pairs(df, "id", "s", max_dist=20).count()
     assert uncapped == 15 + 1  # C(6,2) hot-block pairs + the rare pair
+
+
+def test_mutual_nn_pairs_equals_brute_force(spark):
+    """Mutual-NN over the LSH candidate path equals the O(n²) definition:
+    pair kept iff each side is the other's best rounded-cosine neighbor
+    among candidates >= the floor."""
+    import numpy as np
+
+    from httrack2warc_spark.operators.similarity import mutual_nn_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((12, 16))
+    vecs = {}
+    for i in range(12):
+        vecs[i] = base[i]
+        vecs[100 + i] = base[i] + 0.05 * rng.standard_normal(16)  # near twin
+    rows = [(int(k), [float(x) for x in v]) for k, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    got = {(r.a, r.b) for r in mutual_nn_pairs(
+        df, "v", "vec_id", threshold=0.45).collect()}
+
+    def cos(x, y):
+        return round(float(np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y))), 6)
+
+    ids = sorted(vecs)
+    best = {}
+    for a in ids:
+        scored = sorted(
+            ((cos(vecs[a], vecs[b]), b) for b in ids if b != a
+             and cos(vecs[a], vecs[b]) >= 0.45),
+            key=lambda t: (-t[0], t[1]),
+        )
+        if scored:
+            best[a] = scored[0][1]
+    expect = {(a, b) for a, b in best.items() if best.get(b) == a and a < b}
+    assert got == expect and len(expect) >= 10  # every twin pair is mutual
