@@ -160,6 +160,18 @@ def main() -> None:
         ("grouped_corr", "five exact BIGINT sufficient statistics in ONE "
          "partial-aggregable pass; the coefficient is a codegen projection "
          "over the 5-row aggregate"),
+        ("bm25_rank", "query-term filter BEFORE the explode-side aggregate: "
+         "only query-term hits shuffle (one partial+final HashAggregate on "
+         "doc_id with conditional per-term counts); N/avgdl/df are literals "
+         "so scoring is a codegen projection; TakeOrderedAndProject top-k, "
+         "no global sort"),
+        ("sorted_neighborhood", "ONE hash exchange on the 2-char prefix "
+         "block feeding the within-partition sort + lead() window walk — "
+         "O(n·w) candidates, no self-join blowup; levenshtein in codegen "
+         "on exploded candidates"),
+        ("mutual_nn", "LSH equi-join candidates (no cartesian), directed "
+         "edges are 24-byte rows: one argmax window exchange on src, one "
+         "(src,dst) hash self-join for the mutuality test"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 
