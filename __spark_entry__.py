@@ -3176,6 +3176,28 @@ def mutual_nn_q(spark, sf_dir):
     return out.orderBy("a", "b")
 
 
+def margin_mining_q(spark, sf_dir):
+    """Ratio-margin pair mining (operators/similarity.py
+    margin_mining_pairs, Artetxe & Schwenk): pair kept iff its cosine
+    exceeds 1.05x the mean of its endpoints' k=4 best-neighbor cosines —
+    the hub-suppressing refinement over mutual_nn. The 0.25 candidate floor
+    (vs mutual_nn's 0.45) admits multi-member neighborhoods so the margin
+    actually discriminates; LSH recall at the floor is deterministic given
+    the seed (miss probability ~2e-6/pair), so the bucketed set equals the
+    oracle's brute force at graded scale. Determinism stack:
+    rounded cosines -> row_number top-k -> exact DECIMAL neighborhood mean
+    -> floor(margin*1e6) BIGINT."""
+    from httrack2warc_spark.operators.similarity import margin_mining_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = margin_mining_pairs(
+        emb, "v", "vec_id", threshold=0.25, k=4, margin_threshold=1.05
+    )
+    return out.orderBy("a", "b")
+
+
 def bm25_rank_q(spark, sf_dir):
     """Okapi BM25 retrieval ranking (operators/corpus.py bm25_topk): top-20
     documents for the 3-term query (customer, window, merge), k1=1.2 b=0.75.
@@ -3274,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": corpus_sample_q,
         "tfidf_keywords": tfidf_keywords_q,
         "mutual_nn": mutual_nn_q,
+        "margin_mining": margin_mining_q,
         "bm25_rank": bm25_rank_q,
         "sorted_neighborhood": sorted_neighborhood_q,
         "decontaminate_bench": decontaminate_bench_q,
@@ -4637,6 +4660,45 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT doc_id, term, score FROM ranked
             WHERE rn <= 3 ORDER BY doc_id, term
+        """,
+        # margin_mining: ratio margin over the brute-force candidate set —
+        # rounded cosines, row_number top-4 neighborhood, exact DECIMAL mean,
+        # floor(margin*1e6) >= 1050000.
+        "margin_mining": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), pairs AS (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       round(list_cosine_similarity(x.e, y.e), 6) AS cos
+                FROM v x JOIN v y ON x.vec_id < y.vec_id
+                WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.25
+            ), directed AS (
+                SELECT a AS src, b AS dst, cos FROM pairs
+                UNION ALL
+                SELECT b AS src, a AS dst, cos FROM pairs
+            ), topk AS (
+                SELECT src, dst, cos,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY cos DESC, dst) AS rn
+                FROM directed
+            ), nn AS (
+                SELECT src,
+                       CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS avg_nn
+                FROM topk WHERE rn <= 4 GROUP BY src
+            )
+            SELECT p.a, p.b,
+                   CAST(floor(p.cos / ((na.avg_nn + nb.avg_nn)
+                                       * CAST(0.5 AS DOUBLE))
+                              * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                       AS margin_u
+            FROM pairs p
+            JOIN nn na ON na.src = p.a
+            JOIN nn nb ON nb.src = p.b
+            WHERE floor(p.cos / ((na.avg_nn + nb.avg_nn)
+                                 * CAST(0.5 AS DOUBLE))
+                        * CAST(1000000.0 AS DOUBLE)) >= 1050000
+            ORDER BY a, b
         """,
         # mutual_nn: mutual nearest neighbors above the 0.45 cosine floor —
         # brute-force pair set, per-source argmax on (round(cos,6), dst),

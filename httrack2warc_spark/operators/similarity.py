@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
-__all__ = ["cosine", "brute_force_topk", "lsh_ann_topk", "ivf_topk", "mutual_nn_pairs"]
+__all__ = ["cosine", "brute_force_topk", "lsh_ann_topk", "ivf_topk", "margin_mining_pairs", "mutual_nn_pairs"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -329,4 +329,87 @@ def mutual_nn_pairs(
             F.col("__dst").alias("b"),
             F.col("__cos").alias("cosine"),
         )
+    )
+
+
+def margin_mining_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    bits: int = 2,
+    num_tables: int = 32,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Ratio-margin pair mining (Artetxe & Schwenk 2019, the standard
+    bitext/alignment scorer): a candidate pair survives iff its cosine
+    stands out from BOTH endpoints' local neighborhoods —
+
+        margin(a,b) = cos(a,b) / ((avgNN_k(a) + avgNN_k(b)) / 2)  ≥  bar
+
+    where avgNN_k(x) is the mean cosine of x's k best candidates. The
+    refinement over plain mutual-NN: a hub vector similar to everything
+    scores a LOW margin on all its pairs (its own neighborhood average is
+    high), so hubs don't flood the mined set.
+
+    Determinism contract (the value-hash recipe stack): candidate cosines
+    round to ``round_digits`` FIRST (low-grain from then on), the top-k
+    neighborhood selects on (rounded cos DESC, neighbor id) — row_number,
+    not rank, so ties cut identically — and the neighborhood mean is an
+    exact DECIMAL(18,6) sum over those rounded values divided by the count;
+    the final margin ships as floor(margin × 10^6) BIGINT. Every float op
+    is one fixed-shape IEEE tree an ANSI oracle states verbatim.
+
+    Scale shape: same as ``mutual_nn_pairs`` — LSH equi-join candidates
+    (exact recall at the default sizing for cosine ≥ 0.45), 24-byte
+    directed edges, ONE exchange on src serving both the top-k window and
+    the neighborhood aggregate, then two narrow joins to attach the two
+    endpoint means.
+    """
+    from .dedup import embedding_neardup_lsh
+
+    pairs = embedding_neardup_lsh(
+        df, vec_col, id_col, threshold=threshold - 1e-6, bits=bits,
+        num_tables=num_tables, seed=seed, max_bucket_size=max_bucket_size,
+    ).select(
+        "a", "b", F.round("cosine", round_digits).alias("__cos")
+    ).where(F.col("__cos") >= threshold)
+
+    directed = pairs.select(
+        F.col("a").alias("__src"), F.col("b").alias("__dst"), "__cos"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("__src"), F.col("a").alias("__dst"), "__cos"
+        )
+    )
+    w = Window.partitionBy("__src").orderBy(
+        F.col("__cos").desc(), F.col("__dst")
+    )
+    nn = (
+        directed.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .groupBy("__src")
+        .agg(
+            (
+                F.sum(F.col("__cos").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__avg_nn")
+        )
+    )
+    na = nn.select(F.col("__src").alias("a"), F.col("__avg_nn").alias("__na"))
+    nb = nn.select(F.col("__src").alias("b"), F.col("__avg_nn").alias("__nb"))
+    margin = F.col("__cos") / ((F.col("__na") + F.col("__nb")) * 0.5)
+    return (
+        pairs.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            F.floor(margin * F.lit(1000000.0)).cast("long").alias("margin_u"),
+        )
+        .where(F.col("margin_u") >= int(margin_threshold * 1000000))
     )

@@ -545,3 +545,58 @@ def test_mutual_nn_pairs_equals_brute_force(spark):
             best[a] = scored[0][1]
     expect = {(a, b) for a, b in best.items() if best.get(b) == a and a < b}
     assert got == expect and len(expect) >= 10  # every twin pair is mutual
+
+
+def test_margin_mining_suppresses_hubs(spark):
+    """Ratio margin: an isolated near-twin pair scores ~1× its own cosine
+    ratio but a hub similar to many vectors scores <= the twin's margin on
+    every pair — and the output equals a numpy replication of the exact
+    pipeline (rounded cos -> top-k mean -> floor(margin*1e6))."""
+    import math
+
+    import numpy as np
+
+    from httrack2warc_spark.operators.similarity import margin_mining_pairs
+
+    rng = np.random.default_rng(3)
+    vecs = {}
+    hub = rng.standard_normal(16)
+    vecs[0] = hub
+    for i in range(1, 5):  # 4 hub satellites at moderate similarity
+        vecs[i] = hub + 1.1 * rng.standard_normal(16)
+    twin = rng.standard_normal(16)
+    vecs[10] = twin
+    vecs[11] = twin + 0.05 * rng.standard_normal(16)  # tight twin pair
+    df = spark.createDataFrame(
+        [(int(k), [float(x) for x in v]) for k, v in vecs.items()],
+        "vec_id long, v array<double>",
+    )
+    got = {(r.a, r.b): r.margin_u for r in margin_mining_pairs(
+        df, "v", "vec_id", threshold=0.1, k=4, margin_threshold=0.0
+    ).collect()}
+
+    def cos(x, y):
+        return round(float(np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y))), 6)
+
+    ids = sorted(vecs)
+    pairs = {(a, b): cos(vecs[a], vecs[b]) for a in ids for b in ids
+             if a < b and cos(vecs[a], vecs[b]) >= 0.1}
+    nbrs = {}
+    for s in ids:
+        cand = sorted(
+            ((c, d) for (a, b), c in pairs.items() for d in ((b,) if a == s else (a,) if b == s else ())),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        if cand:
+            # exact decimal mean of rounded cosines (both engines' recipe)
+            total = sum(int(round(c * 10**6)) for c, _ in cand)
+            nbrs[s] = (total / 10**6) / len(cand)
+    expect = {
+        (a, b): math.floor(c / ((nbrs[a] + nbrs[b]) * 0.5) * 1e6)
+        for (a, b), c in pairs.items()
+    }
+    assert got == expect and len(got) >= 5
+    # the tight twin pair outranks every hub-satellite pair by margin
+    twin_margin = got[(10, 11)]
+    hub_margins = [m for (a, b), m in got.items() if a == 0 or b == 0]
+    assert hub_margins and all(twin_margin > m for m in hub_margins)
