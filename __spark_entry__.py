@@ -3176,6 +3176,22 @@ def mutual_nn_q(spark, sf_dir):
     return out.orderBy("a", "b")
 
 
+def dsir_select_q(spark, sf_dir):
+    """DSIR importance weighting (operators/corpus.py dsir_weights): hashed-
+    bigram log-ratio weights of every document against the every-23rd-doc
+    target domain (the decontaminate_bench convention). The per-bucket
+    log-ratio is the pipeline's only float — one fixed IEEE tree floored to
+    integer micros — so doc weights are exact integer sums in both engines.
+    Documents never shuffle: (id, bucket) count rows do, and the <=4096-row
+    bucket table broadcast-joins back."""
+    from httrack2warc_spark.operators.corpus import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 23 == 0)
+    out = dsir_weights(docs, "text", "doc_id", target, n_buckets=4096)
+    return out.select("doc_id", "weight_micro").orderBy("doc_id")
+
+
 def margin_mining_q(spark, sf_dir):
     """Ratio-margin pair mining (operators/similarity.py
     margin_mining_pairs, Artetxe & Schwenk): pair kept iff its cosine
@@ -3297,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": tfidf_keywords_q,
         "mutual_nn": mutual_nn_q,
         "margin_mining": margin_mining_q,
+        "dsir_select": dsir_select_q,
         "bm25_rank": bm25_rank_q,
         "sorted_neighborhood": sorted_neighborhood_q,
         "decontaminate_bench": decontaminate_bench_q,
@@ -4660,6 +4677,50 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT doc_id, term, score FROM ranked
             WHERE rn <= 3 ORDER BY doc_id, term
+        """,
+        # dsir_select: hashed-bigram DSIR log-ratio weights vs the
+        # every-23rd-doc target; per-bucket ratio floored to integer micros,
+        # doc weight = exact integer sum of count*ratio_micro.
+        "dsir_select": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+                FROM toks,
+                     UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+                WHERE len(w) >= 2
+            ), bucketed AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+                FROM grams
+            ), doc_b AS (
+                SELECT doc_id, b, count(*) AS c FROM bucketed GROUP BY 1, 2
+            ), raw_b AS (
+                SELECT b, sum(c) AS cr FROM doc_b GROUP BY 1
+            ), tgt_b AS (
+                SELECT b, count(*) AS ct FROM bucketed
+                WHERE doc_id % 23 = 0 GROUP BY 1
+            ), totals AS (
+                SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM raw_b)
+                           + CAST(2048.0 AS DOUBLE) AS dr,
+                       (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM tgt_b)
+                           + CAST(2048.0 AS DOUBLE) AS dt
+            ), ratio AS (
+                SELECT r.b,
+                       CAST(floor((
+                           ln((CAST(coalesce(t.ct, 0) AS DOUBLE)
+                               + CAST(0.5 AS DOUBLE)) / s.dt)
+                           - ln((CAST(r.cr AS DOUBLE)
+                                 + CAST(0.5 AS DOUBLE)) / s.dr)
+                       ) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS rm
+                FROM raw_b r LEFT JOIN tgt_b t USING (b) CROSS JOIN totals s
+            )
+            SELECT d.doc_id, CAST(sum(d.c * x.rm) AS BIGINT) AS weight_micro
+            FROM doc_b d JOIN ratio x USING (b)
+            GROUP BY 1 ORDER BY doc_id
         """,
         # margin_mining: ratio margin over the brute-force candidate set —
         # rounded cosines, row_number top-4 neighborhood, exact DECIMAL mean,

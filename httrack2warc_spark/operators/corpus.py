@@ -33,6 +33,7 @@ __all__ = [
     "decontaminate",
     "dedup_paragraphs",
     "deterministic_sample",
+    "dsir_weights",
     "pack_sequences",
     "redact_pii",
     "repetition_topgram_stats",
@@ -595,3 +596,93 @@ def bm25_topk(
         F.floor(score * F.lit(1000000.0)).cast("long").alias("score_u"),
     )
     return scored.orderBy(F.col("score_u").desc(), F.col(id_col)).limit(k)
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: DataFrame,
+    target_text_col: str | None = None,
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection (DSIR, Xie et
+    al. 2023): score each document by how much its hashed-bigram
+    distribution looks like a TARGET domain versus the raw corpus —
+
+        weight(doc) = sum over doc's bigram buckets of
+                      count_doc(b) * [ln p_target(b) − ln p_raw(b)]
+
+    with add-``alpha`` smoothed bucket probabilities. Select by taking the
+    top-weighted documents (or resample proportionally) — the standard
+    pre-training recipe for "more like this seed set, please".
+
+    Determinism contract: the per-bucket log-ratio is the ONLY float in the
+    pipeline — one fixed-shape IEEE tree over integer counts and literal
+    totals, floored once to integer micros; doc weights are then exact
+    INTEGER sums (count × ratio_micro), immune to partial-sum order in both
+    engines. Buckets come from the md5 hash family (the cross-engine one).
+
+    Scale shape: documents never shuffle — only (id, bucket) and (bucket)
+    count rows do; the per-bucket log-ratio table is at most ``n_buckets``
+    rows and broadcast-joins back onto the doc-bucket counts; corpus/target
+    totals are two metadata-grade scalars folded into the expression as
+    literals.
+
+    Returns (id, weight_micro: long), one row per document with ≥1 bigram.
+    """
+    import math
+
+    target_text_col = target_text_col or text_col
+
+    def bigram_buckets(frame: DataFrame, col: str, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        # tokenize ONCE per row (materialized column — the _shingles_of
+        # lambda-body rationale), then zip the word array with its shift
+        with_w = frame.select(*cols, word_tokens(F.col(col)).alias("__w"))
+        w = F.col("__w")
+        grams = F.when(
+            F.size(w) >= 2,
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        out = with_w.select(*cols, F.explode(grams).alias("__g"))
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10)
+            .cast("long") % n_buckets
+        )
+        return out.select(*cols, bucket.alias("__b"))
+
+    doc_b = bigram_buckets(df, text_col, keep_id=True).groupBy(
+        id_col, "__b"
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    raw_b = doc_b.groupBy("__b").agg(F.sum("__c").alias("__cr"))
+    tgt_b = bigram_buckets(target, target_text_col, keep_id=False).groupBy(
+        "__b"
+    ).agg(F.count(F.lit(1)).alias("__ct"))
+
+    total_raw, = raw_b.select(F.coalesce(F.sum("__cr"), F.lit(0))).first()
+    total_tgt, = tgt_b.select(F.coalesce(F.sum("__ct"), F.lit(0))).first()
+    denom_raw = float(total_raw) + alpha * n_buckets
+    denom_tgt = float(total_tgt) + alpha * n_buckets
+
+    ratio = F.log(
+        (F.coalesce(F.col("__ct"), F.lit(0)).cast("double") + alpha)
+        / F.lit(denom_tgt)
+    ) - F.log((F.col("__cr").cast("double") + alpha) / F.lit(denom_raw))
+    bucket_ratio = (
+        raw_b.join(tgt_b, "__b", "left")
+        .select(
+            "__b",
+            F.floor(ratio * F.lit(1000000.0)).cast("long").alias("__rm"),
+        )
+    )
+    return (
+        doc_b.join(F.broadcast(bucket_ratio), "__b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__c") * F.col("__rm")).alias("weight_micro"))
+    )

@@ -360,3 +360,26 @@ def test_bm25_topk_partitioning_invariant(spark):
     a = bm25_topk(docs.repartition(1), "text", "id", ["alpha", "w2"], k=40)
     b = bm25_topk(docs.repartition(13, "id"), "text", "id", ["alpha", "w2"], k=40)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dsir_weights_prefers_target_domain(spark):
+    """DSIR: every target-domain document outweighs every off-domain one,
+    and weights are partitioning-invariant (integer-exact sums)."""
+    from httrack2warc_spark.operators.corpus import dsir_weights
+
+    spark_docs = [(i, f"spark shuffle partition executor stage task{i % 3} "
+                      "broadcast join codegen") for i in range(10)]
+    cook_docs = [(100 + i, f"butter flour sugar oven whisk bake{i % 3} "
+                           "dough cream") for i in range(10)]
+    docs = spark.createDataFrame(spark_docs + cook_docs,
+                                 "doc_id long, text string")
+    target = docs.where(F.col("doc_id") < 10)
+    w = {r.doc_id: r.weight_micro for r in dsir_weights(
+        docs, "text", "doc_id", target, n_buckets=256).collect()}
+    assert len(w) == 20
+    assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
+
+    w2 = {r.doc_id: r.weight_micro for r in dsir_weights(
+        docs.repartition(7, "doc_id"), "text", "doc_id",
+        target.repartition(3), n_buckets=256).collect()}
+    assert w == w2
