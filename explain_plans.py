@@ -172,6 +172,13 @@ def main() -> None:
         ("mutual_nn", "LSH equi-join candidates (no cartesian), directed "
          "edges are 24-byte rows: one argmax window exchange on src, one "
          "(src,dst) hash self-join for the mutuality test"),
+        ("margin_mining", "same LSH candidate path; ONE src exchange "
+         "serves the top-k window AND the neighborhood-mean aggregate "
+         "(WindowGroupLimit prunes before the mean); two narrow joins "
+         "attach the endpoint means"),
+        ("dsir_select", "documents never shuffle: (id, bucket) counts "
+         "partial-aggregate map-side, the <=n_buckets log-ratio table "
+         "BroadcastHashJoins back, doc weights are integer sums"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 
