@@ -3198,9 +3198,11 @@ def margin_mining_q(spark, sf_dir):
     exceeds 1.05x the mean of its endpoints' k=4 best-neighbor cosines —
     the hub-suppressing refinement over mutual_nn. The 0.25 candidate floor
     (vs mutual_nn's 0.45) admits multi-member neighborhoods so the margin
-    actually discriminates; LSH recall at the floor is deterministic given
-    the seed (miss probability ~2e-6/pair), so the bucketed set equals the
-    oracle's brute force at graded scale. Determinism stack:
+    actually discriminates; because 0.25 sits below the bits=2/32-table
+    exact-recall envelope documented for >= 0.45, this query doubles to
+    num_tables=64 (per-pair miss (1-(1-acos(0.25)/pi)^2)^64 ~ 4e-12), so
+    the bucketed candidate set equals the oracle's brute force with
+    recall-envelope-grade margin, not just fixture luck. Determinism stack:
     rounded cosines -> row_number top-k -> exact DECIMAL neighborhood mean
     -> floor(margin*1e6) BIGINT."""
     from httrack2warc_spark.operators.similarity import margin_mining_pairs
@@ -3209,7 +3211,8 @@ def margin_mining_q(spark, sf_dir):
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
     )
     out = margin_mining_pairs(
-        emb, "v", "vec_id", threshold=0.25, k=4, margin_threshold=1.05
+        emb, "v", "vec_id", threshold=0.25, k=4, margin_threshold=1.05,
+        num_tables=64,
     )
     return out.orderBy("a", "b")
 
@@ -3217,11 +3220,11 @@ def margin_mining_q(spark, sf_dir):
 def bm25_rank_q(spark, sf_dir):
     """Okapi BM25 retrieval ranking (operators/corpus.py bm25_topk): top-20
     documents for the 3-term query (customer, window, merge), k1=1.2 b=0.75.
-    Only query-term token hits shuffle; N/avgdl and the per-term document
-    frequencies collapse to literals, scoring is a codegen'd projection, and
-    the score ships as floor(score*1e6) BIGINT — per-term contributions add
-    in a FIXED order in both engines, so the doubles (and their floors) are
-    bit-identical."""
+    Only query-term token hits shuffle; N/avgdl fold to literals, the
+    <=3-row document-frequency table BroadcastHashJoins back so idf
+    evaluates in-plan (one action total), and each per-term contribution
+    floors to integer micros — the per-doc score is an exact INTEGER sum
+    in both engines."""
     from httrack2warc_spark.operators.corpus import bm25_topk
 
     docs = _t(spark, sf_dir, "documents")
@@ -4801,40 +4804,27 @@ def _oracle_sqls() -> dict[str, str]:
                 SELECT doc_id, len(w) AS dl, t.term
                 FROM toks, UNNEST(w) AS t(term)
                 WHERE t.term IN ('customer', 'window', 'merge')
-            ), per_doc AS (
-                SELECT doc_id, min(dl) AS dl,
-                       sum(CASE WHEN term = 'customer' THEN 1 ELSE 0 END) AS tf0,
-                       sum(CASE WHEN term = 'window'   THEN 1 ELSE 0 END) AS tf1,
-                       sum(CASE WHEN term = 'merge'    THEN 1 ELSE 0 END) AS tf2
-                FROM hits GROUP BY 1
-            ), dfs AS (
-                SELECT sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-                FROM per_doc
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+                FROM hits GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), contrib AS (
+                SELECT t.doc_id,
+                       CAST(floor(
+                           ln(CAST(1.0 AS DOUBLE)
+                              + (s.n - d.df + CAST(0.5 AS DOUBLE))
+                                / (d.df + CAST(0.5 AS DOUBLE)))
+                           * ((CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                              / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                                 * (CAST(0.25 AS DOUBLE)
+                                    + CAST(0.75 AS DOUBLE)
+                                      * (CAST(t.dl AS DOUBLE) / s.avgdl))))
+                           * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS cu
+                FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
             ), scored AS (
-                SELECT p.doc_id,
-                       CAST(floor((
-                         CASE WHEN p.tf0 > 0 THEN
-                           ln(CAST(1.0 AS DOUBLE) + (s.n - d.df0 + CAST(0.5 AS DOUBLE)) / (d.df0 + CAST(0.5 AS DOUBLE)))
-                           * ((CAST(p.tf0 AS DOUBLE) * CAST(2.2 AS DOUBLE))
-                              / (CAST(p.tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE)
-                                 * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(p.dl AS DOUBLE) / s.avgdl))))
-                         ELSE CAST(0.0 AS DOUBLE) END
-                         + CASE WHEN p.tf1 > 0 THEN
-                           ln(CAST(1.0 AS DOUBLE) + (s.n - d.df1 + CAST(0.5 AS DOUBLE)) / (d.df1 + CAST(0.5 AS DOUBLE)))
-                           * ((CAST(p.tf1 AS DOUBLE) * CAST(2.2 AS DOUBLE))
-                              / (CAST(p.tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE)
-                                 * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(p.dl AS DOUBLE) / s.avgdl))))
-                         ELSE CAST(0.0 AS DOUBLE) END
-                         + CASE WHEN p.tf2 > 0 THEN
-                           ln(CAST(1.0 AS DOUBLE) + (s.n - d.df2 + CAST(0.5 AS DOUBLE)) / (d.df2 + CAST(0.5 AS DOUBLE)))
-                           * ((CAST(p.tf2 AS DOUBLE) * CAST(2.2 AS DOUBLE))
-                              / (CAST(p.tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE)
-                                 * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(p.dl AS DOUBLE) / s.avgdl))))
-                         ELSE CAST(0.0 AS DOUBLE) END
-                       ) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_u
-                FROM per_doc p, stats s, dfs d
+                SELECT doc_id, CAST(sum(cu) AS BIGINT) AS score_u
+                FROM contrib GROUP BY 1
             ), ranked AS (
                 SELECT doc_id, score_u,
                        row_number() OVER (ORDER BY score_u DESC, doc_id) AS rn

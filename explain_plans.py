@@ -161,24 +161,28 @@ def main() -> None:
          "partial-aggregable pass; the coefficient is a codegen projection "
          "over the 5-row aggregate"),
         ("bm25_rank", "query-term filter BEFORE the explode-side aggregate: "
-         "only query-term hits shuffle (one partial+final HashAggregate on "
-         "doc_id with conditional per-term counts); N/avgdl/df are literals "
-         "so scoring is a codegen projection; TakeOrderedAndProject top-k, "
-         "no global sort"),
+         "only query-term hits shuffle (partial+final HashAggregate on "
+         "(doc_id, term) with map-side combine); the <=|q|-row df table "
+         "BroadcastHashJoins back so idf is in-plan, N/avgdl are literals, "
+         "per-term contributions floor to integer micros and sum exactly; "
+         "TakeOrderedAndProject top-k, no global sort"),
         ("sorted_neighborhood", "ONE hash exchange on the 2-char prefix "
          "block feeding the within-partition sort + lead() window walk — "
          "O(n·w) candidates, no self-join blowup; levenshtein in codegen "
          "on exploded candidates"),
-        ("mutual_nn", "LSH equi-join candidates (no cartesian), directed "
-         "edges are 24-byte rows: one argmax window exchange on src, one "
-         "(src,dst) hash self-join for the mutuality test"),
-        ("margin_mining", "same LSH candidate path; ONE src exchange "
-         "serves the top-k window AND the neighborhood-mean aggregate "
-         "(WindowGroupLimit prunes before the mean); two narrow joins "
-         "attach the endpoint means"),
+        ("mutual_nn", "LSH equi-join candidates (no cartesian) "
+         "materialized once (localCheckpoint), directed edges are 24-byte "
+         "rows: one argmax window exchange on src, one (src,dst) hash "
+         "self-join for the mutuality test"),
+        ("margin_mining", "candidate pairs materialize ONCE "
+         "(localCheckpoint below the union — branches would re-run the LSH "
+         "join per the CLAUDE.md union rule); ONE src exchange serves the "
+         "top-k window (WindowGroupLimit prunes before the mean); two "
+         "narrow joins attach the endpoint means"),
         ("dsir_select", "documents never shuffle: (id, bucket) counts "
-         "partial-aggregate map-side, the <=n_buckets log-ratio table "
-         "BroadcastHashJoins back, doc weights are integer sums"),
+         "partial-aggregate map-side and materialize ONCE (localCheckpoint "
+         "scans below), the <=n_buckets log-ratio table BroadcastHashJoins "
+         "back, doc weights are integer sums"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 

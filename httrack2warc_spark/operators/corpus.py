@@ -530,29 +530,27 @@ def bm25_topk(
         tfn(t,d)= tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
         score   = sum over query terms of idf * tfn
 
-    Cross-engine determinism (the value-hash contract): the per-document
-    score is ONE fixed-shape expression — per-term contributions added in
-    query_terms order, never a float groupBy-sum whose partial-sum order
-    the engine picks — so an ANSI oracle stating the identical IEEE tree
-    reproduces the double bit-for-bit, and the returned score is
-    ``floor(score × 10^6)`` as BIGINT: floor of identical doubles is
-    identical, with none of round()'s repr-boundary hazards.
+    Cross-engine determinism (the value-hash contract): each per-term
+    contribution is ONE fixed-shape IEEE expression over integer columns
+    (tf, df, dl) and two literals (N, avgdl) that an ANSI oracle states
+    verbatim, floored to integer micros PER TERM — the per-document score
+    is then an exact INTEGER sum, immune to partial-sum order in both
+    engines (the dsir_weights recipe).
 
-    Scale shape: tokens are filtered to the query vocabulary BEFORE the
-    per-document aggregation, so only query-term hits shuffle — a |q|-term
-    query over 100 TB shuffles O(hits), never O(tokens); the aggregation is
-    one groupBy(id) with |q| conditional counts (single exchange, map-side
-    partials). Document frequencies are |q| scalars off that same frame and
-    the corpus N/avgdl pair is one metadata-grade aggregate — both collapse
-    to literals in the scoring expression (the ``tfidf_topk`` n_docs
-    pattern), so scoring itself is a codegen'd projection. The global top-k
-    is TakeOrderedAndProject (per-partition heads, never a full sort).
+    Scale shape: the token stream filters to the query vocabulary BEFORE
+    the (id, term) aggregation, so only query-term hits shuffle — a
+    |q|-term query over 100 TB shuffles O(hits), never O(tokens) — with
+    map-side partial counts; the per-term document-frequency table is at
+    most |q| rows and BroadcastHashJoins back, so idf evaluates in-plan
+    (no second scan, no extra action). N/avgdl come from one
+    metadata-grade aggregate (the ``tfidf_topk`` n_docs pattern) — the
+    only job besides the returned plan; tokenization runs once per row
+    (materialized word array). The global top-k is TakeOrderedAndProject
+    (per-partition heads, never a full sort).
 
-    Returns (id, score_u) ranked on (score_u desc, id) — the oracle's exact
-    ordering key.
+    Returns (id, score_u) ranked on (score_u desc, id) — the oracle's
+    exact ordering key.
     """
-    import math
-
     n_docs, total_tokens = df.select(
         F.count(F.lit(1)),
         F.coalesce(F.sum(F.size(word_tokens(F.col(text_col)))), F.lit(0)),
@@ -560,40 +558,31 @@ def bm25_topk(
     avgdl = float(total_tokens) / float(n_docs) if n_docs else 1.0
 
     terms = list(query_terms)
-    toks = df.select(
+    with_w = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
+    toks = with_w.select(
         F.col(id_col),
-        F.size(word_tokens(F.col(text_col))).alias("__dl"),
-        F.explode(word_tokens(F.col(text_col))).alias("__term"),
+        F.size("__w").alias("__dl"),
+        F.explode("__w").alias("__term"),
     ).where(F.col("__term").isin(terms))
-    per_doc = toks.groupBy(id_col).agg(
-        F.first("__dl").alias("__dl"),
-        *[
-            F.sum((F.col("__term") == t).cast("long")).alias(f"__tf{i}")
-            for i, t in enumerate(terms)
-        ],
+    tf = toks.groupBy(id_col, "__term").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
     )
-    # |q| scalars: docs containing each term (metadata-grade collect)
-    dfs = per_doc.select(
-        *[
-            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"df{i}")
-            for i in range(len(terms))
-        ]
-    ).first()
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
 
-    dl_norm = 1.0 - b + b * (F.col("__dl").cast("double") / F.lit(avgdl))
-    score = F.lit(0.0)
-    for i in range(len(terms)):
-        df_t = int(dfs[i] or 0)
-        idf = math.log(1.0 + (float(n_docs) - df_t + 0.5) / (df_t + 0.5))
-        tf = F.col(f"__tf{i}").cast("double")
-        contrib = F.when(
-            F.col(f"__tf{i}") > 0,
-            F.lit(idf) * ((tf * (k1 + 1.0)) / (tf + k1 * dl_norm)),
-        ).otherwise(F.lit(0.0))
-        score = score + contrib
-    scored = per_doc.select(
-        id_col,
-        F.floor(score * F.lit(1000000.0)).cast("long").alias("score_u"),
+    idf = F.log(
+        1.0
+        + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tfn = (F.col("__tf").cast("double") * (k1 + 1.0)) / (
+        F.col("__tf").cast("double")
+        + k1 * (1.0 - b + b * (F.col("__dl").cast("double") / F.lit(avgdl)))
+    )
+    contrib_u = F.floor(idf * tfn * F.lit(1000000.0)).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .select(F.col(id_col), contrib_u.alias("__cu"))
+        .groupBy(id_col)
+        .agg(F.sum("__cu").alias("score_u"))
     )
     return scored.orderBy(F.col("score_u").desc(), F.col(id_col)).limit(k)
 
@@ -626,9 +615,11 @@ def dsir_weights(
 
     Scale shape: documents never shuffle — only (id, bucket) and (bucket)
     count rows do; the per-bucket log-ratio table is at most ``n_buckets``
-    rows and broadcast-joins back onto the doc-bucket counts; corpus/target
-    totals are two metadata-grade scalars folded into the expression as
-    literals.
+    rows and broadcast-joins back onto the doc-bucket counts. The gram
+    pipelines materialize exactly once (localCheckpoint on both count
+    aggregates) — the smoothing-total scalar jobs and the returned plan all
+    read the checkpoints, never re-tokenize; the totals then fold into the
+    ratio expression as literals.
 
     Returns (id, weight_micro: long), one row per document with ≥1 bigram.
     """
@@ -657,13 +648,18 @@ def dsir_weights(
         )
         return out.select(*cols, bucket.alias("__b"))
 
+    # both aggregates are consumed by TWO downstream readers each (the
+    # smoothing-total scalar job AND the returned plan), and the gram
+    # pipeline above them is the expensive part — localCheckpoint(eager)
+    # runs the tokenize+md5 work exactly once (the scheduler's materializer
+    # pattern; persist is not enough — see the CLAUDE.md cache-by-plan note)
     doc_b = bigram_buckets(df, text_col, keep_id=True).groupBy(
         id_col, "__b"
-    ).agg(F.count(F.lit(1)).alias("__c"))
+    ).agg(F.count(F.lit(1)).alias("__c")).localCheckpoint(eager=True)
     raw_b = doc_b.groupBy("__b").agg(F.sum("__c").alias("__cr"))
     tgt_b = bigram_buckets(target, target_text_col, keep_id=False).groupBy(
         "__b"
-    ).agg(F.count(F.lit(1)).alias("__ct"))
+    ).agg(F.count(F.lit(1)).alias("__ct")).localCheckpoint(eager=True)
 
     total_raw, = raw_b.select(F.coalesce(F.sum("__cr"), F.lit(0))).first()
     total_tgt, = tgt_b.select(F.coalesce(F.sum("__ct"), F.lit(0))).first()

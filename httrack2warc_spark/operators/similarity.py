@@ -265,6 +265,48 @@ def ivf_topk(
     )
 
 
+def _rounded_candidates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    bits: int,
+    num_tables: int,
+    seed: int,
+    max_bucket_size: int | None,
+    round_digits: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate stage for the pair-mining family: LSH-bucketed
+    pairs with cosine rounded to ``round_digits`` and filtered on the
+    ROUNDED value (pre-filter epsilon = half an ulp at that grain, so a
+    raw cosine that rounds up to the floor is never lost), then
+    ``localCheckpoint(eager=True)`` — the pairs frame feeds a union (whose
+    branches would re-run the whole LSH join + cosine fold per branch, the
+    CLAUDE.md union rule) and at least one later join-back, so it is
+    materialized ONCE. Returns (pairs(a, b, __cos), directed(__src, __dst,
+    __cos)); candidate pairs are narrow 24-byte rows, so the checkpoint is
+    tiny relative to the work it deduplicates.
+    """
+    from .dedup import embedding_neardup_lsh
+
+    eps = 0.5 * 10.0 ** (-round_digits)
+    pairs = embedding_neardup_lsh(
+        df, vec_col, id_col, threshold=threshold - eps, bits=bits,
+        num_tables=num_tables, seed=seed, max_bucket_size=max_bucket_size,
+    ).select(
+        "a", "b", F.round("cosine", round_digits).alias("__cos")
+    ).where(F.col("__cos") >= threshold).localCheckpoint(eager=True)
+
+    directed = pairs.select(
+        F.col("a").alias("__src"), F.col("b").alias("__dst"), "__cos"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("__src"), F.col("a").alias("__dst"), "__cos"
+        )
+    )
+    return pairs, directed
+
+
 def mutual_nn_pairs(
     df: DataFrame,
     vec_col: str,
@@ -291,25 +333,14 @@ def mutual_nn_pairs(
     rounded-value key the oracle states, so rounded ties break identically
     cross-engine (the lsh_ann precedent).
 
-    Shuffle profile: directed edges are (src, dst, cos) 24-byte rows; one
-    exchange on src for the per-source argmax window, one self-join on the
-    (src, dst) 16-byte key for the mutuality test.
+    Shuffle profile: the candidate stage materializes once
+    (``_rounded_candidates``); directed edges are (src, dst, cos) 24-byte
+    rows — one exchange on src for the per-source argmax window, one
+    self-join on the (src, dst) 16-byte key for the mutuality test.
     """
-    from .dedup import embedding_neardup_lsh
-
-    pairs = embedding_neardup_lsh(
-        df, vec_col, id_col, threshold=threshold - 1e-6, bits=bits,
-        num_tables=num_tables, seed=seed, max_bucket_size=max_bucket_size,
-    ).select(
-        "a", "b", F.round("cosine", round_digits).alias("__cos")
-    ).where(F.col("__cos") >= threshold)
-
-    directed = pairs.select(
-        F.col("a").alias("__src"), F.col("b").alias("__dst"), "__cos"
-    ).unionByName(
-        pairs.select(
-            F.col("b").alias("__src"), F.col("a").alias("__dst"), "__cos"
-        )
+    _, directed = _rounded_candidates(
+        df, vec_col, id_col, threshold, bits, num_tables, seed,
+        max_bucket_size, round_digits,
     )
     w = Window.partitionBy("__src").orderBy(
         F.col("__cos").desc(), F.col("__dst")
@@ -364,27 +395,14 @@ def margin_mining_pairs(
     the final margin ships as floor(margin × 10^6) BIGINT. Every float op
     is one fixed-shape IEEE tree an ANSI oracle states verbatim.
 
-    Scale shape: same as ``mutual_nn_pairs`` — LSH equi-join candidates
-    (exact recall at the default sizing for cosine ≥ 0.45), 24-byte
-    directed edges, ONE exchange on src serving both the top-k window and
-    the neighborhood aggregate, then two narrow joins to attach the two
-    endpoint means.
+    Scale shape: same as ``mutual_nn_pairs`` — the candidate stage
+    materializes once (``_rounded_candidates``), ONE exchange on src serves
+    both the top-k window and the neighborhood aggregate, then two narrow
+    joins attach the two endpoint means.
     """
-    from .dedup import embedding_neardup_lsh
-
-    pairs = embedding_neardup_lsh(
-        df, vec_col, id_col, threshold=threshold - 1e-6, bits=bits,
-        num_tables=num_tables, seed=seed, max_bucket_size=max_bucket_size,
-    ).select(
-        "a", "b", F.round("cosine", round_digits).alias("__cos")
-    ).where(F.col("__cos") >= threshold)
-
-    directed = pairs.select(
-        F.col("a").alias("__src"), F.col("b").alias("__dst"), "__cos"
-    ).unionByName(
-        pairs.select(
-            F.col("b").alias("__src"), F.col("a").alias("__dst"), "__cos"
-        )
+    pairs, directed = _rounded_candidates(
+        df, vec_col, id_col, threshold, bits, num_tables, seed,
+        max_bucket_size, round_digits,
     )
     w = Window.partitionBy("__src").orderBy(
         F.col("__cos").desc(), F.col("__dst")
@@ -411,5 +429,5 @@ def margin_mining_pairs(
             "b",
             F.floor(margin * F.lit(1000000.0)).cast("long").alias("margin_u"),
         )
-        .where(F.col("margin_u") >= int(margin_threshold * 1000000))
+        .where(F.col("margin_u") >= int(round(margin_threshold * 1000000)))
     )
