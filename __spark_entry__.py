@@ -3256,6 +3256,73 @@ def sorted_neighborhood_q(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def substring_dedup_q(spark, sf_dir):
+    """Substring-level duplication audit (operators/corpus.py
+    substring_dup_spans, the ExactSubstr signal of Lee et al. 2022): per
+    document, how many of its distinct 8-token windows also occur in some
+    OTHER document — the curation signal for shared boilerplate/licence
+    blocks that document-level MinHash misses. Pure integer counts keyed on
+    the 60-bit md5 prefix (the cross-engine hash family); documents never
+    shuffle, only 16-byte (span_hash, doc_id) rows."""
+    from httrack2warc_spark.operators.corpus import substring_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = substring_dup_spans(docs, "text", "doc_id", window_tokens=8)
+    return out.orderBy("doc_id")
+
+
+def lm_quality_q(spark, sf_dir):
+    """Unigram-LM quality scoring (operators/corpus.py unigram_logprob, the
+    CCNet recipe with a unigram LM standing in for KenLM): every document's
+    log-probability under a model trained on the every-7th-doc reference
+    slice, add-0.5 smoothing, OOV = the c_ref=0 value. The per-word log-prob
+    is the only float — one fixed IEEE tree floored to integer micros — so
+    doc scores are exact integer sums in both engines; (sum, n_tokens) ship
+    instead of the mean so no quotient rounding enters the value check."""
+    from httrack2warc_spark.operators.corpus import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    out = unigram_logprob(docs, "text", "doc_id", ref, alpha=0.5)
+    return out.orderBy("doc_id")
+
+
+def semdedup_q(spark, sf_dir):
+    """Semantic dedup (operators/similarity.py semdedup, Abbas et al.
+    2023): 8 deterministic md5-sampled centroids, argmax rounded-cosine
+    assignment (ties to the lowest centroid rank), within-cluster cosine
+    >= 0.7 to a lower-id member marks a duplicate. Clustering bounds the
+    pair quadratic to n^2/k; assignment is map-only (centroid matrix folds
+    into the plan), the one shuffle keys on the cluster id."""
+    from httrack2warc_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = semdedup(emb, "v", "vec_id", n_clusters=8, tau=0.7)
+    return out.orderBy("vec_id")
+
+
+def sq8_ann_q(spark, sf_dir):
+    """Scalar-quantized int8 ANN (operators/similarity.py sq8_topk, the
+    faiss SQ8 layout): per-vector symmetric quantization floor(x/max|x|*127
+    + 0.5), ranking on the raw INTEGER dot product — 4x smaller resident
+    index, integer multiply-adds, and scores that hash bit-for-bit (no
+    float-summation order anywhere). Top-10 for the vec_id-0 query."""
+    from httrack2warc_spark.operators.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("v")
+    )
+    out = sq8_topk(emb.where(F.col("vec_id") != 0), q, "v", "vec_id", k=10)
+    return out.select("vec_id", "qdot").orderBy(
+        F.col("qdot").desc(), "vec_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -3319,6 +3386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": dsir_select_q,
         "bm25_rank": bm25_rank_q,
         "sorted_neighborhood": sorted_neighborhood_q,
+        "substring_dedup": substring_dedup_q,
+        "lm_quality": lm_quality_q,
+        "semdedup": semdedup_q,
+        "sq8_ann": sq8_ann_q,
         "decontaminate_bench": decontaminate_bench_q,
         "paragraph_dedup": paragraph_dedup_q,
         "pack_sequences": pack_sequences_q,
@@ -4832,6 +4903,113 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT doc_id, score_u FROM ranked WHERE rn <= 20
             ORDER BY doc_id
+        """,
+        # substring_dedup: per-doc distinct 8-token windows shared with
+        # another document — integer counts on the 60-bit md5 span key.
+        "substring_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), spans AS (
+                SELECT DISTINCT doc_id,
+                       CAST(('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))
+                            AS BIGINT) AS h
+                FROM toks,
+                     UNNEST(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+                WHERE len(w) >= 8
+            ), shared AS (
+                SELECT h FROM spans GROUP BY h HAVING count(*) >= 2
+            )
+            SELECT doc_id,
+                   CAST(count(*) FILTER (h IN (SELECT h FROM shared)) AS BIGINT)
+                       AS dup_spans,
+                   CAST(count(*) AS BIGINT) AS total_spans
+            FROM spans GROUP BY doc_id ORDER BY doc_id
+        """,
+        # lm_quality: unigram-LM log-prob under the every-7th-doc reference,
+        # add-0.5 smoothing; per-word ln floored to micros (one fixed IEEE
+        # tree), doc score = exact integer sum of count*lp_micro.
+        "lm_quality": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), doc_w AS (
+                SELECT doc_id, t AS tok, count(*) AS c
+                FROM toks, UNNEST(w) AS u(t) GROUP BY 1, 2
+            ), ref_w AS (
+                SELECT t AS tok, count(*) AS cr
+                FROM toks, UNNEST(w) AS u(t) WHERE doc_id % 7 = 0 GROUP BY 1
+            ), totals AS (
+                SELECT (SELECT CAST(coalesce(sum(cr), 0) AS DOUBLE) FROM ref_w)
+                       + CAST(0.5 AS DOUBLE)
+                         * (SELECT CAST(count(*) AS DOUBLE) FROM ref_w) AS denom
+            ), lp AS (
+                SELECT d.tok,
+                       CAST(floor(ln((CAST(coalesce(r.cr, 0) AS DOUBLE)
+                                      + CAST(0.5 AS DOUBLE)) / s.denom)
+                                  * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lm
+                FROM (SELECT DISTINCT tok FROM doc_w) d
+                LEFT JOIN ref_w r USING (tok) CROSS JOIN totals s
+            )
+            SELECT doc_id, CAST(sum(c * lm) AS BIGINT) AS logprob_micro,
+                   CAST(sum(c) AS BIGINT) AS n_tokens
+            FROM doc_w JOIN lp USING (tok) GROUP BY 1 ORDER BY doc_id
+        """,
+        # semdedup: 8 md5-sampled centroids, argmax rounded-cosine
+        # assignment (tie -> lowest rank), within-cluster cos >= 0.7 to a
+        # lower id marks a duplicate.
+        "semdedup": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), cents AS (
+                SELECT vec_id, e,
+                       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                          vec_id) - 1 AS r
+                FROM v QUALIFY r < 8
+            ), assigned AS (
+                SELECT v.vec_id, v.e, c.r AS cluster,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY round(list_cosine_similarity(v.e, c.e), 6)
+                                        DESC, c.r) AS rn
+                FROM v CROSS JOIN cents c QUALIFY rn = 1
+            ), dups AS (
+                SELECT DISTINCT y.vec_id
+                FROM assigned x JOIN assigned y
+                  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.7
+            )
+            SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+                   a.vec_id IN (SELECT vec_id FROM dups) AS is_dup
+            FROM assigned a ORDER BY vec_id
+        """,
+        # sq8_ann: faiss-SQ8 scalar quantization floor(x/max|x|*127+0.5),
+        # integer dot-product ranking — exact BIGINT scores, no float sums.
+        "sq8_ann": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), qv AS (
+                SELECT vec_id,
+                       list_transform(e, x -> CAST(floor(
+                           x / greatest(list_max(list_transform(e, y -> abs(y))),
+                                        1e-300)
+                           * CAST(127.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                           AS BIGINT)) AS q
+                FROM v
+            ), scored AS (
+                SELECT c.vec_id,
+                       CAST((SELECT sum(c.q[i] * qq.q[i])
+                             FROM UNNEST(generate_series(1, len(c.q))) AS t(i))
+                            AS BIGINT) AS qdot
+                FROM qv c, (SELECT q FROM qv WHERE vec_id = 0) qq
+                WHERE c.vec_id <> 0
+            )
+            SELECT vec_id, qdot FROM scored
+            ORDER BY qdot DESC, vec_id LIMIT 10
         """,
         # sorted_neighborhood: merge/purge candidate pairs — records sort by
         # 24-char lowercased title inside 2-char-prefix partitions, each

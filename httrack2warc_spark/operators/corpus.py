@@ -38,7 +38,9 @@ __all__ = [
     "redact_pii",
     "repetition_topgram_stats",
     "stratified_sample",
+    "substring_dup_spans",
     "tfidf_topk",
+    "unigram_logprob",
 ]
 
 #: (name, pattern, replacement) applied IN ORDER — counts for category i are
@@ -681,4 +683,163 @@ def dsir_weights(
         doc_b.join(F.broadcast(bucket_ratio), "__b")
         .groupBy(id_col)
         .agg(F.sum(F.col("__c") * F.col("__rm")).alias("weight_micro"))
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Substring-level duplication audit (the ExactSubstr signal of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    restated over fixed-width token windows): a ``window_tokens``-token span
+    is *duplicated* when the identical span occurs in at least one OTHER
+    document. Per document, report how many of its distinct spans are
+    duplicated — the pre-training curation signal for boilerplate/licence
+    blocks that document-level MinHash misses (two long documents sharing
+    one paragraph have tiny Jaccard but a screaming span count).
+
+    Determinism contract: outputs are pure INTEGER counts of distinct
+    window strings — no floats anywhere. Spans key on the top-60-bits of
+    md5 (the cross-engine hash family); a 60-bit collision would perturb
+    counts identically in any engine applying the same hash, so oracle
+    equality is unconditional.
+
+    Scale shape: documents never shuffle. The only wide exchange carries
+    (span_hash: long, doc_id) rows — 16 bytes each, one per DISTINCT span
+    per document. The shared-span table aggregates with map-side partial
+    counts (hot boilerplate spans collapse per-partition before the
+    exchange), and distinct-doc counting per span needs only ≥2, so the
+    aggregate is a bounded count over pre-deduped (hash, doc) pairs.
+
+    Returns (id, dup_spans, total_spans), one row per document with ≥1 span
+    (documents shorter than ``window_tokens`` tokens have none).
+    """
+    w = F.col("__w")
+    n_spans = F.size(w) - window_tokens + 1
+    spans = F.transform(
+        F.sequence(F.lit(1), n_spans),
+        lambda i: F.array_join(F.slice(w, i, window_tokens), " "),
+    )
+    doc_spans = (
+        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
+        .where(F.size(w) >= window_tokens)
+        .select(F.col(id_col), F.explode(spans).alias("__s"))
+        .select(
+            id_col,
+            # 60-bit md5 prefix: lean 8-byte shuffle key, reproducible in
+            # any engine with md5 (15 hex digits < 2^63, no sign wrap)
+            F.conv(F.substring(F.md5(F.col("__s")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("__h"),
+        )
+        .distinct()
+    )
+    shared = (
+        doc_spans.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .where(F.col("__docs") >= 2)
+        .select("__h")
+    )
+    return (
+        doc_spans.join(shared, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+        .join(
+            doc_spans.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("total_spans")
+            ),
+            id_col,
+            "right",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("dup_spans"), F.lit(0)).alias("dup_spans"),
+            "total_spans",
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    reference: DataFrame,
+    reference_text_col: str | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Language-model quality scoring (the CCNet recipe, Wenzek et al.
+    2020, with a unigram LM standing in for KenLM): score every document by
+    its log-probability under a model trained on a REFERENCE slice —
+    low-probability documents are gibberish/boilerplate candidates, and the
+    per-token normalized score is the standard quality-bucket key
+    (head/middle/tail) for pre-training curation.
+
+        logp(doc) = sum over tokens w of ln((c_ref(w) + alpha) / (T + alpha*V))
+
+    with add-``alpha`` smoothing over the reference vocabulary of size V and
+    total token count T; out-of-vocabulary tokens take the c_ref = 0 value.
+
+    Determinism contract (the dsir_weights recipe): the per-WORD log-prob is
+    the only float — one fixed-shape IEEE tree over an integer count and
+    literal totals, floored once to integer micros. Document scores are then
+    exact INTEGER sums (count x logp_micro), immune to partial-sum order in
+    any engine. Ship (logprob_micro, n_tokens) instead of a quotient so the
+    mean-per-token division (the one rounding hazard) never happens inside
+    the value-checked surface.
+
+    Scale shape: documents never shuffle — (id, word) count rows do (one
+    exchange), and the reference-vocabulary logp table joins back on the
+    word key (broadcast when the vocab fits, shuffle-hash otherwise; hot
+    function words are fine either way because the doc-side is already
+    aggregated per document). The reference count aggregate materializes
+    once (localCheckpoint) and feeds both the T/V scalar job and the join.
+
+    Returns (id, logprob_micro: long, n_tokens: long), one row per document
+    with >= 1 token.
+    """
+    reference_text_col = reference_text_col or text_col
+
+    doc_w = (
+        df.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ref_w = (
+        reference.select(
+            F.explode(word_tokens(F.col(reference_text_col))).alias("__t")
+        )
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+        .localCheckpoint(eager=True)
+    )
+    total, vocab = ref_w.select(
+        F.coalesce(F.sum("__cr"), F.lit(0)), F.count(F.lit(1))
+    ).first()
+    denom = float(total) + alpha * float(vocab)
+
+    # one fixed IEEE tree for in-vocab AND OOV words: coalesce(c, 0) feeds
+    # the same ln((c + alpha)/denom) expression (the dsir_weights recipe —
+    # each engine evaluates its own ln, never a Python-libm literal)
+    logp = F.log(
+        (F.coalesce(F.col("__cr"), F.lit(0)).cast("double") + alpha)
+        / F.lit(denom)
+    )
+    word_logp = ref_w.select(
+        "__t", F.floor(logp * F.lit(1000000.0)).cast("long").alias("__lm")
+    )
+    oov = F.floor(
+        F.log(F.lit(alpha) / F.lit(denom)) * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        doc_w.join(F.broadcast(word_logp), "__t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("__c") * F.coalesce(F.col("__lm"), oov)
+            ).alias("logprob_micro"),
+            F.sum("__c").alias("n_tokens"),
+        )
     )

@@ -28,7 +28,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
-__all__ = ["cosine", "brute_force_topk", "lsh_ann_topk", "ivf_topk", "margin_mining_pairs", "mutual_nn_pairs"]
+__all__ = [
+    "cosine",
+    "brute_force_topk",
+    "lsh_ann_topk",
+    "ivf_topk",
+    "margin_mining_pairs",
+    "mutual_nn_pairs",
+    "semdedup",
+    "sq8_topk",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -430,4 +439,163 @@ def margin_mining_pairs(
             F.floor(margin * F.lit(1000000.0)).cast("long").alias("margin_u"),
         )
         .where(F.col("margin_u") >= int(round(margin_threshold * 1000000)))
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 8,
+    tau: float = 0.7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space, then mark a vector as a semantic duplicate when it has
+    cosine ≥ ``tau`` to a LOWER-id member of the SAME cluster (keep-lowest
+    convention, matching the exact-dedup family). Clustering bounds the
+    quadratic: instead of n² pair cosines, only within-cluster pairs are
+    scored — E[pairs] ≈ n²/k for k balanced clusters, so k is the pair
+    budget (the paper sizes k ∝ n so cluster size, and therefore per-reduce
+    work, stays constant as the corpus grows).
+
+    Determinism contract: centroids are the ``n_clusters`` corpus rows with
+    the smallest (md5(id), id) key — the cross-engine hash family, so any
+    SQL engine picks the identical seed set. Assignment = argmax of
+    round(cosine, ``round_digits``) with ties to the lowest centroid rank;
+    the dup test uses the same rounded grain. Booleans and integer cluster
+    ids hash exactly.
+
+    Scale shape: assignment is map-only — the (k × dim) centroid matrix
+    folds into the plan as literal arrays (k ≤ a few hundred; beyond that
+    use ``ivf_topk``'s batch-matmul UDF), so vectors are scanned once with
+    no exchange. The only shuffle keys on the cluster id for the
+    within-cluster self-join; a pathologically hot cluster is the
+    ``max_bucket_size`` analogue from the LSH family — re-cluster with
+    larger k rather than cap, since the cap would change which duplicates
+    exist.
+
+    Returns (id, cluster: int, is_dup: boolean), one row per input vector.
+    """
+    cents = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    )  # TakeOrderedAndProject: per-partition heap + driver merge, no sort
+
+    def _lit_vec(values) -> Column:
+        return F.array(*[F.lit(float(x)) for x in values])
+
+    v = F.col(vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(cosine(v, _lit_vec(r[1])), round_digits).alias("c"),
+                F.lit(-rank).alias("nr"),
+            )
+            for rank, r in enumerate(cents)
+        ]
+    )
+    members = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        (-F.array_max(scored)["nr"]).cast("int").alias("cluster"),
+    ).localCheckpoint(eager=True)  # consumed by both join sides + output —
+    # materialize the scan+assignment once (the union/among-branches rule)
+
+    left = members.select(
+        F.col(id_col).alias("__a"), F.col("__v").alias("__va"), "cluster"
+    )
+    right = members.select(
+        F.col(id_col).alias("__b"), F.col("__v").alias("__vb"), "cluster"
+    )
+    dup_ids = (
+        left.join(right, "cluster")
+        .where(F.col("__a") < F.col("__b"))
+        .where(
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
+            >= F.lit(tau)
+        )
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+    )
+    return members.join(
+        dup_ids.withColumn("__d", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Scalar-quantized (int8) similarity search — the memory-side scale
+    lever the float ops don't cover: each vector is quantized once to
+    ``floor(x / max|x| * 127 + 0.5)`` per dimension (per-vector symmetric
+    scale, the faiss SQ8 layout), cutting the resident index 4× vs float32
+    and turning the scoring loop into pure integer multiply-adds. Ranking
+    uses the raw integer dot product of the quantized vectors — monotone in
+    cosine for unit-norm inputs up to quantization error, and the exactness
+    story is better than float: INTEGER dot products have no summation-
+    order hazard at all, so scores hash bit-for-bit in any engine applying
+    the same quantizer (floor of an identical IEEE tree).
+
+    Scale shape: quantization is map-only (array_transform, codegen'd); the
+    query side broadcasts (the documented brute-force-baseline cross shape,
+    as ``brute_force_topk``); per-query top-k is a window over the scored
+    stream. For corpus-scale candidate pruning, compose with ``ivf_topk``
+    cells or ``lsh_ann_topk`` buckets and re-rank those candidates here.
+
+    Returns (query_id, id, qdot: long) — top ``k`` per query by
+    (qdot desc, id asc).
+    """
+
+    def _quantize(col: Column) -> Column:
+        # the scale tree (array_max over abs) must NOT sit in the lambda
+        # body — HOF bodies re-evaluate per element and CollapseProject
+        # re-inlines staged columns, so ship it in ARGUMENT position via
+        # array_repeat + zip_with (the shifted-shingles pattern): evaluated
+        # once per vector, not once per dimension
+        scale = F.greatest(
+            F.array_max(F.transform(col, lambda x: F.abs(x))),
+            F.lit(1e-300),
+        )
+        return F.zip_with(
+            col,
+            F.array_repeat(scale, F.size(col)),
+            lambda x, s: F.floor(x / s * F.lit(127.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), _quantize(F.col(vec_col)).alias("__qq")
+        )
+    )
+    c = corpus.select(F.col(id_col), _quantize(F.col(vec_col)).alias("__qc"))
+    scored = c.crossJoin(q).select(
+        query_id_col,
+        id_col,
+        F.aggregate(
+            F.zip_with(F.col("__qq"), F.col("__qc"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("qdot").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("__r")
     )

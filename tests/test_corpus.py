@@ -383,3 +383,64 @@ def test_dsir_weights_prefers_target_domain(spark):
         docs.repartition(7, "doc_id"), "text", "doc_id",
         target.repartition(3), n_buckets=256).collect()}
     assert w == w2
+
+
+def test_substring_dup_spans_shared_block(spark):
+    block = " ".join(f"s{i}" for i in range(8))  # one shared 8-token window
+    docs = spark.createDataFrame(
+        [(1, block + " aaa bbb"),          # block + 2 unique tails
+         (2, "xxx yyy " + block),          # block + 2 unique heads
+         (3, " ".join(f"u{i}" for i in range(9))),  # all-unique spans
+         (4, "too short")],                # < 8 tokens: no row
+        "id long, text string",
+    )
+    from httrack2warc_spark.operators.corpus import substring_dup_spans
+
+    out = {
+        r.id: (r.dup_spans, r.total_spans)
+        for r in substring_dup_spans(docs, "text", "id", 8).collect()
+    }
+    # doc 1: 3 windows (s0..s7, s1..s7 aaa, s2..s7 aaa bbb) — only the
+    # first also occurs in doc 2; same shape mirrored for doc 2
+    assert out[1] == (1, 3)
+    assert out[2] == (1, 3)
+    assert out[3] == (0, 2)
+    assert 4 not in out
+
+
+def test_substring_dup_spans_distinct_within_doc(spark):
+    # a window repeated INSIDE one document only is not a duplicate —
+    # span sets are per-doc distinct and sharing needs >= 2 documents
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, rep + " " + rep)], "id long, text string"
+    )
+    from httrack2warc_spark.operators.corpus import substring_dup_spans
+
+    row, = substring_dup_spans(docs, "text", "id", 8).collect()
+    # 9 window positions, but position 9 repeats position 1 (r0..r7):
+    # 8 DISTINCT spans, none shared with another document
+    assert row.dup_spans == 0 and row.total_spans == 8
+
+
+def test_unigram_logprob_exact_integers(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"),      # reference doc: c(a)=2 c(b)=1, T=3 V=2
+         (1, "a b"),
+         (2, "a zzz")],     # zzz is OOV
+        "id long, text string",
+    )
+    from httrack2warc_spark.operators.corpus import unigram_logprob
+
+    ref = docs.where(F.col("id") == 0)
+    out = {
+        r.id: (r.logprob_micro, r.n_tokens)
+        for r in unigram_logprob(docs, "text", "id", ref, alpha=0.5).collect()
+    }
+    denom = 3.0 + 0.5 * 2
+    lp = lambda c: math.floor(math.log((c + 0.5) / denom) * 1e6)
+    assert out[0] == (2 * lp(2) + lp(1), 3)
+    assert out[1] == (lp(2) + lp(1), 2)
+    assert out[2] == (lp(2) + lp(0), 2)  # OOV takes the c=0 tree

@@ -600,3 +600,86 @@ def test_margin_mining_suppresses_hubs(spark):
     twin_margin = got[(10, 11)]
     hub_margins = [m for (a, b), m in got.items() if a == 0 or b == 0]
     assert hub_margins and all(twin_margin > m for m in hub_margins)
+
+
+def test_semdedup_known_clusters(spark):
+    from httrack2warc_spark.operators.similarity import semdedup
+
+    # two well-separated directions; ids 1/2/3 are near-copies of each
+    # other, id 4 is alone on the second axis, id 5 is a near-copy of 4
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.998, 0.02, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.01, 0.999, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    out = {r.vec_id: (r.cluster, r.is_dup)
+           for r in semdedup(emb, "v", "vec_id", n_clusters=2, tau=0.9).collect()}
+    # keep-lowest: the smallest id in each near-dup group survives
+    c_a = out[1][0]
+    assert out[1] == (c_a, False)
+    assert out[2] == (c_a, True) and out[3] == (c_a, True)
+    c_b = out[4][0]
+    assert c_b != c_a
+    assert out[4] == (c_b, False) and out[5] == (c_b, True)
+
+
+def test_semdedup_cross_cluster_pairs_not_compared(spark):
+    from httrack2warc_spark.operators.similarity import semdedup
+
+    # identical vectors forced into different clusters are NOT marked —
+    # SemDeDup's contract is within-cluster only (the pair budget bound)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, v array<double>"
+    )
+    out = semdedup(emb, "v", "vec_id", n_clusters=2, tau=0.0)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert rows[1].cluster != rows[2].cluster
+    # orthogonal vectors: cos = 0 >= tau 0.0 would dup within a cluster,
+    # but they live in different clusters, so both survive
+    assert not rows[1].is_dup and not rows[2].is_dup
+
+
+def test_sq8_quantization_and_integer_dot(spark):
+    from httrack2warc_spark.operators.similarity import sq8_topk
+
+    # scale = max|x| per vector; q = floor(x/scale*127 + 0.5)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, -0.5]),   # q = [127, floor(-63.0)] = [127, -63]
+         (2, [0.5, 0.5]),    # q = [127, 127]
+         (3, [0.0, 0.0])],   # zero vector: guard scale, q = [0, 0]
+        "vec_id long, v array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [2.0, 2.0])], "query_id long, v array<double>"
+    )  # q = [127, 127]
+    out = sq8_topk(corpus, queries, "v", "vec_id", k=3)
+    got = {r.vec_id: r.qdot for r in out.collect()}
+    assert got == {1: 127 * 127 - 63 * 127, 2: 2 * 127 * 127, 3: 0}
+
+
+def test_sq8_matches_brute_force_order_on_unit_norms(spark):
+    import numpy as np
+
+    from httrack2warc_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("v")
+    )
+    c = emb.where(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in brute_force_topk(c, q, "v", "vec_id", k=5).collect()]
+    sq8 = [r.vec_id for r in sq8_topk(c, q, "v", "vec_id", k=5).collect()]
+    # int8 quantization preserves the top neighbours on unit-norm data
+    # (recall@5 >= 4/5 for this seed; the top-1 must survive exactly)
+    assert sq8[0] == exact[0]
+    assert len(set(sq8) & set(exact)) >= 4

@@ -21,6 +21,10 @@ SKIP = {
     "dedup_components", # iterative: executes jobs during construction
     "pagerank",         # iterative: executes jobs during construction
     "ivf_ann",          # collects centroids while building
+    "semdedup",         # collects centroids + checkpoints while building
+    "sq8_ann",          # documented brute-force baseline: broadcast cross
+                        # join (the embedding_topk shape; compose with
+                        # ivf/lsh candidates for corpus-scale pruning)
     "pack_sequences",   # 1-ROW broadcast total-token cutoff: the aggregate
                         # side of the BNLJ has exactly one row (an equi-join
                         # on a literal key constant-folds back to cross), so
