@@ -707,12 +707,18 @@ def substring_dup_spans(
     counts identically in any engine applying the same hash, so oracle
     equality is unconditional.
 
-    Scale shape: documents never shuffle. The only wide exchange carries
-    (span_hash: long, doc_id) rows — 16 bytes each, one per DISTINCT span
-    per document. The shared-span table aggregates with map-side partial
-    counts (hot boilerplate spans collapse per-partition before the
-    exchange), and distinct-doc counting per span needs only ≥2, so the
-    aggregate is a bounded count over pre-deduped (hash, doc) pairs.
+    Scale shape: documents are scanned and tokenized exactly ONCE — the
+    naive shape (shared-span aggregate + semi-join + total-count join)
+    consumes the span pipeline three times and Spark re-derives a common
+    subtree per consumer (the CLAUDE.md union rule), tripling the expensive
+    tokenize+md5 scan. Instead, one EXPLICIT repartition on the span hash
+    satisfies the clustering requirement of all three downstream steps
+    ([h] ⊆ [id, h]): the per-doc distinct, the per-span doc count (a window
+    over the same h partitioning — zero further exchange), and then one
+    final exchange on the doc id for the per-document rollup. Wide traffic
+    is only (span_hash: long, doc_id) 16-byte rows. A boilerplate span hot
+    enough to skew its h partition would be equally hot under any join-back
+    shape — the rows must co-locate once to be counted.
 
     Returns (id, dup_spans, total_spans), one row per document with ≥1 span
     (documents shorter than ``window_tokens`` tokens have none).
@@ -735,29 +741,18 @@ def substring_dup_spans(
             .cast("long")
             .alias("__h"),
         )
-        .distinct()
+        .repartition(F.col("__h"))
+        .dropDuplicates([id_col, "__h"])
     )
-    shared = (
-        doc_spans.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__docs"))
-        .where(F.col("__docs") >= 2)
-        .select("__h")
-    )
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("__h"))
     return (
-        doc_spans.join(shared, "__h", "left_semi")
+        doc_spans.withColumn("__nd", n_docs)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("dup_spans"))
-        .join(
-            doc_spans.groupBy(id_col).agg(
-                F.count(F.lit(1)).alias("total_spans")
-            ),
-            id_col,
-            "right",
-        )
-        .select(
-            id_col,
-            F.coalesce(F.col("dup_spans"), F.lit(0)).alias("dup_spans"),
-            "total_spans",
+        .agg(
+            F.sum(
+                F.when(F.col("__nd") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("dup_spans"),
+            F.count(F.lit(1)).alias("total_spans"),
         )
     )
 
