@@ -183,6 +183,27 @@ def main() -> None:
          "partial-aggregate map-side and materialize ONCE (localCheckpoint "
          "scans below), the <=n_buckets log-ratio table BroadcastHashJoins "
          "back, doc weights are integer sums"),
+        ("substring_dedup", "ONE parquet scan (the naive "
+         "shared-agg + semi-join + total-join shape scans three times): an "
+         "explicit repartition on the 60-bit span hash satisfies the "
+         "per-doc distinct AND the per-span doc-count window with zero "
+         "further exchange ([h] subset of [id,h] clustering), then one "
+         "doc-id rollup; wide traffic is 16-byte (hash, doc) rows"),
+        ("lm_quality", "documents never shuffle — (id, word) counts do "
+         "(partial+final HashAggregate); the reference vocab materializes "
+         "ONCE (localCheckpoint feeds the T/V scalar job and the logp "
+         "join), per-word ln floors to micros in-plan, BroadcastHashJoin "
+         "attaches it, doc scores are exact integer sums"),
+        ("semdedup", "map-only assignment: the centroid matrix folds into "
+         "the plan as literal arrays (k x dim cosine trees in one codegen "
+         "Project), members materialize ONCE (localCheckpoint feeds both "
+         "self-join sides + output); the only exchange keys on the cluster "
+         "id for the within-cluster pair join — no cartesian"),
+        ("sq8_ann", "quantization is a codegen'd zip_with over "
+         "array_repeat(scale) — the scale tree in ARGUMENT position "
+         "evaluates once per vector, not per dimension; scoring is the "
+         "documented broadcast-cross baseline with INTEGER dot products "
+         "(no float-sum order anywhere), TakeOrdered-style window top-k"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 
