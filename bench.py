@@ -103,6 +103,13 @@ def main() -> None:
         "cooccurrence_pairs",
         # TPC-H completion wave: the big-big shuffle-join + CASE-sum shape
         "q12_priority_class",
+        # round 5 third-wave additions: retrieval/mining + semantic curation
+        "bm25_rank",
+        "dsir_select",
+        "substring_dedup",
+        "lm_quality",
+        "semdedup",
+        "sq8_ann",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

