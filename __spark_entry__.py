@@ -3256,6 +3256,24 @@ def sorted_neighborhood_q(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def ngram_containment_q(spark, sf_dir):
+    """Asymmetric n-gram containment pairs (operators/dedup.py
+    ngram_containment_pairs, Broder 1997): c(A→B) = |A∩B|/|A| — the
+    near-superset signal a Jaccard threshold misses when a short document
+    is quoted inside a long one. Threshold 0.8 on the larger direction;
+    both directions ship as exact integer micros (floor of a < 2^53
+    double quotient, identical in any IEEE engine). Same shingle universe
+    and hot-shingle cap as ngram_jaccard."""
+    from httrack2warc_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_containment_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.8,
+        max_shingle_df=1000,
+    )
+    return out.orderBy("a", "b")
+
+
 def substring_dedup_q(spark, sf_dir):
     """Substring-level duplication audit (operators/corpus.py
     substring_dup_spans, the ExactSubstr signal of Lee et al. 2022): per
@@ -3386,6 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": dsir_select_q,
         "bm25_rank": bm25_rank_q,
         "sorted_neighborhood": sorted_neighborhood_q,
+        "ngram_containment": ngram_containment_q,
         "substring_dedup": substring_dedup_q,
         "lm_quality": lm_quality_q,
         "semdedup": semdedup_q,
@@ -4903,6 +4922,42 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT doc_id, score_u FROM ranked WHERE rn <= 20
             ORDER BY doc_id
+        """,
+        # ngram_containment: Broder containment both directions as exact
+        # integer micros, filtered on the larger direction >= 0.8; the
+        # jaccard-family tokenizer/shingle universe.
+        "ngram_containment": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               trim(regexp_replace(lower(text), '[^\w\s]+', ' ', 'g')),
+                               '\s+'),
+                           x -> x <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+                WHERE len(w) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   CAST(floor(i * CAST(1000000.0 AS DOUBLE) / sa.n) AS BIGINT)
+                       AS cont_ab_micro,
+                   CAST(floor(i * CAST(1000000.0 AS DOUBLE) / sb.n) AS BIGINT)
+                       AS cont_ba_micro
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE greatest(floor(i * CAST(1000000.0 AS DOUBLE) / sa.n),
+                           floor(i * CAST(1000000.0 AS DOUBLE) / sb.n))
+                  >= 800000
+            ORDER BY a, b
         """,
         # substring_dedup: per-doc distinct 8-token windows shared with
         # another document — integer counts on the 60-bit md5 span key.

@@ -26,6 +26,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
+    "ngram_containment_pairs",
     "ngram_jaccard_pairs",
     "hamming_neardup_pairs",
     "simhash64",
@@ -451,6 +452,72 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs (Broder 1997): c(A→B) =
+    |A∩B| / |A|. The curation signal Jaccard misses — a short document
+    quoted wholesale inside a long one has c(short→long) ≈ 1 while
+    J = |short|/|long| ≈ 0, so a Jaccard threshold never fires. Standard
+    for near-superset detection (quotes, quoted-reply chains, article +
+    boilerplate-wrapped article).
+
+    Emits one UNDIRECTED row per candidate pair with BOTH directions as
+    exact integer micros (floor(inter·10⁶ / |side|) — all terms < 2⁵³, so
+    the double floor is exact in any engine), filtered on the larger
+    direction ≥ ``threshold``. Pairs must share ≥1 shingle; same shingle
+    universe, hot-shingle ``max_shingle_df`` cap, and single-exchange
+    piggyback as ``ngram_jaccard_pairs`` (the DF-window count rides the
+    same sh partitioning the self-join shuffles on).
+    """
+    sh = (
+        df.withColumn("__words", _word_array(F.col(text_col)))
+        .withColumn("__sh", _shingles_of(F.col("__words"), shingle_n))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.col("__sh"))).alias("sh"),
+        )
+    )
+    if max_shingle_df is not None:
+        wdf = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(wdf))
+            .where(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), on=[F.col("l.sh") == F.col("r.sh"),
+                                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    c_ab = F.floor(F.col("inter") * F.lit(1000000.0) / F.col("na")).cast("long")
+    c_ba = F.floor(F.col("inter") * F.lit(1000000.0) / F.col("nb")).cast("long")
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            c_ab.alias("cont_ab_micro"),
+            c_ba.alias("cont_ba_micro"),
+        )
+        .where(
+            F.greatest(F.col("cont_ab_micro"), F.col("cont_ba_micro"))
+            >= int(round(threshold * 1000000))
+        )
     )
 
 

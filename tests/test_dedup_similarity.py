@@ -697,3 +697,27 @@ def test_semdedup_matmul_assignment_parity(spark):
     ).collect()
     key = lambda rows: sorted((r.vec_id, r.cluster, r.is_dup) for r in rows)
     assert key(cols) == key(mm)
+
+
+def test_ngram_containment_catches_quote_jaccard_misses(spark):
+    from httrack2warc_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = " ".join(f"q{i}" for i in range(6))          # 4 3-gram shingles
+    long = short + " " + " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words here")],
+        "id long, text string",
+    )
+    jac = ngram_jaccard_pairs(docs, "text", "id", threshold=0.5).collect()
+    assert jac == []  # |short| / |long| is far below 0.5
+    rows = ngram_containment_pairs(
+        docs, "text", "id", threshold=0.8
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # every shingle of doc 1 is inside doc 2: c(1->2) = 1.0 exactly
+    assert (r.a, r.b, r.cont_ab_micro) == (1, 2, 1000000)
+    assert r.cont_ba_micro < 800000
