@@ -3256,6 +3256,21 @@ def sorted_neighborhood_q(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def classifier_score_q(spark, sf_dir):
+    """Hashed linear classifier scoring (operators/corpus.py
+    hashed_classifier_score): the fastText-shaped quality-filter stage —
+    tokens feature-hash into 4096 md5 buckets, per-doc counts aggregate on
+    narrow (id, bucket) rows, the integer micro-weight table (deterministic
+    md5 stand-in for trained weights, same plan shape) broadcast-joins
+    back; the logit is an exact integer sum in both engines (sigmoid is
+    monotone — thresholding happens outside the value-checked surface)."""
+    from httrack2warc_spark.operators.corpus import hashed_classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hashed_classifier_score(docs, "text", "doc_id", n_buckets=4096, seed=7)
+    return out.orderBy("doc_id")
+
+
 def ngram_containment_q(spark, sf_dir):
     """Asymmetric n-gram containment pairs (operators/dedup.py
     ngram_containment_pairs, Broder 1997): c(A→B) = |A∩B|/|A| — the
@@ -3404,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": dsir_select_q,
         "bm25_rank": bm25_rank_q,
         "sorted_neighborhood": sorted_neighborhood_q,
+        "classifier_score": classifier_score_q,
         "ngram_containment": ngram_containment_q,
         "substring_dedup": substring_dedup_q,
         "lm_quality": lm_quality_q,
@@ -4922,6 +4938,29 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT doc_id, score_u FROM ranked WHERE rn <= 20
             ORDER BY doc_id
+        """,
+        # classifier_score: hashed bag-of-words features x md5-derived
+        # integer micro-weights; logit = exact integer sum of count*w.
+        "classifier_score": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), doc_b AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 4096 AS b,
+                       count(*) AS c
+                FROM toks, UNNEST(w) AS u(t) GROUP BY 1, 2
+            ), wt AS (
+                SELECT b,
+                       CAST(('0x' || substr(md5('7:' || CAST(b AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 2000001 - 1000000 AS w_micro
+                FROM (SELECT DISTINCT b FROM doc_b)
+            )
+            SELECT doc_id, CAST(sum(c * w_micro) AS BIGINT) AS logit_micro,
+                   CAST(sum(c) AS BIGINT) AS n_tokens
+            FROM doc_b JOIN wt USING (b) GROUP BY 1 ORDER BY doc_id
         """,
         # ngram_containment: Broder containment both directions as exact
         # integer micros, filtered on the larger direction >= 0.8; the

@@ -34,6 +34,7 @@ __all__ = [
     "dedup_paragraphs",
     "deterministic_sample",
     "dsir_weights",
+    "hashed_classifier_score",
     "pack_sequences",
     "redact_pii",
     "repetition_topgram_stats",
@@ -835,6 +836,80 @@ def unigram_logprob(
             F.sum(
                 F.col("__c") * F.coalesce(F.col("__lm"), oov)
             ).alias("logprob_micro"),
+            F.sum("__c").alias("n_tokens"),
+        )
+    )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame | None = None,
+    n_buckets: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """Linear classifier scoring over hashed bag-of-words features — the
+    fastText-shaped quality-filter stage of the GPT-3/LLaMA-style pipelines
+    (a trained classifier scores every document; low scorers are dropped or
+    downsampled). The Spark shape is the point: tokens feature-hash into
+    ``n_buckets`` buckets (md5 family), per-doc bucket counts aggregate once
+    on narrow (id, bucket) rows, and the weight table broadcast-joins back —
+    the score is a pure dataflow, no per-row model invocation.
+
+        logit_micro(doc) = sum over doc's buckets of count(b) * w_micro(b)
+
+    ``weights``: a (bucket: long, w_micro: long) DataFrame of INTEGER
+    micro-weights — ship trained weights pre-floored to micros and the doc
+    logit is an exact integer sum in any engine (sigmoid is monotone, so
+    thresholding/ranking on the logit is thresholding on the probability;
+    apply it outside the value-checked surface). When ``weights`` is None a
+    deterministic md5-derived weight table stands in (tests/oracles): bucket
+    b gets w_micro = (md5-draw of (seed, b) mod 2,000,001) − 1,000,000,
+    uniform in [−1e6, 1e6] — reproducible in SQL verbatim.
+
+    Scale shape: documents never shuffle; one partial+final aggregate on
+    (id, bucket) 24-byte rows, then a BroadcastHashJoin against the
+    ≤``n_buckets``-row weight table (shuffle-hash if a giant vocab model
+    ever outgrows broadcast). Same plan family as ``dsir_weights`` — one
+    scan, one narrow exchange, integer-exact output.
+
+    Returns (id, logit_micro: long, n_tokens: long), one row per document
+    with ≥1 token.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    doc_b = (
+        df.select(
+            F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__t")
+        )
+        .select(id_col, bucket.alias("__b"))
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    if weights is None:
+        spark = df.sparkSession
+        draw = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col("bucket"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        weights = spark.range(0, n_buckets).select(
+            F.col("id").alias("bucket"),
+            (draw % 2000001 - 1000000).alias("w_micro"),
+        )
+    w = weights.select(
+        F.col("bucket").alias("__b"), F.col("w_micro").alias("__w")
+    )
+    return (
+        doc_b.join(F.broadcast(w), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__c") * F.col("__w")).alias("logit_micro"),
             F.sum("__c").alias("n_tokens"),
         )
     )

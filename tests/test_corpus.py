@@ -444,3 +444,34 @@ def test_unigram_logprob_exact_integers(spark):
     assert out[0] == (2 * lp(2) + lp(1), 3)
     assert out[1] == (lp(2) + lp(1), 2)
     assert out[2] == (lp(2) + lp(0), 2)  # OOV takes the c=0 tree
+
+
+def test_hashed_classifier_trained_weights_and_determinism(spark):
+    from httrack2warc_spark.operators.corpus import hashed_classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "good good text"), (2, "bad text"), (3, "")],
+        "id long, text string",
+    )
+    # "trained" weight table: every bucket the fixture tokens hash to
+    from pyspark.sql import functions as FF
+
+    bucket_of = lambda t: spark.sql(
+        f"SELECT CAST(conv(substring(md5('{t}'), 1, 8), 16, 10) AS BIGINT) % 4096"
+    ).first()[0]
+    w = spark.createDataFrame(
+        [(bucket_of("good"), 500000),
+         (bucket_of("bad"), -750000),
+         (bucket_of("text"), 10000)],
+        "bucket long, w_micro long",
+    )
+    out = {r.id: (r.logit_micro, r.n_tokens)
+           for r in hashed_classifier_score(docs, "text", "id", weights=w).collect()}
+    assert out[1] == (2 * 500000 + 10000, 3)
+    assert out[2] == (-750000 + 10000, 2)
+    assert 3 not in out  # zero tokens: no row
+
+    # default md5 stand-in weights: stable across invocations
+    a = hashed_classifier_score(docs, "text", "id").collect()
+    b = hashed_classifier_score(docs, "text", "id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
