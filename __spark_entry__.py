@@ -3289,6 +3289,22 @@ def ngram_containment_q(spark, sf_dir):
     return out.orderBy("a", "b")
 
 
+def allpairs_jaccard_q(spark, sf_dir):
+    """EXACT all-pairs Jaccard via prefix filtering (operators/dedup.py
+    allpairs_jaccard_pairs; Bayardo et al. WWW'07 / PPJoin): the
+    deterministic counterpart to MinHash+LSH — zero missed pairs at the
+    threshold, candidate volume bounded by indexing only each doc's
+    |d|−⌈t·|d|⌉+1 RAREST shingles (hot shingles structurally never enter
+    the self-join). Both engines compute integer Jaccard micros, so the
+    value check is exact."""
+    from httrack2warc_spark.operators.dedup import allpairs_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = allpairs_jaccard_pairs(docs, "text", "doc_id", shingle_n=3,
+                                 threshold=0.6)
+    return out.orderBy("a", "b")
+
+
 def substring_dedup_q(spark, sf_dir):
     """Substring-level duplication audit (operators/corpus.py
     substring_dup_spans, the ExactSubstr signal of Lee et al. 2022): per
@@ -3421,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": sorted_neighborhood_q,
         "classifier_score": classifier_score_q,
         "ngram_containment": ngram_containment_q,
+        "allpairs_jaccard": allpairs_jaccard_q,
         "substring_dedup": substring_dedup_q,
         "lm_quality": lm_quality_q,
         "semdedup": semdedup_q,
@@ -4996,6 +5013,39 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE greatest(floor(i * CAST(1000000.0 AS DOUBLE) / sa.n),
                            floor(i * CAST(1000000.0 AS DOUBLE) / sb.n))
                   >= 800000
+            ORDER BY a, b
+        """,
+        # allpairs_jaccard: the prefix-filtered join is EXACT, so the oracle
+        # is plain brute force — all pairs sharing a shingle, integer
+        # Jaccard micros (floor of a < 2^53 double quotient), threshold 0.6.
+        "allpairs_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               trim(regexp_replace(lower(text), '[^\w\s]+', ' ', 'g')),
+                               '\s+'),
+                           x -> x <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+                WHERE len(w) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b, i AS inter,
+                   CAST(floor(i * CAST(1000000.0 AS DOUBLE)
+                              / (sa.n + sb.n - i)) AS BIGINT) AS jacc_micro
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE floor(i * CAST(1000000.0 AS DOUBLE) / (sa.n + sb.n - i))
+                  >= 600000
             ORDER BY a, b
         """,
         # substring_dedup: per-doc distinct 8-token windows shared with

@@ -110,6 +110,9 @@ def main() -> None:
         "lm_quality",
         "semdedup",
         "sq8_ann",
+        "ngram_containment",
+        "classifier_score",
+        "allpairs_jaccard",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

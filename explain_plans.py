@@ -204,6 +204,22 @@ def main() -> None:
          "evaluates once per vector, not per dimension; scoring is the "
          "documented broadcast-cross baseline with INTEGER dot products "
          "(no float-sum order anywhere), TakeOrdered-style window top-k"),
+        ("ngram_containment", "same single-exchange shape as ngram_jaccard "
+         "— the hot-shingle DF window rides the sh partitioning the "
+         "self-join shuffles on; intersection counts aggregate on 16-byte "
+         "(a,b) keys, the per-doc size table joins back twice (AQE "
+         "broadcasts it), both containment directions are exact integer "
+         "micros in one codegen Project"),
+        ("classifier_score", "documents never shuffle: one partial+final "
+         "HashAggregate on narrow (id, bucket) rows, the <=4096-row "
+         "micro-weight table BroadcastHashJoins back, the logit is an "
+         "integer sum — no per-row model invocation anywhere"),
+        ("allpairs_jaccard", "prefix filter = one sh exchange (DF window) "
+         "+ one id exchange serving BOTH the size count and the "
+         "rarity-rank row_number; the self-join keys only on rare prefix "
+         "shingles (hot shingles structurally absent), size-ratio filter "
+         "sits in the join condition before the pair aggregate; verify is "
+         "an array_intersect over the once-computed shingle arrays"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 

@@ -27,6 +27,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "ngram_containment_pairs",
+    "allpairs_jaccard_pairs",
     "ngram_jaccard_pairs",
     "hamming_neardup_pairs",
     "simhash64",
@@ -519,6 +520,99 @@ def ngram_containment_pairs(
             >= int(round(threshold * 1000000))
         )
     )
+
+
+def allpairs_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join via prefix filtering (Bayardo et al.
+    WWW'07 "Scaling Up All Pairs Similarity Search"; Xiao et al. PPJoin).
+    The deterministic counterpart to MinHash+LSH banding: zero missed pairs
+    at any threshold, with the candidate volume bounded by construction
+    instead of probabilistically.
+
+    Under any fixed global shingle ordering, a pair with J(A,B) ≥ t shares
+    ≥ ⌈t·max(|A|,|B|)⌉ shingles (since |A∪B| ≥ max ⇒ |A∩B| ≥ t·max), so the
+    smallest common shingle must fall inside BOTH records' first
+    p(d) = |d| − ⌈t·|d|⌉ + 1 shingles (pigeonhole on the suffix). Indexing
+    only those prefixes makes the self-join exact. The global order here is
+    ascending document frequency (ties by shingle value): the rare shingles
+    land in prefixes and the hot ones — the d² join-blowup hazard
+    ``ngram_jaccard_pairs`` needs ``max_shingle_df`` to cap — are pushed
+    into suffixes and NEVER enter the join. Skew-resistance falls out of
+    the algorithm with unchanged exact semantics, where the DF cap changes
+    the shingle universe.
+
+    Scale shape: one exchange on ``sh`` (the DF count window), one on
+    ``id`` serving BOTH the per-doc size count and the rarity-rank
+    row_number, a self-join keyed on rare prefix shingles with the
+    size-ratio filter (t·|A| ≤ |B| ≤ |A|/t) applied pre-aggregation, then
+    an array_intersect verify over the once-materialized distinct-shingle
+    arrays. Candidate dedup and verify shuffle 16-byte (a, b) keys.
+
+    Output: (a, b, inter, jacc_micro) — integer-exact in any engine
+    (inter·10⁶ < 2⁵³ so the double floor of the quotient is reproducible;
+    the CLAUDE.md floor-micro recipe).
+    """
+    t_micro = int(round(threshold * 1_000_000))
+    base = (
+        df.withColumn("__words", _word_array(F.col(text_col)))
+        .withColumn("__sh", F.array_distinct(_shingles_of(F.col("__words"), shingle_n)))
+        .where(F.size("__sh") > 0)
+        .select(F.col(id_col).alias("id"), F.col("__sh"))
+    )
+    sh = base.select("id", F.explode("__sh").alias("sh"))
+    wdf = Window.partitionBy("sh")
+    wid = Window.partitionBy("id")
+    wrank = Window.partitionBy("id").orderBy(F.col("__df"), F.col("sh"))
+    # ceil(t·n) in exact integer arithmetic: (t_micro·n + 999999) div 10⁶
+    ceil_tn = F.floor(
+        (F.lit(t_micro) * F.col("__n") + F.lit(999_999)) / F.lit(1_000_000)
+    ).cast("long")
+    prefix = (
+        sh.withColumn("__df", F.count("*").over(wdf))
+        .withColumn("__n", F.count("*").over(wid))
+        .withColumn("__rk", F.row_number().over(wrank))
+        .where(F.col("__rk") <= F.col("__n") - ceil_tn + 1)
+        .select("id", "sh", "__n")
+    )
+    cand = (
+        prefix.alias("l")
+        .join(
+            prefix.alias("r"),
+            on=[
+                F.col("l.sh") == F.col("r.sh"),
+                F.col("l.id") < F.col("r.id"),
+                # size-ratio filter: t·max ≤ min  ⇔  both directions hold
+                F.col("l.__n") * F.lit(t_micro) <= F.col("r.__n") * F.lit(1_000_000),
+                F.col("r.__n") * F.lit(t_micro) <= F.col("l.__n") * F.lit(1_000_000),
+            ],
+        )
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.first("l.__n").alias("na"), F.first("r.__n").alias("nb"))
+    )
+    arr_a = base.select(F.col("id").alias("a"), F.col("__sh").alias("__sa"))
+    arr_b = base.select(F.col("id").alias("b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long")
+    verified = (
+        cand.join(arr_a, "a")
+        .join(arr_b, "b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jacc_micro",
+            F.floor(
+                F.col("inter") * F.lit(1_000_000.0)
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).cast("long"),
+        )
+        .where(F.col("jacc_micro") >= t_micro)
+        .select("a", "b", "inter", "jacc_micro")
+    )
+    return verified
 
 
 # ---------------------------------------------------------------------------

@@ -721,3 +721,96 @@ def test_ngram_containment_catches_quote_jaccard_misses(spark):
     # every shingle of doc 1 is inside doc 2: c(1->2) = 1.0 exactly
     assert (r.a, r.b, r.cont_ab_micro) == (1, 2, 1000000)
     assert r.cont_ba_micro < 800000
+
+
+def test_allpairs_prefix_filter_equals_brute_force(spark):
+    """Prefix filtering (AllPairs/PPJoin) must be EXACT: identical pair set
+    and identical integer Jaccard micros as the brute-force all-pairs join,
+    including at a threshold edge and with a hot shingle shared by every
+    document (which the rarity-first prefix ordering must keep out of the
+    candidate join without changing the answer)."""
+    import itertools
+    import re as _re
+
+    from httrack2warc_spark.operators.dedup import allpairs_jaccard_pairs
+
+    # 12 docs: 4 near-dup clones, pairs at/below threshold, one hot shingle
+    # ("common word block") embedded in every text.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = {
+        1: base + " common word block",
+        2: base + " common word block",                      # exact clone of 1
+        3: base + " iota common word block",                 # near-dup of 1/2
+        4: "alpha beta gamma common word block",             # partial overlap
+        5: "one two three four five common word block",
+        6: "one two three four five six common word block",  # near-dup of 5
+        7: "totally disjoint vocabulary here common word block",
+        8: base.replace("delta", "DELTA-X") + " common word block",
+        9: "alpha beta gamma delta epsilon common word block",
+        10: base + " extra tail tokens common word block",
+        11: "five four three two one common word block",     # reordered 5
+        12: "lone",                                          # < n words: no shingles
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "id long, text string"
+    )
+
+    def shingles(t, n=3):
+        w = [x for x in _re.sub(r"[^\w\s]+", " ", t.lower()).split() if x]
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    for thr in (0.5, 0.8):
+        got = {
+            (r.a, r.b): (r.inter, r.jacc_micro)
+            for r in allpairs_jaccard_pairs(
+                docs, "text", "id", shingle_n=3, threshold=thr
+            ).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            jm = int(inter * 1_000_000.0 / union)
+            if jm >= int(round(thr * 1_000_000)):
+                want[(a, b)] = (inter, jm)
+        assert got == want, f"threshold {thr}: {got} != {want}"
+
+
+def test_allpairs_prefix_excludes_hot_shingles_from_join(spark):
+    """The d²-blowup guard is structural: a shingle shared by every document
+    must not appear in any indexed prefix (rarity-first ordering pushes it
+    into the suffixes), so the candidate join never keys on it."""
+    from pyspark.sql import functions as F
+
+    from httrack2warc_spark.operators.dedup import (
+        _shingles_of,
+        _word_array,
+    )
+    from pyspark.sql import Window
+
+    texts = [(i, f"u{i} v{i} w{i} x{i} hot stop words") for i in range(1, 9)]
+    docs = spark.createDataFrame(texts, "id long, text string")
+    t_micro = 700_000
+    base = (
+        docs.withColumn("__words", _word_array(F.col("text")))
+        .withColumn("__sh", F.array_distinct(_shingles_of(F.col("__words"), 3)))
+        .select("id", F.explode("__sh").alias("sh"))
+    )
+    wdf = Window.partitionBy("sh")
+    wid = Window.partitionBy("id")
+    wrank = Window.partitionBy("id").orderBy(F.col("__df"), F.col("sh"))
+    ceil_tn = F.floor(
+        (F.lit(t_micro) * F.col("__n") + F.lit(999_999)) / F.lit(1_000_000)
+    ).cast("long")
+    prefix = (
+        base.withColumn("__df", F.count("*").over(wdf))
+        .withColumn("__n", F.count("*").over(wid))
+        .withColumn("__rk", F.row_number().over(wrank))
+        .where(F.col("__rk") <= F.col("__n") - ceil_tn + 1)
+    )
+    indexed = {r.sh for r in prefix.select("sh").distinct().collect()}
+    assert "hot stop words" not in indexed  # df=8 — suffix material
+    assert indexed  # rare per-doc shingles are indexed
