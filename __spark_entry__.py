@@ -3271,6 +3271,34 @@ def classifier_score_q(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def count_min_q(spark, sf_dir):
+    """Count-Min sketch point-frequency estimates (operators/sketches.py
+    count_min_table/count_min_estimate, Cormode & Muthukrishnan 2005):
+    d=4 × w=512 counter table over every document token — the mergeable
+    frequency summary whose exchange carries ≤ d·w rows per partition
+    however many tokens arrive. Probes are the 40 most frequent tokens
+    (deterministic count-desc, token-asc tiebreak); output carries the
+    exact count beside the estimate, exhibiting the one-sided guarantee
+    (est ≥ truth, both engines compute the identical md5 bucket walk)."""
+    from httrack2warc_spark.functions.text import word_tokens
+    from httrack2warc_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(word_tokens(F.col("text"))).alias("item"))
+    truth = toks.groupBy("item").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = truth.orderBy(F.desc("true_cnt"), F.asc("item")).limit(40)
+    sk = count_min_table(toks, "item", depth=4, width=512)
+    est = count_min_estimate(sk, probes, "item", depth=4, width=512)
+    return (
+        est.join(probes, "item")
+        .select("item", "true_cnt", "cm_est")
+        .orderBy("item")
+    )
+
+
 def ngram_containment_q(spark, sf_dir):
     """Asymmetric n-gram containment pairs (operators/dedup.py
     ngram_containment_pairs, Broder 1997): c(A→B) = |A∩B|/|A| — the
@@ -3438,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": classifier_score_q,
         "ngram_containment": ngram_containment_q,
         "allpairs_jaccard": allpairs_jaccard_q,
+        "count_min": count_min_q,
         "substring_dedup": substring_dedup_q,
         "lm_quality": lm_quality_q,
         "semdedup": semdedup_q,
@@ -5014,6 +5043,41 @@ def _oracle_sqls() -> dict[str, str]:
                            floor(i * CAST(1000000.0 AS DOUBLE) / sb.n))
                   >= 800000
             ORDER BY a, b
+        """,
+        # count_min: identical d=4 x w=512 md5 counter walk in SQL; probes =
+        # top-40 tokens by exact count (count desc, token asc). The sketch
+        # CTE is the whole d*w table; estimate = min over the 4 row hashes.
+        "count_min": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                           x -> x <> '')) AS item
+                FROM documents
+            ), truth AS (
+                SELECT item, count(*) AS true_cnt FROM toks GROUP BY item
+            ), probes AS (
+                SELECT item, true_cnt FROM truth
+                ORDER BY true_cnt DESC, item ASC LIMIT 40
+            ), entries AS (
+                SELECT j,
+                       CAST(('0x' || substr(md5(j || ':' || item), 1, 8))
+                            AS BIGINT) % 512 AS bucket
+                FROM toks, UNNEST([0, 1, 2, 3]) AS t(j)
+            ), sketch AS (
+                SELECT j, bucket, count(*) AS cnt
+                FROM entries GROUP BY j, bucket
+            ), probe_buckets AS (
+                SELECT p.item, p.true_cnt, t.j,
+                       CAST(('0x' || substr(md5(t.j || ':' || p.item), 1, 8))
+                            AS BIGINT) % 512 AS bucket
+                FROM probes p, UNNEST([0, 1, 2, 3]) AS t(j)
+            )
+            SELECT pb.item, pb.true_cnt,
+                   CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cm_est
+            FROM probe_buckets pb
+            LEFT JOIN sketch s ON s.j = pb.j AND s.bucket = pb.bucket
+            GROUP BY pb.item, pb.true_cnt
+            ORDER BY pb.item
         """,
         # allpairs_jaccard: the prefix-filtered join is EXACT, so the oracle
         # is plain brute force — all pairs sharing a shingle, integer

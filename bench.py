@@ -113,6 +113,7 @@ def main() -> None:
         "ngram_containment",
         "classifier_score",
         "allpairs_jaccard",
+        "count_min",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

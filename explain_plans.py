@@ -220,6 +220,11 @@ def main() -> None:
          "shingles (hot shingles structurally absent), size-ratio filter "
          "sits in the join condition before the pair aggregate; verify is "
          "an array_intersect over the once-computed shingle arrays"),
+        ("count_min", "the sketch build is one codegen Project (token -> 4 "
+         "(row,bucket) structs) + partial+final HashAggregate whose "
+         "exchange is capped at d*w rows per partition; the probe side "
+         "BroadcastHashJoins the <=2048-row counter table — the token "
+         "stream never shuffles for the estimate"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 

@@ -42,6 +42,8 @@ __all__ = [
     "weighted_sample",
     "grouped_weighted_sample",
     "binned_quantiles",
+    "count_min_table",
+    "count_min_estimate",
 ]
 
 
@@ -554,4 +556,106 @@ def binned_quantiles(
     )
     return hit.select(
         *groups, "prob", F.round(est, 6).alias("quantile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(item: Column, row: int, width: int) -> Column:
+    """Row-``row`` counter index for ``item``: the first 8 hex digits of
+    md5("row:item") mod width — the cross-engine hash family (md5 is the
+    one hash Spark and DuckDB share; 8 hex digits < 2^32 so the signed
+    long is always positive and ``%`` agrees between engines)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(row), item)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def count_min_table(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a d×w counter
+    TABLE — the mergeable point-frequency summary completing the sketch
+    family (HLL = cardinality, Misra-Gries = heavy hitters, binned
+    quantiles = ranks, CM = arbitrary-item counts with an ε=e/w,
+    δ=e^−d one-sided guarantee: estimate ≥ truth always, ≤ truth + εN
+    with probability 1−δ).
+
+    Scale shape: each input row fans out to ``depth`` (row, bucket) pairs
+    in one codegen Project, then ONE partial+final HashAggregate — the
+    exchange carries at most d·w rows per upstream partition regardless of
+    input size (map-side combine saturates the counter space), and two
+    sketches over different slices MERGE by summing counters, which is
+    what lets the table build incrementally per crawl round / stream batch
+    instead of rescanning the corpus.
+
+    Returns (row: int, bucket: long, cnt: long) — exactly d·w rows
+    conceptually; absent (row, bucket) combinations are zero counters.
+    """
+    item = F.col(item_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"), _cm_bucket(item, j, width).alias("bucket")
+            )
+            for j in range(depth)
+        ]
+    )
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1)
+    return (
+        df.select(F.explode(pairs).alias("__rb"), w.alias("__w"))
+        .groupBy(
+            F.col("__rb.row").alias("row"), F.col("__rb.bucket").alias("bucket")
+        )
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[item_col]`` against a
+    :func:`count_min_table` sketch: est(x) = min over rows j of
+    counter[j][h_j(x)].
+
+    The sketch side is ≤ d·w rows — it BROADCASTS, so probing any number
+    of items is a map-side join + one groupBy(item) min: no shuffle of
+    the sketch, no per-row Python. Items whose (row, bucket) counter is
+    absent (possible only for items never inserted) estimate 0 via the
+    left join / min-over-depth guard.
+
+    Returns (item, cm_est: long).
+    """
+    item = F.col(item_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"), _cm_bucket(item, j, width).alias("bucket")
+            )
+            for j in range(depth)
+        ]
+    )
+    probed = probes.select(
+        item.alias("item"), F.explode(pairs).alias("__rb")
+    ).select("item", F.col("__rb.row").alias("row"), F.col("__rb.bucket").alias("bucket"))
+    joined = probed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        joined.groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
     )

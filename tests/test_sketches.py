@@ -406,3 +406,76 @@ def test_hll_xxhash64_family(spark):
     assert a == b
     with pytest.raises(ValueError):
         hll_cardinality(df, "v", p=12, hash_family="sha1")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_count_min_one_sided_and_exact_when_wide(spark):
+    """CM estimates are NEVER below the truth; with width >> #items the
+    probability of any collision is tiny and the estimate is exact."""
+    from collections import Counter
+
+    from httrack2warc_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    items = (["apple"] * 50 + ["banana"] * 20 + ["cherry"] * 5
+             + [f"tail{i}" for i in range(30)])
+    truth = Counter(items)
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    probes = spark.createDataFrame([(x,) for x in sorted(truth)], "item string")
+
+    sk = count_min_table(df, "item", depth=4, width=4096)
+    est = {
+        r.item: r.cm_est
+        for r in count_min_estimate(sk, probes, "item", depth=4, width=4096).collect()
+    }
+    assert est == dict(truth)  # wide sketch: exact
+
+    narrow = count_min_table(df, "item", depth=3, width=8)
+    est_n = {
+        r.item: r.cm_est
+        for r in count_min_estimate(narrow, probes, "item", depth=3, width=8).collect()
+    }
+    assert all(est_n[k] >= v for k, v in truth.items())  # one-sided always
+
+
+def test_count_min_merges_by_counter_sum(spark):
+    """sketch(A ∪ B) == per-(row,bucket) sum of sketch(A) + sketch(B) —
+    the property that lets the table build per crawl round / stream batch."""
+    from httrack2warc_spark.operators.sketches import count_min_table
+
+    a = spark.createDataFrame([(f"w{i % 7}",) for i in range(40)], "item string")
+    b = spark.createDataFrame([(f"w{i % 11}",) for i in range(60)], "item string")
+    both = a.union(b)
+
+    merged = (
+        count_min_table(a, "item", depth=4, width=64)
+        .union(count_min_table(b, "item", depth=4, width=64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = count_min_table(both, "item", depth=4, width=64)
+    key = lambda rows: sorted((r.row, r.bucket, r.cnt) for r in rows)
+    assert key(merged.collect()) == key(direct.collect())
+
+
+def test_count_min_never_inserted_probe_and_weights(spark):
+    from httrack2warc_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    df = spark.createDataFrame([("x", 3), ("x", 4), ("y", 10)],
+                               "item string, w int")
+    sk = count_min_table(df, "item", depth=4, width=4096, weight_col="w")
+    probes = spark.createDataFrame([("x",), ("y",), ("ghost",)], "item string")
+    est = {
+        r.item: r.cm_est
+        for r in count_min_estimate(sk, probes, "item", depth=4, width=4096).collect()
+    }
+    assert est == {"x": 7, "y": 10, "ghost": 0}
