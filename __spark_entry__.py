@@ -3299,6 +3299,35 @@ def count_min_q(spark, sf_dir):
     )
 
 
+def bpe_pairs_q(spark, sf_dir):
+    """BPE training iteration workload (operators/corpus.py
+    bpe_pair_counts; Sennrich et al. 2016): corpus-weighted adjacent
+    char-pair counts over the DISTINCT-word vocab — the token stream
+    collapses to word counts once, every merge iteration is vocab-sized.
+    Top-30 merge candidates, deterministic (cnt desc, pair asc) tiebreak.
+    The full iterative trainer (train_bpe — driver loop, codegen
+    regexp_replace merge application, zero per-row Python) is pinned to a
+    pure-Python reference BPE in tests/test_corpus.py."""
+    from httrack2warc_spark.functions.text import word_tokens
+    from httrack2warc_spark.operators.corpus import (
+        _char_syms,
+        bpe_pair_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_char_syms(F.col("w")).alias("syms"), "cnt")
+    )
+    return (
+        bpe_pair_counts(vocab, "syms", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(30)
+    )
+
+
 def ngram_containment_q(spark, sf_dir):
     """Asymmetric n-gram containment pairs (operators/dedup.py
     ngram_containment_pairs, Broder 1997): c(A→B) = |A∩B|/|A| — the
@@ -3467,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": ngram_containment_q,
         "allpairs_jaccard": allpairs_jaccard_q,
         "count_min": count_min_q,
+        "bpe_pairs": bpe_pairs_q,
         "substring_dedup": substring_dedup_q,
         "lm_quality": lm_quality_q,
         "semdedup": semdedup_q,
@@ -5043,6 +5073,26 @@ def _oracle_sqls() -> dict[str, str]:
                            floor(i * CAST(1000000.0 AS DOUBLE) / sb.n))
                   >= 800000
             ORDER BY a, b
+        """,
+        # bpe_pairs: char pairs need no regex lookaround (RE2 lacks them) —
+        # substr walks over the distinct-word table, weighted by word count.
+        "bpe_pairs": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                           x -> x <> '')) AS w
+                FROM documents
+            ), wc AS (
+                SELECT w, count(*) AS c FROM toks GROUP BY w
+            ), pairs AS (
+                SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair, c
+                FROM wc,
+                     UNNEST(generate_series(1, greatest(length(w) - 1, 0))) AS t(i)
+                WHERE length(w) >= 2
+            )
+            SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+            FROM pairs GROUP BY pair
+            ORDER BY cnt DESC, pair ASC LIMIT 30
         """,
         # count_min: identical d=4 x w=512 md5 counter walk in SQL; probes =
         # top-40 tokens by exact count (count desc, token asc). The sketch

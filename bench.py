@@ -114,6 +114,7 @@ def main() -> None:
         "classifier_score",
         "allpairs_jaccard",
         "count_min",
+        "bpe_pairs",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

@@ -225,6 +225,11 @@ def main() -> None:
          "exchange is capped at d*w rows per partition; the probe side "
          "BroadcastHashJoins the <=2048-row counter table — the token "
          "stream never shuffles for the estimate"),
+        ("bpe_pairs", "the corpus collapses to the distinct-word vocab "
+         "in one partial+final aggregate; pair fan-out explodes the "
+         "VOCAB (not the corpus), second aggregate on the pair key, "
+         "TakeOrderedAndProject for the top-30 — the shape every "
+         "train_bpe iteration repeats"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 

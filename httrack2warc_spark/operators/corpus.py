@@ -35,6 +35,8 @@ __all__ = [
     "deterministic_sample",
     "dsir_weights",
     "hashed_classifier_score",
+    "bpe_pair_counts",
+    "train_bpe",
     "pack_sequences",
     "redact_pii",
     "repetition_topgram_stats",
@@ -913,3 +915,116 @@ def hashed_classifier_score(
             F.sum("__c").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction
+# ---------------------------------------------------------------------------
+
+
+def _char_syms(word: Column) -> Column:
+    """array<string> of single characters (Java split on the zero-width
+    (?!^) boundary leaves a trailing empty element — filtered)."""
+    return F.filter(F.split(word, r"(?!^)"), lambda c: F.length(c) > 0)
+
+
+def _sym_pairs(syms: Column) -> Column:
+    """Adjacent symbol pairs as 'a b' strings — the zip_with-over-shifted
+    form (argument position, once per row; see dedup._shingles_of)."""
+    shifted = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+    return F.filter(
+        F.zip_with(
+            syms,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None).cast("string")
+            ).otherwise(F.concat(a, F.lit(" "), b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def bpe_pair_counts(vocab: DataFrame, syms_col: str, cnt_col: str) -> DataFrame:
+    """Corpus-weighted adjacent-symbol pair counts — the per-iteration
+    workload of BPE training (Sennrich et al. 2016). ``vocab`` is the
+    DISTINCT-word table (syms: array<string>, cnt: long), so the fan-out
+    is vocabulary-sized (10⁶-10⁷ rows at web scale), NOT corpus-sized:
+    the token stream collapses to word counts once, and every merge
+    iteration touches only the vocab. One explode + partial+final
+    HashAggregate on (pair) — counts are exact integers.
+
+    Returns (pair: string "a b", cnt: long).
+    """
+    return (
+        vocab.select(
+            F.explode(_sym_pairs(F.col(syms_col))).alias("pair"),
+            F.col(cnt_col).alias("__c"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("__c").alias("cnt"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 32,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge-table induction on the cluster — the
+    tokenizer-training stage of an LLM data pipeline, as a driver loop in
+    the pagerank/k-means mold (the per-iteration state is the DISTINCT-word
+    vocab, lineage truncated by eager localCheckpoint each round).
+
+    Iteration = ONE vocab-sized aggregate (:func:`bpe_pair_counts`) + a
+    1-row argmax collect (metadata-scale, like the k-means centroid
+    collect) + ONE codegen regexp_replace projection applying the merge.
+    The merge application leans on java.util.regex leftmost-first
+    non-rescanning replace semantics over the space-joined symbol string:
+    for pair (a, a) on "a a a" the leftmost pair merges and scanning
+    resumes AFTER the match — exactly BPE's left-to-right greedy collapse
+    — so no per-row Python ever runs. Ties break on the lexicographically
+    smallest pair string, making the merge sequence deterministic and
+    engine-independent.
+
+    Returns the ordered merge list [(left_sym, right_sym), ...]; stops
+    early when the best pair's corpus count falls below
+    ``min_pair_count``.
+    """
+    from httrack2warc_spark.functions.text import word_tokens
+
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat_ws(" ", _char_syms(F.col("__w"))).alias("syms_str"),
+            F.col("cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            bpe_pair_counts(
+                vocab.select(
+                    F.split("syms_str", " ").alias("syms"), F.col("cnt")
+                ),
+                "syms",
+                "cnt",
+            )
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b = top[0]["pair"].split(" ", 1)
+        merges.append((a, b))
+        pat = f"(?<=^| )\\Q{a}\\E \\Q{b}\\E(?= |$)"
+        vocab = vocab.select(
+            F.regexp_replace("syms_str", pat, a + b).alias("syms_str"),
+            F.col("cnt"),
+        ).localCheckpoint(eager=True)
+    return merges

@@ -475,3 +475,76 @@ def test_hashed_classifier_trained_weights_and_determinism(spark):
     a = hashed_classifier_score(docs, "text", "id").collect()
     b = hashed_classifier_score(docs, "text", "id").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(texts, n_merges, min_pair_count):
+    """Reference BPE (Sennrich et al.): greedy leftmost merge application,
+    ties broken on the lexicographically smallest 'a b' pair string."""
+    import re
+    from collections import Counter
+
+    wc = Counter(t for s in texts for t in re.findall(r"\w+", s.lower()))
+    vocab = {tuple(w): c for w, c in wc.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best_cnt = max(pairs.values())
+        if best_cnt < min_pair_count:
+            break
+        best = min((p for p, c in pairs.items() if c == best_cnt),
+                   key=lambda p: f"{p[0]} {p[1]}")
+        merges.append(best)
+        new = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = c
+        vocab = new
+    return merges
+
+
+def test_train_bpe_matches_reference_including_overlaps(spark):
+    from httrack2warc_spark.operators.corpus import train_bpe
+
+    texts = [
+        "the theme of the theater is the thesis",
+        "aaaa aaa aa a banana bandana",
+        "low lower lowest newest widest",
+        "the the the banana aaaa",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = train_bpe(docs, "text", n_merges=12, min_pair_count=2)
+    want = _ref_bpe(texts, 12, 2)
+    assert got == want
+    assert len(got) >= 8  # the fixture genuinely exercises many merges
+    # the overlap word 'aaaa' forces an (a,a)->aa then (aa,aa)/(aa,a) round:
+    assert ("a", "a") in got
+
+
+def test_bpe_pair_counts_weighted(spark):
+    from pyspark.sql import functions as F
+
+    from httrack2warc_spark.operators.corpus import bpe_pair_counts
+
+    vocab = spark.createDataFrame(
+        [(["a", "b", "c"], 5), (["a", "b"], 2), (["x"], 9)],
+        "syms array<string>, cnt long",
+    )
+    rows = {r.pair: r.cnt for r in bpe_pair_counts(vocab, "syms", "cnt").collect()}
+    assert rows == {"a b": 7, "b c": 5}
