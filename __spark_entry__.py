@@ -3299,6 +3299,24 @@ def count_min_q(spark, sf_dir):
     )
 
 
+def waterfill_q(spark, sf_dir):
+    """Max-min fair capacity allocation (operators/topk.py
+    waterfill_budgets): split a global round capacity (⅓ of total demand)
+    across per-user event demands so no mega-key starves the tail —
+    the budget-allocation step a cluster-wide fetch-rate cap forces on a
+    crawl round. Exact integer water level; ranged prefix-sum shape (the
+    K2 rotation pattern), metadata-only collects."""
+    from httrack2warc_spark.operators.topk import waterfill_budgets
+
+    ev = _t(spark, sf_dir, "events")
+    demands = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("demand")
+    )
+    total = demands.agg(F.sum("demand")).collect()[0][0] or 0
+    out = waterfill_budgets(demands, "key", "demand", int(total) // 3)
+    return out.orderBy("key")
+
+
 def bpe_pairs_q(spark, sf_dir):
     """BPE training iteration workload (operators/corpus.py
     bpe_pair_counts; Sennrich et al. 2016): corpus-weighted adjacent
@@ -3497,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_jaccard": allpairs_jaccard_q,
         "count_min": count_min_q,
         "bpe_pairs": bpe_pairs_q,
+        "waterfill": waterfill_q,
         "substring_dedup": substring_dedup_q,
         "lm_quality": lm_quality_q,
         "semdedup": semdedup_q,
@@ -5073,6 +5092,41 @@ def _oracle_sqls() -> dict[str, str]:
                            floor(i * CAST(1000000.0 AS DOUBLE) / sb.n))
                   >= 800000
             ORDER BY a, b
+        """,
+        # waterfill: the exact integer water level restated with windows —
+        # k = last satisfiable rank (max_by), then full-demand / theta+1 /
+        # theta by rank; CASE laziness guards the H==k division.
+        "waterfill": r"""
+            WITH demands AS (
+                SELECT user_id AS key, count(*) AS demand
+                FROM events GROUP BY user_id
+            ), cap AS (
+                SELECT CAST(sum(demand) // 3 AS BIGINT) AS c,
+                       count(*) AS h
+                FROM demands
+            ), ranked AS (
+                SELECT key, demand,
+                       row_number() OVER (ORDER BY demand, key) AS rank,
+                       sum(demand) OVER (ORDER BY demand, key
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM demands
+            ), sel AS (
+                SELECT coalesce(max(rank), 0) AS k,
+                       coalesce(max_by(cum, rank), 0) AS cum_k
+                FROM ranked, cap
+                WHERE cum + (cap.h - rank) * demand <= cap.c
+            )
+            SELECT r.key, r.demand,
+                   CAST(CASE
+                        WHEN sel.k >= cap.h THEN r.demand
+                        WHEN r.rank <= sel.k THEN r.demand
+                        WHEN r.rank - sel.k <=
+                             (cap.c - sel.cum_k) % (cap.h - sel.k)
+                            THEN (cap.c - sel.cum_k) // (cap.h - sel.k) + 1
+                        ELSE (cap.c - sel.cum_k) // (cap.h - sel.k)
+                        END AS BIGINT) AS alloc
+            FROM ranked r, cap, sel
+            ORDER BY r.key
         """,
         # bpe_pairs: char pairs need no regex lookaround (RE2 lacks them) —
         # substr walks over the distinct-word table, weighted by word count.

@@ -115,6 +115,7 @@ def main() -> None:
         "allpairs_jaccard",
         "count_min",
         "bpe_pairs",
+        "waterfill",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

@@ -230,6 +230,12 @@ def main() -> None:
          "VOCAB (not the corpus), second aggregate on the pair key, "
          "TakeOrderedAndProject for the top-30 — the shape every "
          "train_bpe iteration repeats"),
+        ("waterfill", "range exchange on (demand, key) + per-partition "
+         "window with broadcast per-partition offsets (the K2 ranged "
+         "prefix-sum shape — no single-partition global window); the "
+         "(k, cum_k) scalars fold back as literals so the final "
+         "allocation is one codegen Project over the checkpointed "
+         "ranked table"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["per_key_topk", "salted_per_key_topk"]
+__all__ = ["per_key_topk", "salted_per_key_topk", "waterfill_budgets"]
 
 
 def _budget_col(budget) -> Column:
@@ -73,4 +73,120 @@ def salted_per_key_topk(
         local.withColumn("__r2", F.row_number().over(phase2))
         .where(F.col("__r2") <= b)
         .drop("__r2", "__salt")
+    )
+
+
+def waterfill_budgets(
+    df: DataFrame,
+    key_col: str,
+    demand_col: str,
+    capacity: int,
+    mode: str = "ranged",
+    num_partitions: int | None = None,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """Max-min fair (water-filling) allocation of a global round capacity
+    across hosts: every host gets ``min(demand, θ)`` with the water level θ
+    chosen so the allocations sum to exactly ``min(capacity, Σdemand)`` —
+    the budget-allocation step a global fetch-rate cap forces on a crawl
+    round (per-host politeness bounds how fast each host MAY be fetched;
+    the cluster's fetch capacity bounds how much the round CAN do; max-min
+    is the standard fairness rule so one mega-host cannot starve the tail).
+
+    Exact integer algorithm: sort hosts by (demand, key) ascending with
+    inclusive prefix sum ``cum`` and rank ``i``; a host is *satisfiable* if
+    cum_i + (H−i)·d_i ≤ C. With k = the last satisfiable rank, hosts ranked
+    ≤ k receive their full demand and the remaining H−k hosts split
+    C − cum_k evenly: θ = (C−cum_k) div (H−k) each, the mod remainder going
+    one extra unit apiece to the first ranks after k (deterministic). The
+    div/mod never exceeds any remaining host's demand (d_{k+1} > θ follows
+    from k's maximality), so allocations are feasible and sum exactly.
+
+    Scale shape: ``mode="ranged"`` is a range exchange on (demand, key) +
+    per-partition window, with per-partition (Σd, count) offsets collected
+    to the driver — the K2 ``with_running_total`` pattern, metadata-scale
+    (num_partitions rows), never row data. The (k, cum_k, H) scalars are a
+    second 1-row collect folded back as literals (the IVF centroid-collect
+    precedent). ``mode="single"`` is one global window for small inputs.
+
+    Returns (key, demand, alloc) — alloc: long, Σ = min(capacity, Σdemand).
+    """
+    C = max(int(capacity), 0)
+    d = F.col(demand_col).cast("long")
+    if mode == "single":
+        ranked = df.select(
+            F.col(key_col).alias("key"), d.alias("demand")
+        ).withColumn("rank", F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy(F.col("demand"), F.col("key"))
+        )).withColumn("cum", F.sum("demand").over(
+            Window.partitionBy(F.lit(0))
+            .orderBy(F.col("demand"), F.col("key"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    elif mode == "ranged":
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        ranged = (
+            df.select(F.col(key_col).alias("key"), d.alias("demand"))
+            .repartitionByRange(n, F.col("demand"), F.col("key"))
+            .withColumn("__pid", F.spark_partition_id())
+            .persist()
+        )
+        if cache_handle is not None:
+            cache_handle.append(ranged)
+        parts = (
+            ranged.groupBy("__pid")
+            .agg(F.sum("demand").alias("__t"), F.count(F.lit(1)).alias("__c"))
+            .orderBy("__pid")
+            .collect()
+        )
+        off_t, off_c, offs = 0, 0, {}
+        for r in parts:
+            offs[r["__pid"]] = (off_t, off_c)
+            off_t += r["__t"]
+            off_c += r["__c"]
+        off_df = df.sparkSession.createDataFrame(
+            [(p, t, c) for p, (t, c) in offs.items()],
+            "__pid int, __off_t long, __off_c long",
+        )
+        wp = Window.partitionBy("__pid").orderBy(F.col("demand"), F.col("key"))
+        ranked = (
+            ranged.join(F.broadcast(off_df), "__pid")
+            .withColumn(
+                "rank", F.row_number().over(wp) + F.col("__off_c")
+            )
+            .withColumn(
+                "cum",
+                F.sum("demand").over(
+                    wp.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                + F.col("__off_t"),
+            )
+            .drop("__pid", "__off_t", "__off_c")
+        )
+    else:
+        raise ValueError(mode)
+
+    ranked = ranked.localCheckpoint(eager=True)
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("h"), F.coalesce(F.sum("demand"), F.lit(0)).alias("td")
+    ).collect()[0]
+    H, total_demand = totals["h"], totals["td"]
+    if H == 0:
+        return ranked.select("key", "demand", F.lit(0).cast("long").alias("alloc"))
+    feas = ranked.where(
+        F.col("cum") + (F.lit(H) - F.col("rank")) * F.col("demand") <= F.lit(C)
+    ).agg(F.max(F.struct(F.col("rank"), F.col("cum"))).alias("s")).collect()[0]["s"]
+    k, cum_k = (feas["rank"], feas["cum"]) if feas is not None else (0, 0)
+    if k >= H:
+        alloc = F.col("demand")
+    else:
+        theta = (C - cum_k) // (H - k)
+        rem = (C - cum_k) % (H - k)
+        alloc = (
+            F.when(F.col("rank") <= F.lit(k), F.col("demand"))
+            .when(F.col("rank") - F.lit(k) <= F.lit(rem), F.lit(theta + 1))
+            .otherwise(F.lit(theta))
+        )
+    return ranked.select(
+        "key", "demand", alloc.cast("long").alias("alloc")
     )

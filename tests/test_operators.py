@@ -295,3 +295,74 @@ def test_filter_new_urls_codegen_path_equals_cogroup(spark):
             (r["url_key"], r["parent_seq"], r["link_idx"], r["url"])
             for r in nf.collect())
     assert outs[None] == outs[20_000] and len(outs[None]) > 0
+
+
+# ---------------------------------------------------------------------------
+# Water-filling capacity allocation
+# ---------------------------------------------------------------------------
+
+
+def _ref_waterfill(demands, capacity):
+    """Pure-python max-min reference: sort by (demand, key); satisfiable
+    prefix gets full demand, the rest split evenly with the remainder to
+    the earliest ranks."""
+    items = sorted(demands.items(), key=lambda kv: (kv[1], kv[0]))
+    H, C = len(items), max(capacity, 0)
+    cum = 0
+    k, cum_k = 0, 0
+    for i, (key, dem) in enumerate(items, 1):
+        cum += dem
+        if cum + (H - i) * dem <= C:
+            k, cum_k = i, cum
+    out = {}
+    if k >= H:
+        return {key: dem for key, dem in items}
+    theta, rem = divmod(C - cum_k, H - k)
+    for i, (key, dem) in enumerate(items, 1):
+        if i <= k:
+            out[key] = dem
+        elif i - k <= rem:
+            out[key] = theta + 1
+        else:
+            out[key] = theta
+    return out
+
+
+def test_waterfill_matches_reference_and_invariants(spark):
+    import random
+
+    from httrack2warc_spark.operators.topk import waterfill_budgets
+
+    rng = random.Random(42)
+    for trial in range(6):
+        H = rng.choice([1, 3, 17, 40])
+        demands = {f"h{i:03d}": rng.choice([0, 1, 2, 5, 50, 1000])
+                   for i in range(H)}
+        total = sum(demands.values())
+        for C in (0, 1, total // 3, total, total + 10):
+            df = spark.createDataFrame(
+                list(demands.items()), "key string, demand long"
+            )
+            for mode in ("single", "ranged"):
+                got = {
+                    r.key: r.alloc
+                    for r in waterfill_budgets(
+                        df, "key", "demand", C, mode=mode, num_partitions=4
+                    ).collect()
+                }
+                want = _ref_waterfill(demands, C)
+                assert got == want, (trial, C, mode)
+                assert sum(got.values()) == min(C, total)
+                assert all(got[k] <= demands[k] for k in demands)
+
+
+def test_waterfill_hot_host_cannot_starve_tail(spark):
+    from httrack2warc_spark.operators.topk import waterfill_budgets
+
+    demands = [("mega", 10_000)] + [(f"h{i}", 10) for i in range(9)]
+    df = spark.createDataFrame(demands, "key string, demand long")
+    got = {r.key: r.alloc for r in
+           waterfill_budgets(df, "key", "demand", 190).collect()}
+    # all nine tail hosts fully served; the mega host absorbs the rest
+    assert all(got[f"h{i}"] == 10 for i in range(9))
+    assert got["mega"] == 100
