@@ -3299,6 +3299,23 @@ def count_min_q(spark, sf_dir):
     )
 
 
+def change_rate_q(spark, sf_dir):
+    """Per-page change-rate estimation for revisit scheduling
+    (operators/windows.py change_rate_estimates; Cho & Garcia-Molina
+    2003): events replayed as page-observation histories (page=user_id,
+    state=event_type) → bias-corrected Poisson rate
+    −ln((n−X+0.5)/(n+0.5)) floored to micros, per-day scaling in pure
+    BIGINT division — the refetch-priority signal of an incremental
+    crawler, engine-exact."""
+    from httrack2warc_spark.operators.windows import change_rate_estimates
+
+    ev = _t(spark, sf_dir, "events")
+    out = change_rate_estimates(
+        ev, "user_id", "ts", "event_type", order_cols=[F.col("event_id")]
+    )
+    return out.orderBy("key")
+
+
 def waterfill_q(spark, sf_dir):
     """Max-min fair capacity allocation (operators/topk.py
     waterfill_budgets): split a global round capacity (⅓ of total demand)
@@ -3516,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min": count_min_q,
         "bpe_pairs": bpe_pairs_q,
         "waterfill": waterfill_q,
+        "change_rate": change_rate_q,
         "substring_dedup": substring_dedup_q,
         "lm_quality": lm_quality_q,
         "semdedup": semdedup_q,
@@ -5092,6 +5110,45 @@ def _oracle_sqls() -> dict[str, str]:
                            floor(i * CAST(1000000.0 AS DOUBLE) / sb.n))
                   >= 800000
             ORDER BY a, b
+        """,
+        # change_rate: lag window over (ts, event_id); the ln argument is
+        # ONE fixed IEEE double expression (ints + 0.5, CAST to DOUBLE so
+        # DuckDB's DECIMAL literals don't change the arithmetic), floored
+        # to micros immediately; everything after is BIGINT div.
+        "change_rate": r"""
+            WITH obs AS (
+                SELECT user_id AS key, epoch_us(ts) AS us, event_type AS s,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            ), agg AS (
+                SELECT key,
+                       count(prev) AS n_intervals,
+                       sum(CASE WHEN prev IS NOT NULL AND s <> prev
+                                THEN 1 ELSE 0 END) AS n_changes,
+                       max(us) - min(us) AS span_us
+                FROM obs GROUP BY key
+            ), est AS (
+                SELECT key, n_intervals, n_changes, span_us,
+                       CAST(floor(-ln((CAST(n_intervals AS DOUBLE)
+                                       - n_changes + 0.5)
+                                      / (CAST(n_intervals AS DOUBLE) + 0.5))
+                                  * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                           AS lnneg_micro,
+                       span_us // n_intervals AS avg_us
+                FROM agg
+                WHERE n_intervals >= 1 AND span_us > 0
+            )
+            SELECT key,
+                   CAST(n_intervals AS BIGINT) AS n_intervals,
+                   CAST(n_changes AS BIGINT) AS n_changes,
+                   lnneg_micro,
+                   CAST((lnneg_micro * 86400000000) // avg_us AS BIGINT)
+                       AS lambda_day_micro
+            FROM est
+            WHERE avg_us > 0
+            ORDER BY key
         """,
         # waterfill: the exact integer water level restated with windows —
         # k = last satisfiable rank (max_by), then full-demand / theta+1 /

@@ -116,6 +116,7 @@ def main() -> None:
         "count_min",
         "bpe_pairs",
         "waterfill",
+        "change_rate",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

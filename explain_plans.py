@@ -230,6 +230,10 @@ def main() -> None:
          "VOCAB (not the corpus), second aggregate on the pair key, "
          "TakeOrderedAndProject for the top-30 — the shape every "
          "train_bpe iteration repeats"),
+        ("change_rate", "ONE exchange on the page key serves both the lag "
+         "window and the groupBy aggregate; the estimator is a codegen "
+         "Project over the 40-byte per-page aggregate rows — the "
+         "observation log never reshuffles"),
         ("waterfill", "range exchange on (demand, key) + per-partition "
          "window with broadcast per-partition offsets (the K2 ranged "
          "prefix-sum shape — no single-partition global window); the "

@@ -366,3 +366,42 @@ def test_waterfill_hot_host_cannot_starve_tail(spark):
     # all nine tail hosts fully served; the mega host absorbs the rest
     assert all(got[f"h{i}"] == 10 for i in range(9))
     assert got["mega"] == 100
+
+
+def test_change_rate_estimates_hand_computed(spark):
+    import datetime
+    import math
+
+    from httrack2warc_spark.operators.windows import change_rate_estimates
+
+    t0 = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    rows = []
+    # page A: 5 visits daily, states a b b a a -> n=4, X=2
+    for i, s in enumerate("abbaa"):
+        rows.append(("A", t0 + i * day, s))
+    # page B: 3 visits 12h apart, never changes -> n=2, X=0
+    for i in range(3):
+        rows.append(("B", t0 + i * day / 2, "same"))
+    # page C: single visit -> excluded
+    rows.append(("C", t0, "x"))
+    # page D: two visits same timestamp -> span 0 -> excluded
+    rows.append(("D", t0, "x"))
+    rows.append(("D", t0, "y"))
+    df = spark.createDataFrame(rows, "key string, ts timestamp, state string")
+    got = {r.key: r.asDict() for r in
+           change_rate_estimates(df, "key", "ts", "state").collect()}
+    assert set(got) == {"A", "B"}
+
+    def expect(n, x, span_us):
+        lnneg = math.floor(-math.log((n - x + 0.5) / (n + 0.5)) * 1e6)
+        avg = span_us // n
+        return lnneg, (lnneg * 86_400_000_000) // avg
+
+    ln_a, lam_a = expect(4, 2, 4 * 86_400_000_000)
+    assert (got["A"]["n_intervals"], got["A"]["n_changes"]) == (4, 2)
+    assert (got["A"]["lnneg_micro"], got["A"]["lambda_day_micro"]) == (ln_a, lam_a)
+    ln_b, lam_b = expect(2, 0, 86_400_000_000)
+    assert (got["B"]["lnneg_micro"], got["B"]["lambda_day_micro"]) == (ln_b, lam_b)
+    # a page that changes every visit outranks one that never does
+    assert got["A"]["lambda_day_micro"] > got["B"]["lambda_day_micro"]
