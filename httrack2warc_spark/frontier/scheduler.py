@@ -60,7 +60,11 @@ from httrack2warc_spark.operators.seen import (
     filter_new_urls,
     merge_summaries,
 )
-from httrack2warc_spark.operators.topk import per_key_topk, salted_per_key_topk
+from httrack2warc_spark.operators.topk import (
+    per_key_topk,
+    salted_per_key_topk,
+    waterfill_budgets,
+)
 from httrack2warc_spark.operators.dedup import first_occurrence
 from httrack2warc_spark.sinks.tables import TableCatalog
 
@@ -92,6 +96,13 @@ SEEN_SCHEMA = StructType(
 class CrawlConfig:
     num_parts: int = 32                    # MurmurHash3 url_key partitions
     default_host_budget: int = 1_000_000   # per-host fetches per round
+    # global per-round fetch cap (cluster capacity), water-filled across
+    # hosts max-min fairly (operators/topk.py::waterfill_budgets) so a
+    # mega-host cannot starve the tail; None = uncapped. Costs ~3 extra
+    # metadata-scale jobs per round — opt in only when a real rate cap
+    # exists. Composes with per-host budgets/Crawl-delay (allocation never
+    # exceeds either).
+    round_capacity: int | None = None
     max_rounds: int = 100
     max_depth: int | None = None
     exclusions: list[str] = field(default_factory=list)  # full-match regexes (F2)
@@ -576,6 +587,7 @@ class FrontierScheduler:
         budget_can_bind = (
             self.host_budget is not None
             or crawl_delay_active
+            or cfg.round_capacity is not None
             or n_frontier > cfg.default_host_budget
         )
         # level mode: selection is provably the identity — no robots rows
@@ -626,6 +638,25 @@ class FrontierScheduler:
             budget = F.when(
                 F.col("__cd").isNotNull(), F.least(budget.cast("long"), cap)
             ).otherwise(budget.cast("long"))
+        if cfg.round_capacity is not None:
+            # global round capacity: water-fill it max-min fairly across
+            # hosts. Demand = the host's frontier rows capped by its
+            # per-host budget (the budget expression is constant per host,
+            # so max() reads it off any row). Reads ONLY the handoff-derived
+            # frontier — no catalog access (the pipelined-commit contract).
+            # The alloc join hash-partitions on host, the same partitioning
+            # the top-k window needs, so the exchange is shared.
+            demands = eligible.groupBy("host").agg(
+                F.least(
+                    F.count(F.lit(1)), F.max(budget.cast("long"))
+                ).alias("__dem")
+            )
+            alloc = waterfill_budgets(
+                demands, "host", "__dem", cfg.round_capacity,
+                num_partitions=cfg.num_parts,
+            ).select(F.col("key").alias("host"), F.col("alloc").alias("__wf"))
+            eligible = eligible.join(alloc, "host")
+            budget = F.least(budget.cast("long"), F.col("__wf"))
         use_salted = cfg.salted_topk is True
         if not budget_can_bind:
             use_salted = False
@@ -674,7 +705,7 @@ class FrontierScheduler:
             selected = topk(eligible, "host", order, budget, **kwargs)
         else:
             selected = eligible
-        for aux in ("budget", "__cd"):
+        for aux in ("budget", "__cd", "__wf"):
             if aux in selected.columns:
                 selected = selected.drop(aux)
 
@@ -1169,6 +1200,7 @@ class FrontierScheduler:
             and self.robots is None
             and cfg.max_depth is None
             and self.host_budget is None
+            and cfg.round_capacity is None
             and 0 < n_frontier <= min(cfg.seq_single_max, cfg.default_host_budget)
         )
 

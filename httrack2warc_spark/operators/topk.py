@@ -83,7 +83,6 @@ def waterfill_budgets(
     capacity: int,
     mode: str = "ranged",
     num_partitions: int | None = None,
-    cache_handle: list | None = None,
 ) -> DataFrame:
     """Max-min fair (water-filling) allocation of a global round capacity
     across hosts: every host gets ``min(demand, θ)`` with the water level θ
@@ -131,8 +130,6 @@ def waterfill_budgets(
             .withColumn("__pid", F.spark_partition_id())
             .persist()
         )
-        if cache_handle is not None:
-            cache_handle.append(ranged)
         parts = (
             ranged.groupBy("__pid")
             .agg(F.sum("demand").alias("__t"), F.count(F.lit(1)).alias("__c"))
@@ -167,6 +164,10 @@ def waterfill_budgets(
         raise ValueError(mode)
 
     ranked = ranked.localCheckpoint(eager=True)
+    if mode == "ranged":
+        # the eager checkpoint materialized everything downstream needs;
+        # drop the range-exchange cache here so callers can't leak it
+        ranged.unpersist()
     totals = ranked.agg(
         F.count(F.lit(1)).alias("h"), F.coalesce(F.sum("demand"), F.lit(0)).alias("td")
     ).collect()[0]

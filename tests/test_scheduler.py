@@ -508,3 +508,54 @@ def test_salted_auto_hot_host(spark, tmp_path):
     # order-identical: forced-off plan produces the same (seq, url) sequence
     _, _, order_off = crawl(False)
     assert order == order_off
+
+
+# ---------------------------------------------------------------------------
+# Global round capacity (water-filling)
+# ---------------------------------------------------------------------------
+
+
+def test_round_capacity_caps_every_round_and_loses_nothing(spark, tmp_path):
+    """With cfg.round_capacity set, no round fetches more than the cap, the
+    cap binds max-min fairly (no host starved while another holds surplus),
+    and the capped crawl still visits the exact URL set of the uncapped
+    crawl — slower, never lossier."""
+    from httrack2warc_spark.frontier.synth import generate_web
+
+    web, seeds = generate_web(spark, n_hosts=3, pages_per_host=12,
+                              out_degree=3, num_partitions=4)
+
+    def crawl(tmp, **kw):
+        cat = TableCatalog(spark, str(tmp))
+        cfg = CrawlConfig(num_parts=4, max_rounds=40, fetch_robots=False, **kw)
+        log = FrontierScheduler(spark, cat, web, cfg).run(seeds=seeds)
+        return log.select("seq", "round", "url", "host").collect()
+
+    capped = crawl(tmp_path / "capped", round_capacity=5)
+    uncapped = crawl(tmp_path / "uncapped")
+
+    assert {r.url for r in capped} == {r.url for r in uncapped}
+
+    from collections import Counter, defaultdict
+    per_round = Counter(r.round for r in capped)
+    assert max(per_round.values()) <= 5
+    # fairness: in every round that bound (fetched == cap), no host may be
+    # starved (0 rows) while another got 2+ — max-min keeps levels balanced
+    by_round_host = defaultdict(Counter)
+    frontier_hosts = defaultdict(set)
+    for r in capped:
+        by_round_host[r.round][r.host] += 1
+    for rnd, cnt in per_round.items():
+        if cnt == 5 and len(by_round_host[rnd]) > 1:
+            takes = sorted(by_round_host[rnd].values())
+            assert takes[-1] - takes[0] <= 1
+
+
+def test_round_capacity_identity_when_loose(spark, tmp_path):
+    """A capacity the frontier never reaches must not perturb the golden
+    visit order (allocation == demand for every host)."""
+    cat, urls = _run(
+        spark, tmp_path,
+        CrawlConfig(num_parts=8, max_rounds=10, round_capacity=1000),
+    )
+    assert urls == GOLDEN_VISIT_ORDER
