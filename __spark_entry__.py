@@ -3464,6 +3464,124 @@ def sq8_ann_q(spark, sf_dir):
     )
 
 
+def url_canon_query_q(spark, sf_dir):
+    """Query-string canonicalization (operators/crawlops.py
+    canonicalize_query_col): the north rule's "query-string normalization"
+    as a pure codegen Column — fragment stripped, empty + tracking params
+    (utm_*/gclid/fbclid/...) dropped, survivors sorted and rejoined. URLs
+    synthesized from doc_id residues so the DuckDB twin rebuilds the exact
+    raw strings and re-runs the same split/filter/sort pipeline."""
+    from httrack2warc_spark.operators.crawlops import canonicalize_query_col
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?b="), (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("&utm_source=news")).otherwise(F.lit("")),
+        F.lit("&&a="), (F.col("doc_id") % 3).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("&gclid=CjkK")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", canonicalize_query_col(raw).alias("canon")
+    ).orderBy("doc_id")
+
+
+def trap_detect_q(spark, sf_dir):
+    """Crawler-trap heuristics (operators/crawlops.py trap_signals): path
+    depth, repeated-segment count and query-param explosion as one codegen
+    struct, gating the frontier before the url_seen probe. Mirror-loop
+    paths (`/loop/loop/...`) and calendar-CGI param blowups synthesized
+    from doc_id residues; the oracle recomputes every signal with DuckDB
+    list ops over the identical strings."""
+    from httrack2warc_spark.operators.crawlops import trap_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") * 3 % 11).cast("int")
+    url = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.com"),
+        F.repeat(F.lit("/loop"), (F.col("doc_id") % 5).cast("int")),
+        F.lit("/page"),
+        F.when(m > 0, F.concat(F.lit("?x=1"),
+                               F.repeat(F.lit("&x=1"), m - 1))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    sig = trap_signals(url, max_depth=8, max_repeats=2, max_params=8)
+    return docs.select(
+        "doc_id",
+        sig["path_depth"].alias("path_depth"),
+        sig["repeated_segments"].alias("repeated_segments"),
+        sig["n_params"].alias("n_params"),
+        sig["is_trap"].alias("is_trap"),
+    ).orderBy("doc_id")
+
+
+def retry_backoff_q(spark, sf_dir):
+    """Fetch-retry scheduling (operators/crawlops.py retry_schedule): capped
+    exponential backoff, min(30 << attempt, 86400) seconds, plus
+    deterministic md5 jitter mod 60 on url:attempt — exact BIGINT
+    microseconds end-to-end (unix_micros == epoch_us bit-for-bit, build
+    notes), so a resumed crawl and the DuckDB twin recompute the identical
+    schedule."""
+    from httrack2warc_spark.operators.crawlops import retry_schedule
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".ex.com/"), F.col("event_id").cast("string")).alias("url"),
+        (F.col("event_id") % 12).cast("int").alias("attempt"),
+        F.col("ts").alias("last_ts"),
+    )
+    out = retry_schedule(ev, base_s=30, cap_s=86_400, jitter_mod_s=60)
+    return out.select("event_id", "delay_s", "next_us").orderBy("event_id")
+
+
+def aspect_buckets_q(spark, sf_dir):
+    """Aspect-ratio bucketing for image-training batch assembly
+    (operators/crawlops.py assign_aspect_buckets): nearest-AR bucket by
+    exact cross-multiplied integer argmin |w*d - h*n|*(S/d) folded over a
+    literal bucket array — map-only, no explode, no per-image window.
+    (w, h) synthesized from doc_id residues; per-bucket image counts +
+    target train dims."""
+    from httrack2warc_spark.operators.crawlops import assign_aspect_buckets
+
+    imgs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(64) + (F.col("doc_id") % 29) * 16).cast("int").alias("w"),
+        (F.lit(64) + (F.col("doc_id") * 7 % 31) * 16).cast("int").alias("h"),
+    )
+    out = assign_aspect_buckets(imgs, "w", "h", base=64)
+    return (
+        out.groupBy("bucket_n", "bucket_d", "target_w", "target_h")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+        .orderBy("bucket_n", "bucket_d")
+    )
+
+
+def link_predict_q(spark, sf_dir):
+    """Link prediction by exact common-neighbor counts (operators/graph.py
+    common_neighbor_scores): non-adjacent distance-2 pairs of a 1500-node
+    circulant graph C(1,3)+chord, with (common, deg_a, deg_b) shipped as
+    the integer parts of the exact Jaccard — no float in the result. The
+    wedge self-join's hub fan-out bound (max_center_degree, the
+    max_shingle_df pattern) is the web-scale guard; here the graph is
+    near-regular so the unbounded run is exact."""
+    from httrack2warc_spark.operators.graph import common_neighbor_scores
+
+    n = 1500
+    r = spark.range(n)
+    raw = (
+        r.select(F.col("id").alias("x"), ((F.col("id") + 1) % n).alias("y"))
+        .unionAll(r.select(F.col("id").alias("x"), ((F.col("id") + 3) % n).alias("y")))
+        .unionAll(
+            r.select(F.col("id").alias("x"), ((F.col("id") * 5 + 2) % n).alias("y"))
+        )
+    )
+    return common_neighbor_scores(raw, "x", "y", min_common=2).orderBy("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -3606,6 +3724,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": time_weighted_avg_q,
         "ohlc_bars": ohlc_bars_q,
         "spend_quartiles": spend_quartiles_q,
+        "url_canon_query": url_canon_query_q,
+        "trap_detect": trap_detect_q,
+        "retry_backoff": retry_backoff_q,
+        "aspect_buckets": aspect_buckets_q,
+        "link_predict": link_predict_q,
     }
 
 
@@ -6380,6 +6503,167 @@ def _oracle_sqls() -> dict[str, str]:
                    CAST(round(max(spend_d), 2) AS DOUBLE) AS max_spend
             FROM q GROUP BY quartile
             ORDER BY quartile
+        """,
+        # url_canon_query: rebuild the raw URLs from doc_id residues, then
+        # re-run the identical canonicalization (strip fragment, drop empty
+        # + tracking params, sort, rejoin) with DuckDB list lambdas.
+        "url_canon_query": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       'http://' || source || '.example.com/p/'
+                       || CAST(doc_id % 50 AS VARCHAR)
+                       || '?b=' || CAST(doc_id % 7 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '&utm_source=news' ELSE '' END
+                       || '&&a=' || CAST(doc_id % 3 AS VARCHAR)
+                       || CASE WHEN doc_id % 5 = 0 THEN '&gclid=CjkK' ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END AS url
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       split_part(url, '#', 1) AS nofrag
+                FROM u
+            ),
+            t AS (
+                SELECT doc_id,
+                       split_part(nofrag, '?', 1) AS base,
+                       regexp_extract(nofrag, '\?(.*)$', 1) AS q
+                FROM s
+            ),
+            p AS (
+                SELECT doc_id, base,
+                       list_sort(list_filter(string_split(q, '&'),
+                           x -> x <> '' AND NOT regexp_matches(x,
+                               '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|_ga|ref)(=.*)?$')))
+                           AS kept
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN len(kept) > 0
+                        THEN base || '?' || array_to_string(kept, '&')
+                        ELSE base END AS canon
+            FROM p ORDER BY doc_id
+        """,
+        # trap_detect: identical synthetic URLs, every signal recomputed
+        # with DuckDB string/list ops (depth, segments-minus-distinct,
+        # non-empty param count).
+        "trap_detect": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       'http://h' || CAST(doc_id % 3 AS VARCHAR) || '.example.com'
+                       || repeat('/loop', CAST(doc_id % 5 AS INT)) || '/page'
+                       || CASE WHEN (doc_id * 3) % 11 > 0
+                               THEN '?x=1' || repeat('&x=1', CAST((doc_id * 3) % 11 AS INT) - 1)
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       list_filter(string_split(
+                           regexp_extract(url,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                           '/'), x -> x <> '') AS segs,
+                       list_filter(string_split(
+                           regexp_extract(url, '\?([^#]*)', 1), '&'),
+                           x -> x <> '') AS params
+                FROM u
+            )
+            SELECT doc_id,
+                   len(segs) AS path_depth,
+                   len(segs) - len(list_distinct(segs)) AS repeated_segments,
+                   len(params) AS n_params,
+                   (len(segs) > 8
+                    OR len(segs) - len(list_distinct(segs)) >= 2
+                    OR len(params) > 8) AS is_trap
+            FROM s ORDER BY doc_id
+        """,
+        # retry_backoff: min(30 << attempt, 86400) + md5(url:attempt) % 60,
+        # epoch_us == unix_micros bit-for-bit (build notes).
+        "retry_backoff": r"""
+            WITH f AS (
+                SELECT event_id,
+                       'http://h' || CAST(user_id % 20 AS VARCHAR) || '.ex.com/'
+                       || CAST(event_id AS VARCHAR) AS url,
+                       CAST(event_id % 12 AS INT) AS attempt,
+                       ts
+                FROM events
+            )
+            SELECT event_id,
+                   least(30 * (CAST(1 AS BIGINT) << least(attempt, 32)),
+                         86400)
+                   + ('0x' || substr(md5(url || ':' || CAST(attempt AS VARCHAR)),
+                                     1, 8))::BIGINT % 60 AS delay_s,
+                   epoch_us(ts)
+                   + (least(30 * (CAST(1 AS BIGINT) << least(attempt, 32)),
+                            86400)
+                      + ('0x' || substr(md5(url || ':' || CAST(attempt AS VARCHAR)),
+                                        1, 8))::BIGINT % 60) * 1000000 AS next_us
+            FROM f ORDER BY event_id
+        """,
+        # aspect_buckets: exact integer argmin |w*d - h*n| * (10368/d) over
+        # the 7-bucket ladder (wt precomputed: S = prod(d) = 10368), tie →
+        # lower bucket index; per-bucket counts + 64px-base target dims.
+        "aspect_buckets": """
+            WITH img AS (
+                SELECT doc_id,
+                       64 + (doc_id % 29) * 16 AS w,
+                       64 + (doc_id * 7 % 31) * 16 AS h
+                FROM documents
+            ),
+            b(i, n, d, wt) AS (
+                VALUES (0, 1, 1, 10368), (1, 4, 3, 3456), (2, 3, 4, 2592),
+                       (3, 3, 2, 5184), (4, 2, 3, 3456), (5, 16, 9, 1152),
+                       (6, 9, 16, 648)
+            ),
+            ranked AS (
+                SELECT img.doc_id, b.n, b.d,
+                       row_number() OVER (
+                           PARTITION BY img.doc_id
+                           ORDER BY abs(img.w * b.d - img.h * b.n) * b.wt, b.i
+                       ) AS rn
+                FROM img CROSS JOIN b
+            )
+            SELECT n AS bucket_n, d AS bucket_d,
+                   n * 64 AS target_w, d * 64 AS target_h,
+                   count(*) AS n_images
+            FROM ranked WHERE rn = 1
+            GROUP BY n, d ORDER BY bucket_n, bucket_d
+        """,
+        # link_predict: common-neighbor counts over the rebuilt circulant
+        # graph; non-adjacent pairs only, exact integer Jaccard parts.
+        "link_predict": """
+            WITH r AS (SELECT i FROM range(1500) t(i)),
+            raw AS (
+                SELECT i AS x, (i + 1) % 1500 AS y FROM r
+                UNION ALL SELECT i, (i + 3) % 1500 FROM r
+                UNION ALL SELECT i, (5 * i + 2) % 1500 FROM r
+            ),
+            e AS (
+                SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                FROM raw WHERE x <> y
+            ),
+            nb AS (
+                SELECT a AS v, b AS x FROM e
+                UNION ALL SELECT b, a FROM e
+            ),
+            deg AS (SELECT v, count(*) AS d FROM nb GROUP BY v),
+            pairs AS (
+                SELECT l.x AS a, r2.x AS b, count(*) AS common
+                FROM nb l JOIN nb r2 USING (v)
+                WHERE l.x < r2.x
+                GROUP BY l.x, r2.x
+                HAVING count(*) >= 2
+            ),
+            nonadj AS (
+                SELECT p.a, p.b, p.common FROM pairs p
+                ANTI JOIN e ON p.a = e.a AND p.b = e.b
+            )
+            SELECT n.a, n.b, n.common, da.d AS deg_a, db.d AS deg_b
+            FROM nonadj n
+            JOIN deg da ON da.v = n.a
+            JOIN deg db ON db.v = n.b
+            ORDER BY n.a, n.b
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is

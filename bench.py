@@ -117,6 +117,12 @@ def main() -> None:
         "bpe_pairs",
         "waterfill",
         "change_rate",
+        # round 5 fourth wave: crawl hygiene + batch prep + link prediction
+        "url_canon_query",
+        "trap_detect",
+        "retry_backoff",
+        "aspect_buckets",
+        "link_predict",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

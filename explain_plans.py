@@ -240,6 +240,21 @@ def main() -> None:
          "(k, cum_k) scalars fold back as literals so the final "
          "allocation is one codegen Project over the checkpointed "
          "ranked table"),
+        ("url_canon_query", "ONE codegen Project end-to-end: split/filter/"
+         "array_sort/array_join all inside whole-stage codegen, zero "
+         "exchanges before the presentation sort — the canonicalizer adds "
+         "NOTHING to the url_seen probe's shuffle bill"),
+        ("trap_detect", "map-only struct of regex + array ops in a single "
+         "WholeStageCodegen span; the frontier gate costs no shuffle"),
+        ("retry_backoff", "map-only codegen Project (shiftleft + md5 + "
+         "unix_micros); no exchange, no Python"),
+        ("aspect_buckets", "the bucket argmin FOLDS over a literal array "
+         "(aggregate expression) — no explode, no per-image window, no "
+         "join: one codegen Project then the tiny <=7-key aggregate"),
+        ("link_predict", "wedge self-join shuffles (v, x) pairs of 8-byte "
+         "ids on the center key; pair aggregate + left_anti adjacency "
+         "check + two degree joins, all on int keys — documents never "
+         "enter the plan"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 

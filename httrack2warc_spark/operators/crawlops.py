@@ -1,0 +1,252 @@
+"""Crawl-frontier hygiene + training-batch prep operators, all JVM-side.
+
+Four operators a production crawl/curation pipeline runs constantly that
+none of the other modules cover:
+
+* ``canonicalize_query_col`` — query-string normalization (sort params,
+  drop tracking params, strip fragments).  The reference normalizes query
+  strings during link rewriting (``HtsUtil.java`` percent codecs keep the
+  query verbatim; dedup happens on the *canonical* form) — at web scale
+  the same page is discovered under thousands of ``utm_*`` permutations,
+  and canonicalizing BEFORE the url_seen probe is the difference between
+  storing one key and storing every permutation.
+* ``trap_signals`` — crawler-trap heuristics (path depth, repeated path
+  segments, query-param explosion) computed as one pure Column struct.
+  Calendar CGIs and mirror loops generate unbounded URL spaces; the trap
+  gate bounds the frontier *before* politeness budgeting.
+* ``retry_schedule`` — capped exponential backoff with deterministic
+  md5-derived jitter for failed fetches.  Exact integer microseconds so
+  the schedule is reproducible across engines and across resume.
+* ``assign_aspect_buckets`` — aspect-ratio bucketing for image-training
+  batch assembly (the multimodal-pipeline step that groups (w, h) images
+  into fixed-AR buckets so a batch pads minimally).  Bucket choice is
+  exact integer arithmetic: comparing ``w/h`` against ``n/d`` uses
+  cross-multiplied |w*d - h*n| rescaled to a common denominator — no
+  float enters the decision, so Spark and any SQL oracle agree
+  bit-for-bit.
+
+Scale notes: every operator here is map-only except the final per-bucket
+count (a tiny aggregate on ≤ len(buckets) keys).  ``trap_signals`` and
+``canonicalize_query_col`` run inside whole-stage codegen; the bucket
+argmin folds over a literal array with ``F.aggregate`` — no explode, no
+window, no shuffle on the image id.  Expensive subtrees stay in argument
+position per the lambda-body re-evaluation rule (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "canonicalize_query_col",
+    "trap_signals",
+    "retry_schedule",
+    "assign_aspect_buckets",
+    "DEFAULT_TRACKING_RE",
+    "DEFAULT_ASPECT_BUCKETS",
+]
+
+# Anchored full-match (rlike is substring-match — anchors are load-bearing):
+# a param is tracking if its NAME matches, with or without a value.
+DEFAULT_TRACKING_RE = (
+    r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|mc_eid|_ga|ref)(=.*)?$"
+)
+
+
+def canonicalize_query_col(
+    url: Column, tracking_re: str = DEFAULT_TRACKING_RE
+) -> Column:
+    """Normalize a URL's query string: strip the fragment, drop empty and
+    tracking params, sort the survivors lexicographically, rejoin.
+
+    Pure Column expression (split/filter/array_sort/array_join — all
+    codegen'd); the param list is tiny so the per-element lambda
+    re-evaluation hazard doesn't apply.  A URL with no surviving params
+    loses its ``?`` entirely — ``/p`` and ``/p?utm_source=x`` canonicalize
+    identically, which is the dedup point.
+    """
+    nofrag = F.substring_index(url, "#", 1)
+    base = F.substring_index(nofrag, "?", 1)
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(tracking_re),
+        )
+    )
+    return F.when(
+        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(base)
+
+
+def trap_signals(
+    url: Column,
+    max_depth: int = 8,
+    max_repeats: int = 2,
+    max_params: int = 8,
+) -> Column:
+    """Crawler-trap heuristics as one struct Column:
+    ``(path_depth, repeated_segments, n_params, is_trap)``.
+
+    * ``path_depth`` — number of non-empty path segments.
+    * ``repeated_segments`` — segments minus distinct segments (a mirror
+      loop like ``/a/b/a/b/a/b`` scores 4; any legitimate once-repeated
+      segment scores 1, under the default threshold).
+    * ``n_params`` — non-empty query params (calendar/session CGIs explode
+      here).
+    * ``is_trap`` — any signal over its threshold.
+
+    All C-level regex + array ops; apply BEFORE the url_seen probe so trap
+    URLs never enter the frontier or the seen set.
+    """
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    depth = F.size(segs)
+    repeats = depth - F.size(F.array_distinct(segs))
+    n_params = F.size(params)
+    return F.struct(
+        depth.alias("path_depth"),
+        repeats.alias("repeated_segments"),
+        n_params.alias("n_params"),
+        (
+            (depth > max_depth)
+            | (repeats >= max_repeats)
+            | (n_params > max_params)
+        ).alias("is_trap"),
+    )
+
+
+def retry_schedule(
+    failures: DataFrame,
+    url_col: str = "url",
+    attempt_col: str = "attempt",
+    ts_col: str = "last_ts",
+    base_s: int = 30,
+    cap_s: int = 86_400,
+    jitter_mod_s: int = 60,
+) -> DataFrame:
+    """Capped exponential backoff for fetch retries, exact to the
+    microsecond: ``delay = min(base_s << attempt, cap_s) + jitter`` where
+    jitter is an md5 draw on ``url:attempt`` mod ``jitter_mod_s``
+    (deterministic — a resumed crawl recomputes the identical schedule,
+    and thundering herds on a shared host spread out).
+
+    Returns the input plus ``delay_s`` (BIGINT seconds) and ``next_us``
+    (BIGINT epoch microseconds).  Integer end-to-end: ``unix_micros`` is
+    bit-exact across engines where a double epoch is not (build notes).
+    Map-only — no shuffle, no Python.
+    """
+    attempt = F.col(attempt_col).cast("int")
+    # clamp the shift so a pathological attempt count can't overflow the
+    # long; 2^32 * base already exceeds any sane cap
+    # python F.shiftleft takes numBits as a literal int only — go through
+    # the SQL function, which accepts a Column shift amount
+    delay_core = F.least(
+        F.call_function(
+            "shiftleft",
+            F.lit(int(base_s)).cast("long"),
+            F.least(attempt, F.lit(32)),
+        ),
+        F.lit(int(cap_s)).cast("long"),
+    )
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(url_col), F.lit(":"), attempt.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % int(jitter_mod_s)
+    )
+    delay = (delay_core + jitter).alias("delay_s")
+    return failures.withColumn("delay_s", delay).withColumn(
+        "next_us",
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        + F.col("delay_s") * F.lit(1_000_000).cast("long"),
+    )
+
+
+# (n, d) aspect-ratio buckets, the usual SD-training ladder around square
+DEFAULT_ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1, 1),
+    (4, 3),
+    (3, 4),
+    (3, 2),
+    (2, 3),
+    (16, 9),
+    (9, 16),
+)
+
+
+def assign_aspect_buckets(
+    images: DataFrame,
+    w_col: str = "w",
+    h_col: str = "h",
+    buckets: tuple[tuple[int, int], ...] = DEFAULT_ASPECT_BUCKETS,
+    base: int = 64,
+) -> DataFrame:
+    """Assign each image to the nearest aspect-ratio bucket, exactly.
+
+    ``|w/h - n_i/d_i|`` ranks identically to ``|w*d_i - h*n_i| * (S/d_i)``
+    where ``S = prod(d_j)`` — pure integer arithmetic, so the argmin is
+    deterministic and any SQL engine reproduces it bit-for-bit (the
+    float-free cross-multiplication trick).  Ties break toward the earlier
+    bucket in ``buckets``.
+
+    The argmin FOLDS over a literal array (``F.aggregate``) instead of
+    explode + per-image window: map-only, no shuffle on the image id, no
+    7× row blowup through an exchange — at 10^10 images the explode form
+    shuffles 7×10^10 rows to rank them, this form shuffles nothing.
+
+    Returns the input plus ``bucket_n``, ``bucket_d``, ``target_w``,
+    ``target_h`` (``n*base`` × ``d*base``).
+    """
+    scale = 1
+    for _, d in buckets:
+        scale *= d
+    lits = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(n).alias("n"),
+                F.lit(d).alias("d"),
+                F.lit(scale // d).alias("wt"),
+            )
+            for i, (n, d) in enumerate(buckets)
+        ]
+    )
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    best = F.aggregate(
+        lits,
+        F.struct(
+            F.lit(None).cast("long").alias("key"),
+            F.lit(-1).alias("i"),
+            F.lit(0).alias("n"),
+            F.lit(0).alias("d"),
+        ),
+        lambda acc, b: F.when(
+            acc["key"].isNull()
+            | (F.abs(w * b["d"] - h * b["n"]) * b["wt"] < acc["key"]),
+            F.struct(
+                (F.abs(w * b["d"] - h * b["n"]) * b["wt"]).alias("key"),
+                b["i"].alias("i"),
+                b["n"].alias("n"),
+                b["d"].alias("d"),
+            ),
+        ).otherwise(acc),
+    )
+    out = images.withColumn("__b", best)
+    return (
+        out.withColumn("bucket_n", F.col("__b.n"))
+        .withColumn("bucket_d", F.col("__b.d"))
+        .withColumn("target_w", F.col("__b.n") * base)
+        .withColumn("target_h", F.col("__b.d") * base)
+        .drop("__b")
+    )

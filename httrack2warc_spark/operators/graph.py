@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["triangle_counts"]
+__all__ = ["triangle_counts", "common_neighbor_scores"]
 
 
 def triangle_counts(
@@ -77,3 +77,63 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return tri_nodes
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    min_common: int = 1,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by exact common-neighbor / Jaccard counts: for every
+    NON-adjacent pair ``(a < b)`` at distance 2, return
+    ``(a, b, common, deg_a, deg_b)`` — ``common`` exact, and the Jaccard
+    score is the exact rational ``common / (deg_a + deg_b - common)``,
+    shipped as its integer parts so no float enters the result (build-notes
+    cross-engine determinism rule).
+
+    Scale: wedge generation through a common neighbor ``v`` fans out
+    ``deg(v)²`` — a 10^5-degree hub alone emits 10^10 pairs.
+    ``max_center_degree`` drops hub CENTERS from wedge generation (the
+    ``max_shingle_df`` pattern from the dedup family: a bounded, documented
+    recall trade — pairs whose only witnesses are hubs are the least
+    informative precisely because a hub neighborhood is uninformative).
+    Degrees are still computed over the FULL edge set, so surviving
+    scores are exact, not approximations.  ``min_common`` prunes the long
+    tail before the degree joins.  Three shuffles: canonicalize+distinct,
+    the wedge self-join on the center, the pair aggregate; the degree
+    attach is two joins on 8-byte keys.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = e.select(F.col("a").alias("v"), F.col("b").alias("x")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("x"))
+    )
+    deg = both.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    centers = both
+    if max_center_degree is not None:
+        centers = both.join(
+            deg.where(F.col("d") <= max_center_degree).select("v"), "v", "leftsemi"
+        )
+    pairs = (
+        centers.alias("l")
+        .join(centers.alias("r"), "v")
+        .where(F.col("l.x") < F.col("r.x"))
+        .select(F.col("l.x").alias("a"), F.col("r.x").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    nonadj = pairs.join(e, ["a", "b"], "left_anti")
+    return (
+        nonadj.join(deg.select(F.col("v").alias("a"), F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("deg_b")), "b")
+        .select("a", "b", "common", "deg_a", "deg_b")
+    )

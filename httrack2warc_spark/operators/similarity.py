@@ -515,10 +515,17 @@ def semdedup(
                 return pd.Series([], dtype="int32")
             arr = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
             norms = np.maximum(np.linalg.norm(arr, axis=1), 1e-300)
-            sims = np.round(
-                (arr @ cent_mat.T) * inv[None, :] / norms[:, None],
-                round_digits,
-            )
+            # identical float ops to round((arr@cm.T) * inv / norms, d) but
+            # IN PLACE: the n×k sims matrix is the O(n·k) bandwidth term
+            # (200k×2000 = 3.2 GB) — the naive form allocates three more
+            # same-sized temporaries and turns the stage memory-bandwidth-
+            # bound, which is why it stopped scaling with cores. Each
+            # in-place op applies the same elementwise IEEE operation, so
+            # the columns-path parity contract is untouched.
+            sims = arr @ cent_mat.T
+            sims *= inv[None, :]
+            sims /= norms[:, None]
+            np.round(sims, round_digits, out=sims)
             # argmax takes the FIRST max — the lowest centroid rank, the
             # same tie rule as the columns path's (c, -rank) struct max
             return pd.Series(np.argmax(sims, axis=1).astype("int32"))
@@ -534,10 +541,23 @@ def semdedup(
     ).localCheckpoint(eager=True)  # consumed by both join sides + output —
     # materialize the scan+assignment once (the union/among-branches rule)
 
-    left = members.select(
+    # EXPLICIT cluster partitioning for the self-join, at a count AQE will
+    # respect (explicit numPartitions is never coalesced): the shuffle
+    # BYTES here are tiny (200k skinny vector rows), so AQE's 8MB advisory
+    # coalesces the join to a handful of partitions — but each row explodes
+    # into ~cluster_size cosine evaluations on the reduce side, compute AQE
+    # cannot see. Measured at 200k×k=2000: the coalesced join capped N→4N
+    # scaling at ~2.2×; this repartition restores ~4×. Both join sides
+    # project the SAME repartitioned frame, so the exchange is reused —
+    # one shuffle total, same as before, just wider.
+    spark = emb.sparkSession
+    paired = members.repartition(
+        spark.sparkContext.defaultParallelism * 4, "cluster"
+    )
+    left = paired.select(
         F.col(id_col).alias("__a"), F.col("__v").alias("__va"), "cluster"
     )
-    right = members.select(
+    right = paired.select(
         F.col(id_col).alias("__b"), F.col("__v").alias("__vb"), "cluster"
     )
     dup_ids = (

@@ -1,0 +1,138 @@
+"""Crawl-hygiene + batch-prep operators (operators/crawlops.py, plus the
+graph link-prediction scorer): query canonicalization, trap signals, retry
+backoff, aspect bucketing, common-neighbor scores — fixture-pinned
+semantics with hand-computed expecteds."""
+
+from pyspark.sql import functions as F
+
+from httrack2warc_spark.operators.crawlops import (
+    assign_aspect_buckets,
+    canonicalize_query_col,
+    retry_schedule,
+    trap_signals,
+)
+from httrack2warc_spark.operators.graph import common_neighbor_scores
+
+
+def _canon(spark, url: str) -> str:
+    return (
+        spark.range(1)
+        .select(canonicalize_query_col(F.lit(url)).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+def test_canonicalize_query_sorts_and_strips(spark):
+    assert (
+        _canon(spark, "http://h/p?b=2&utm_source=news&&a=1&gclid=X#frag")
+        == "http://h/p?a=1&b=2"
+    )
+    # no surviving params -> the '?' disappears entirely (the dedup point)
+    assert _canon(spark, "http://h/p?utm_campaign=x&fbclid=Y") == "http://h/p"
+    assert _canon(spark, "http://h/p") == "http://h/p"
+    # bare tracking name without '=' is still dropped; non-tracking kept
+    assert _canon(spark, "http://h/p?ref&z=9") == "http://h/p?z=9"
+    # a param whose name merely CONTAINS a tracking name survives (anchored)
+    assert _canon(spark, "http://h/p?xref=1") == "http://h/p?xref=1"
+
+
+def test_trap_signals_fields(spark):
+    rows = (
+        spark.createDataFrame(
+            [
+                ("http://h/a/b/c",),
+                ("http://h/a/b/a/b/a",),  # segs a,b,a,b,a -> 5, distinct 2
+                ("http://h/p?a=1&b=2&c=3#f",),
+                ("http://h/" + "/".join(f"s{i}" for i in range(10)),),
+            ],
+            "url string",
+        )
+        .select(trap_signals(F.col("url")).alias("t"))
+        .select("t.*")
+        .collect()
+    )
+    assert (rows[0]["path_depth"], rows[0]["repeated_segments"]) == (3, 0)
+    assert not rows[0]["is_trap"]
+    assert (rows[1]["path_depth"], rows[1]["repeated_segments"]) == (5, 3)
+    assert rows[1]["is_trap"]  # mirror loop
+    assert rows[2]["n_params"] == 3 and not rows[2]["is_trap"]
+    assert rows[3]["path_depth"] == 10 and rows[3]["is_trap"]  # too deep
+
+
+def test_retry_schedule_exact(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [("http://h/x", 0, "2020-05-04 00:00:00"),
+         ("http://h/x", 3, "2020-05-04 00:00:00"),
+         ("http://h/x", 40, "2020-05-04 00:00:00")],
+        "url string, attempt int, last_ts string",
+    )
+    out = {r["attempt"]: r for r in retry_schedule(df).collect()}
+    for att, core in [(0, 30), (3, 240), (40, 86_400)]:  # 30<<3=240; capped
+        j = int(hashlib.md5(f"http://h/x:{att}".encode()).hexdigest()[:8], 16) % 60
+        assert out[att]["delay_s"] == core + j
+        # epoch micros of 2020-05-04T00:00:00Z + delay seconds
+        assert out[att]["next_us"] == 1588550400_000000 + (core + j) * 1_000_000
+
+
+def test_aspect_buckets_exact_argmin(spark):
+    df = spark.createDataFrame(
+        [(1, 512, 512),   # exactly 1:1
+         (2, 640, 480),   # exactly 4:3
+         (3, 600, 480),   # 5:4 -> nearer 4:3 (|5/4-4/3|=1/12) than 1:1 (1/4)
+         (4, 1280, 720)], # exactly 16:9
+        "id int, w int, h int",
+    )
+    out = {r["id"]: r for r in assign_aspect_buckets(df).collect()}
+    assert (out[1]["bucket_n"], out[1]["bucket_d"]) == (1, 1)
+    assert (out[2]["bucket_n"], out[2]["bucket_d"]) == (4, 3)
+    assert (out[3]["bucket_n"], out[3]["bucket_d"]) == (4, 3)
+    assert (out[4]["bucket_n"], out[4]["bucket_d"]) == (16, 9)
+    assert (out[4]["target_w"], out[4]["target_h"]) == (1024, 576)
+
+
+def test_aspect_buckets_tie_breaks_low_index(spark):
+    # w/h = 2 sits exactly between 3/2 (diff 1/2) and ... no; use a true tie:
+    # w/h such that |w*d1-h*n1|*wt1 == |w*d2-h*n2|*wt2. 1:1 vs 4:3 tie at
+    # w/h = 7/6: |7-6|*10368 = 10368; |21-24|*3456 = 10368. Earlier bucket
+    # (1:1, index 0) must win.
+    df = spark.createDataFrame([(1, 7, 6)], "id int, w int, h int")
+    r = assign_aspect_buckets(df).collect()[0]
+    assert (r["bucket_n"], r["bucket_d"]) == (1, 1)
+
+
+def test_common_neighbor_scores_path_graph(spark):
+    # path 0-1-2-3-4: non-adjacent distance-2 pairs (0,2),(1,3),(2,4), one
+    # common neighbor each; degrees 1,2,2,2,1
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "a int, b int"
+    )
+    rows = {
+        (r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"])
+        for r in common_neighbor_scores(e).collect()
+    }
+    assert rows == {
+        (0, 2): (1, 1, 2),
+        (1, 3): (1, 2, 2),
+        (2, 4): (1, 2, 1),
+    }
+
+
+def test_common_neighbor_scores_center_cap_keeps_degrees_exact(spark):
+    # star 0-{1..5} plus edge 1-2: pairs through hub 0 vanish under the cap,
+    # but the surviving pair's DEGREES still count the hub edges
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    e = spark.createDataFrame(edges, "a int, b int")
+    uncapped = common_neighbor_scores(e).where(
+        (F.col("a") == 3) | (F.col("b") == 3)
+    )
+    assert uncapped.count() > 0  # hub wedges exist without the cap
+    capped = {
+        (r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"])
+        for r in common_neighbor_scores(e, max_center_degree=3).collect()
+    }
+    # only centers 1 and 2 (deg 2) survive the cap; every wedge through
+    # them closes into an existing star edge, so NO pair remains — the cap
+    # engaged and dropped exactly the hub-witnessed pairs
+    assert capped == {}
