@@ -220,6 +220,22 @@ class CrawlConfig:
     # max(1, floor(round_seconds / crawl_delay)) — the RFC-era Crawl-delay
     # politeness contract expressed in round units.
     round_seconds: float | None = None
+    # frontier hygiene gates (operators/crawlops.py), both OFF by default so
+    # the golden reference-parity visit order is untouched:
+    # canonicalize_query — after WHATWG canonicalization, normalize the query
+    # string (strip fragment, drop empty + tracking params, sort survivors)
+    # BEFORE url_key derivation, so `?utm_*` permutations of one page collapse
+    # to ONE seen key instead of one stored key per permutation. Pure Column,
+    # adds nothing to the probe's shuffle bill.
+    canonicalize_query: bool = False
+    # trap_guard — drop URLs whose trap_signals struct flags them (path depth
+    # / repeated path segments / query-param explosion over the thresholds
+    # below) at the same gate as the exclusion regexes: trap URLs never reach
+    # the url_seen probe, the frontier, or the summaries. Map-only.
+    trap_guard: bool = False
+    trap_max_depth: int = 8
+    trap_max_repeats: int = 2
+    trap_max_params: int = 8
 
 
 class FrontierScheduler:
@@ -311,17 +327,36 @@ class FrontierScheduler:
         return ("url_key", self.cfg.num_parts) if self.cfg.bucketed_seen else None
 
     def _canonicalize(self, df: DataFrame, url_col: str) -> DataFrame:
-        return (
-            df.withColumn("url", canonicalize_urls_udf(F.col(url_col)))
-            .withColumn("url_key", strip_protocol_col(F.col("url")))
-            .withColumn("host", url_host_col(F.col("url")))
-        )
+        out = df.withColumn("url", canonicalize_urls_udf(F.col(url_col)))
+        if self.cfg.canonicalize_query:
+            # query normalization runs on the WHATWG output so url_key (the
+            # seen/dedup key) is derived from the fully canonical form —
+            # utm permutations collapse before the probe, not after
+            from httrack2warc_spark.operators.crawlops import (
+                canonicalize_query_col,
+            )
+
+            out = out.withColumn("url", canonicalize_query_col(F.col("url")))
+        return out.withColumn(
+            "url_key", strip_protocol_col(F.col("url"))
+        ).withColumn("host", url_host_col(F.col("url")))
 
     def _apply_exclusions(self, df: DataFrame) -> DataFrame:
         # reference F2: Pattern.matches == full match (Httrack2Warc.java:288-290)
         out = df
         for rx in self.cfg.exclusions:
             out = out.where(~F.col("url").rlike(f"^(?:{rx})$"))
+        if self.cfg.trap_guard:
+            from httrack2warc_spark.operators.crawlops import trap_signals
+
+            out = out.where(
+                ~trap_signals(
+                    F.col("url"),
+                    max_depth=self.cfg.trap_max_depth,
+                    max_repeats=self.cfg.trap_max_repeats,
+                    max_params=self.cfg.trap_max_params,
+                )["is_trap"]
+            )
         return out
 
     @staticmethod

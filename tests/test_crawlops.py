@@ -136,3 +136,117 @@ def test_common_neighbor_scores_center_cap_keeps_degrees_exact(spark):
     # them closes into an existing star edge, so NO pair remains — the cap
     # engaged and dropped exactly the hub-witnessed pairs
     assert capped == {}
+
+
+# ---------------------------------------------------------------------------
+# scheduler integration: the hygiene gates as CrawlConfig options
+# ---------------------------------------------------------------------------
+
+def _hygiene_web(spark):
+    """Three-page web: the index links to (a) two utm/ordering permutations
+    of the SAME query page, (b) a trap URL (12 path segments), (c) a normal
+    page."""
+    from httrack2warc_spark.frontier.synth import SyntheticWeb
+
+    trap = "h.example.org" + "/seg" * 12 + "/leaf.html"
+    pages = spark.createDataFrame(
+        [
+            ("h.example.org/", 200, "text/html", 10, "index.html", None),
+            ("h.example.org/q.html?a=1&b=2", 200, "text/html", 10, "q.html", None),
+            ("h.example.org/plain.html", 200, "text/html", 10, "plain.html", None),
+            (trap, 200, "text/html", 10, "trap.html", None),
+        ],
+        "url_key string, status int, mime string, size long, "
+        "localfile string, image_id long",
+    )
+    links = spark.createDataFrame(
+        [
+            ("h.example.org/", 0, "http://h.example.org/q.html?b=2&utm_source=news&a=1"),
+            ("h.example.org/", 1, "http://h.example.org/q.html?a=1&gclid=XY&b=2"),
+            ("h.example.org/", 2, "http://" + trap),
+            ("h.example.org/", 3, "http://h.example.org/plain.html"),
+        ],
+        "src_key string, link_idx int, dst_url string",
+    )
+    return SyntheticWeb(pages, links)
+
+
+def _crawl_urls(spark, tmp_path, name, **cfg_kwargs):
+    from httrack2warc_spark.frontier.scheduler import CrawlConfig, FrontierScheduler
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / name))
+    sched = FrontierScheduler(
+        spark, cat, _hygiene_web(spark),
+        CrawlConfig(num_parts=4, max_rounds=4, fetch_robots=False, **cfg_kwargs),
+    )
+    log = sched.run(seeds=["http://h.example.org/"])
+    return [r.url for r in log.orderBy("seq").collect()]
+
+
+def test_scheduler_hygiene_gates_off_by_default(spark, tmp_path):
+    urls = _crawl_urls(spark, tmp_path, "off")
+    # both permutations fetched (distinct raw keys), trap fetched
+    assert sum("q.html" in u for u in urls) == 2
+    assert any("/seg/seg" in u for u in urls)
+    assert len(urls) == 5
+
+
+def test_scheduler_canonicalize_query_collapses_permutations(spark, tmp_path):
+    urls = _crawl_urls(spark, tmp_path, "canon", canonicalize_query=True)
+    # ONE canonical fetch, under the sorted tracking-stripped form
+    assert [u for u in urls if "q.html" in u] == [
+        "http://h.example.org/q.html?a=1&b=2"
+    ]
+    assert len(urls) == 4
+
+
+def test_scheduler_trap_guard_drops_trap_urls(spark, tmp_path):
+    urls = _crawl_urls(spark, tmp_path, "trap", trap_guard=True)
+    assert not any("/seg/seg" in u for u in urls)
+    assert len(urls) == 4  # index + 2 permutations + plain
+
+
+def test_canonicalize_query_udf_not_duplicated(spark, tmp_path):
+    """canonicalize_query_col references the WHATWG UDF's output many times
+    (base/query/filter subtrees); after CollapseProject inlining, the
+    extracted Python-UDF stage must still evaluate the UDF ONCE per row —
+    duplicate PythonUDF expressions dedupe at extraction."""
+    from httrack2warc_spark.frontier.scheduler import CrawlConfig, FrontierScheduler
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "plan"))
+    sched = FrontierScheduler(
+        spark, cat, _hygiene_web(spark),
+        CrawlConfig(num_parts=4, fetch_robots=False, canonicalize_query=True,
+                    trap_guard=True),
+    )
+    df = sched._apply_exclusions(
+        sched._canonicalize(
+            spark.createDataFrame([("http://h/x?b=1&a=2",)], ["raw_url"]),
+            "raw_url",
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"canonicalize_urls", plan)) <= 2, plan  # def + ref
+
+
+def test_trap_guard_golden_fixture_safe(spark, tmp_path):
+    """trap_guard at default thresholds passes every URL of the reference
+    fixture crawl — the golden visit order is unchanged with the gate ON.
+    (canonicalize_query intentionally is NOT golden-safe: the fixture's
+    query.html URL carries unsorted + empty params and a fragment, and
+    rewriting that key is the operator's entire point — so only the trap
+    gate gets a fixture-safety pin.)"""
+    from httrack2warc_spark.frontier.scheduler import CrawlConfig, FrontierScheduler
+    from httrack2warc_spark.frontier.synth import fixture_web
+    from httrack2warc_spark.sinks.tables import TableCatalog
+    from tests.test_scheduler import GOLDEN_VISIT_ORDER
+
+    cat = TableCatalog(spark, str(tmp_path / "golden-trap"))
+    log = FrontierScheduler(
+        spark, cat, fixture_web(spark),
+        CrawlConfig(num_parts=8, max_rounds=10, trap_guard=True),
+    ).run(seeds=["http://test.example.org/"])
+    assert [r.url for r in log.orderBy("seq").collect()] == GOLDEN_VISIT_ORDER
