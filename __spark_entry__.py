@@ -3582,6 +3582,39 @@ def link_predict_q(spark, sf_dir):
     return common_neighbor_scores(raw, "x", "y", min_common=2).orderBy("a", "b")
 
 
+def sitemap_parse_q(spark, sf_dir):
+    """Sitemap ingestion (operators/crawlops.py sitemap_locs, wired into the
+    scheduler as CrawlConfig.discover_sitemaps): synthesize a <urlset> XML
+    body per document (1-4 entity-escaped, whitespace-padded <loc> entries
+    from doc_id residues), parse it back with the production extractor
+    (regexp_extract_all + XML-entity decode), posexplode to (pos, loc).
+    The oracle never parses: it regenerates each (doc_id, pos, loc) from
+    first principles, so the check is that parsing round-trips construction
+    exactly — order, trimming, and entity decoding included."""
+    from httrack2warc_spark.operators.crawlops import sitemap_locs
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    entries = F.transform(
+        F.sequence(F.lit(0).cast("long"), d % 4),
+        lambda e: F.concat(
+            F.lit("<url><loc> http://s"), (d % 5).cast("string"),
+            F.lit(".ex.com/p/"), ((d * 7 + e) % 97).cast("string"),
+            F.lit("?a=1&amp;b="), e.cast("string"),
+            F.lit(" </loc></url>"),
+        ),
+    )
+    body = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.array_join(entries, ""),
+        F.lit("</urlset>"),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(sitemap_locs(body)).alias("pos", "loc"))
+        .orderBy("doc_id", "pos")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -3729,6 +3762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backoff": retry_backoff_q,
         "aspect_buckets": aspect_buckets_q,
         "link_predict": link_predict_q,
+        "sitemap_parse": sitemap_parse_q,
     }
 
 
@@ -6664,6 +6698,17 @@ def _oracle_sqls() -> dict[str, str]:
             JOIN deg da ON da.v = n.a
             JOIN deg db ON db.v = n.b
             ORDER BY n.a, n.b
+        """,
+        # sitemap_parse: the oracle REGENERATES (doc_id, pos, loc) from the
+        # same residues — never parsing XML — so it checks that the Spark
+        # extractor round-trips construction (order, trim, entity decode).
+        "sitemap_parse": """
+            SELECT doc_id, CAST(e AS INT) AS pos,
+                   'http://s' || CAST(doc_id % 5 AS VARCHAR) || '.ex.com/p/'
+                   || CAST((doc_id * 7 + e) % 97 AS VARCHAR)
+                   || '?a=1&b=' || CAST(e AS VARCHAR) AS loc
+            FROM documents, UNNEST(range(0, CAST(doc_id % 4 AS INT) + 1)) AS t(e)
+            ORDER BY doc_id, pos
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is

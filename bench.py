@@ -123,6 +123,7 @@ def main() -> None:
         "retry_backoff",
         "aspect_buckets",
         "link_predict",
+        "sitemap_parse",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

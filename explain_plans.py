@@ -251,6 +251,9 @@ def main() -> None:
         ("aspect_buckets", "the bucket argmin FOLDS over a literal array "
          "(aggregate expression) — no explode, no per-image window, no "
          "join: one codegen Project then the tiny <=7-key aggregate"),
+        ("sitemap_parse", "map-only: XML synthesis, regexp_extract_all, "
+         "entity-decode transform and posexplode all in one codegen span + "
+         "Generate; zero exchanges before the presentation sort"),
         ("link_predict", "wedge self-join shuffles (v, x) pairs of 8-byte "
          "ids on the center key; pair aggregate + left_anti adjacency "
          "check + two degree joins, all on int keys — documents never "

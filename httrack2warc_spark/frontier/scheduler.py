@@ -236,6 +236,19 @@ class CrawlConfig:
     trap_max_depth: int = 8
     trap_max_repeats: int = 2
     trap_max_params: int = 8
+    # sitemap ingestion (operators/crawlops.py::sitemap_outlinks): when the
+    # fetch contract carries a ``body`` column, <loc> entries of fetched
+    # sitemap documents (sitemap*.xml URL, or an XML body opening a
+    # <urlset>/<sitemapindex> root) are unioned into the round's discovery
+    # as outlinks of the sitemap page — same probe, dedup and politeness
+    # plan as real links, no special path downstream. link_idx is offset by
+    # 10^6 so sitemap-discovered URLs order deterministically AFTER the
+    # page's real links within one parent. Nested sitemap indexes chain
+    # naturally: a child sitemap URL is enqueued, fetched, and parsed on a
+    # later round. Off by default (golden parity); disables the fused
+    # level-block fast path while on (the block's lazy fetch chain would
+    # re-scan bodies per level).
+    discover_sitemaps: bool = False
 
 
 class FrontierScheduler:
@@ -850,6 +863,14 @@ class FrontierScheduler:
 
         # ---- discovery --------------------------------------------------
         raw_links = self.web.outlinks(fetched.where(F.col("__robots") == 1))
+        if self.cfg.discover_sitemaps and "body" in fetched.columns:
+            from httrack2warc_spark.operators.crawlops import sitemap_outlinks
+
+            # fetched is persisted above, so this union branch re-reads the
+            # cache, not the fetch join (the union-recompute rule)
+            raw_links = raw_links.unionByName(
+                sitemap_outlinks(fetched.where(F.col("__robots") == 1))
+            )
         candidates = (
             self._canonicalize(raw_links, "dst_url")
             .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
@@ -1232,6 +1253,7 @@ class FrontierScheduler:
             cfg.batch_levels > 1
             and self._level_clean
             and not cfg.fetch_robots
+            and not cfg.discover_sitemaps
             and self.robots is None
             and cfg.max_depth is None
             and self.host_budget is None

@@ -43,8 +43,13 @@ __all__ = [
     "trap_signals",
     "retry_schedule",
     "assign_aspect_buckets",
+    "sitemap_locs",
+    "sitemap_outlinks",
+    "xml_unescape_col",
     "DEFAULT_TRACKING_RE",
     "DEFAULT_ASPECT_BUCKETS",
+    "SITEMAP_LOC_RE",
+    "SITEMAP_LINK_IDX_OFFSET",
 ]
 
 # Anchored full-match (rlike is substring-match — anchors are load-bearing):
@@ -249,4 +254,89 @@ def assign_aspect_buckets(
         .withColumn("target_w", F.col("__b.n") * base)
         .withColumn("target_h", F.col("__b.d") * base)
         .drop("__b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sitemap ingestion (sitemaps.org XML: <urlset>/<sitemapindex> of <loc> urls)
+# ---------------------------------------------------------------------------
+
+# <loc> content in document order; tolerant of surrounding whitespace.
+SITEMAP_LOC_RE = r"<loc>\s*([^<\s][^<]*?)\s*</loc>"
+
+
+def xml_unescape_col(s: Column) -> Column:
+    """Decode the five predefined XML entities. ``&amp;`` LAST — so the
+    escaped text ``&amp;lt;`` correctly decodes to the literal ``&lt;``,
+    never to ``<``."""
+    out = s
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def sitemap_locs(body: Column) -> Column:
+    """``array<string>`` of a sitemap document's ``<loc>`` URLs in document
+    order, XML-entity-decoded (sitemaps.org requires entity-escaping URLs).
+    Works for both ``<urlset>`` leaf sitemaps and ``<sitemapindex>`` index
+    files (whose locs are child sitemap URLs — enqueue them and the nesting
+    chains naturally). Pure codegen: one regexp_extract_all + a transform
+    of constant replaces; the entity chain sits in ARGUMENT position of the
+    transform lambda only via cheap literals, so per-element re-evaluation
+    costs nothing."""
+    return F.transform(
+        F.regexp_extract_all(body, F.lit(SITEMAP_LOC_RE), F.lit(1)),
+        lambda s: xml_unescape_col(s),
+    )
+
+
+# sitemap-discovered links order AFTER the page's real outlinks (reference
+# discipline: link_idx is the within-parent discovery order; real links are
+# small ints)
+SITEMAP_LINK_IDX_OFFSET = 1_000_000
+
+
+def sitemap_outlinks(
+    fetched: DataFrame,
+    body_col: str = "body",
+    url_col: str = "url",
+    seq_col: str = "seq",
+    depth_col: str = "depth",
+) -> DataFrame:
+    """Turn fetched sitemap documents into discovery outlink rows
+    ``(parent_seq, parent_depth, link_idx, dst_url, referrer)`` — the same
+    shape the web's ``outlinks`` contract emits, so the scheduler unions
+    them into one discovery pass (one probe, one dedup, one politeness
+    plan; sitemap URLs get no special path downstream).
+
+    A row is a sitemap if its URL looks like one (``sitemap*.xml``, the
+    cheap test, evaluated first) or its body opens a ``<urlset>`` /
+    ``<sitemapindex>`` root (the body regex only runs on rows with a
+    non-null body — at scale, gate the fetch contract so only XML bodies
+    are carried this far). ``link_idx = SITEMAP_LINK_IDX_OFFSET + position``
+    keeps the within-parent order deterministic and AFTER real page links.
+    Map-only: filter + posexplode, no shuffle.
+    """
+    is_sitemap = F.col(body_col).isNotNull() & (
+        F.col(url_col).rlike(r"(?i)sitemap[^/]*\.xml(\?.*)?$")
+        | F.col(body_col).rlike(r"(?i)<(urlset|sitemapindex)[\s>]")
+    )
+    return (
+        fetched.where(is_sitemap)
+        .select(
+            F.col(seq_col).alias("parent_seq"),
+            F.col(depth_col).alias("parent_depth"),
+            F.col(url_col).alias("referrer"),
+            F.posexplode(sitemap_locs(F.col(body_col))).alias("__pos", "dst_url"),
+        )
+        .select(
+            "parent_seq",
+            "parent_depth",
+            (F.lit(SITEMAP_LINK_IDX_OFFSET) + F.col("__pos"))
+            .cast("int")
+            .alias("link_idx"),
+            "dst_url",
+            "referrer",
+        )
     )

@@ -157,7 +157,7 @@ def _hygiene_web(spark):
             (trap, 200, "text/html", 10, "trap.html", None),
         ],
         "url_key string, status int, mime string, size long, "
-        "localfile string, image_id long",
+        "localfile string, image_id string",
     )
     links = spark.createDataFrame(
         [
@@ -250,3 +250,122 @@ def test_trap_guard_golden_fixture_safe(spark, tmp_path):
         CrawlConfig(num_parts=8, max_rounds=10, trap_guard=True),
     ).run(seeds=["http://test.example.org/"])
     assert [r.url for r in log.orderBy("seq").collect()] == GOLDEN_VISIT_ORDER
+
+
+# ---------------------------------------------------------------------------
+# sitemap ingestion
+# ---------------------------------------------------------------------------
+
+_SM_BODY = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> http://h.example.org/sm1.html </loc><lastmod>2024-01-01</lastmod></url>
+  <url><loc>http://h.example.org/sm2.html?a=1&amp;b=2</loc></url>
+  <url><loc>http://h.example.org/amp&amp;lt;.html</loc></url>
+</urlset>"""
+
+_SM_INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://h.example.org/sitemap-child.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_sitemap_locs_order_and_entities(spark):
+    from httrack2warc_spark.operators.crawlops import sitemap_locs
+
+    got = (
+        spark.createDataFrame([(_SM_BODY,)], ["body"])
+        .select(sitemap_locs(F.col("body")).alias("locs"))
+        .collect()[0]["locs"]
+    )
+    assert got == [
+        "http://h.example.org/sm1.html",          # whitespace trimmed
+        "http://h.example.org/sm2.html?a=1&b=2",  # &amp; decoded
+        "http://h.example.org/amp&lt;.html",      # &amp;lt; -> literal &lt;
+    ]
+
+
+def test_sitemap_outlinks_shape(spark):
+    from httrack2warc_spark.operators.crawlops import (
+        SITEMAP_LINK_IDX_OFFSET,
+        sitemap_outlinks,
+    )
+
+    fetched = spark.createDataFrame(
+        [
+            ("http://h.example.org/sitemap.xml", 7, 1, _SM_BODY),
+            ("http://h.example.org/plain.html", 8, 1, "<html>not a sitemap"),
+            ("http://h.example.org/feed", 9, 2, _SM_INDEX),  # body-sniffed
+            ("http://h.example.org/nobody.xml", 10, 2, None),
+        ],
+        "url string, seq long, depth int, body string",
+    )
+    rows = sorted(
+        (r.parent_seq, r.link_idx, r.dst_url)
+        for r in sitemap_outlinks(fetched).collect()
+    )
+    assert rows == [
+        (7, SITEMAP_LINK_IDX_OFFSET + 0, "http://h.example.org/sm1.html"),
+        (7, SITEMAP_LINK_IDX_OFFSET + 1, "http://h.example.org/sm2.html?a=1&b=2"),
+        (7, SITEMAP_LINK_IDX_OFFSET + 2, "http://h.example.org/amp&lt;.html"),
+        (9, SITEMAP_LINK_IDX_OFFSET + 0, "http://h.example.org/sitemap-child.xml"),
+    ]
+
+
+def _sitemap_web(spark):
+    """index -> {page.html, sitemap.xml}; the sitemap's body lists two pages
+    not linked from anywhere, plus page.html (already discovered via the
+    real link — the probe must dedup it, not double-fetch)."""
+    from httrack2warc_spark.frontier.synth import SyntheticWeb
+
+    body = """<urlset>
+      <url><loc>http://h.example.org/only-in-sitemap-1.html</loc></url>
+      <url><loc>http://h.example.org/page.html</loc></url>
+      <url><loc>http://h.example.org/only-in-sitemap-2.html</loc></url>
+    </urlset>"""
+    pages = spark.createDataFrame(
+        [
+            ("h.example.org/", 200, "text/html", 10, "index.html", None, None),
+            ("h.example.org/page.html", 200, "text/html", 10, "p.html", None, None),
+            ("h.example.org/sitemap.xml", 200, "application/xml", 10, "s.xml",
+             None, body),
+            ("h.example.org/only-in-sitemap-1.html", 200, "text/html", 10,
+             "o1.html", None, None),
+            ("h.example.org/only-in-sitemap-2.html", 200, "text/html", 10,
+             "o2.html", None, None),
+        ],
+        "url_key string, status int, mime string, size long, "
+        "localfile string, image_id string, body string",
+    )
+    links = spark.createDataFrame(
+        [
+            ("h.example.org/", 0, "http://h.example.org/page.html"),
+            ("h.example.org/", 1, "http://h.example.org/sitemap.xml"),
+        ],
+        "src_key string, link_idx int, dst_url string",
+    )
+    return SyntheticWeb(pages, links)
+
+
+def test_scheduler_discover_sitemaps_e2e(spark, tmp_path):
+    from httrack2warc_spark.frontier.scheduler import CrawlConfig, FrontierScheduler
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    def crawl(name, **kw):
+        cat = TableCatalog(spark, str(tmp_path / name))
+        log = FrontierScheduler(
+            spark, cat, _sitemap_web(spark),
+            CrawlConfig(num_parts=4, max_rounds=5, fetch_robots=False, **kw),
+        ).run(seeds=["http://h.example.org/"])
+        return [r.url for r in log.orderBy("seq").collect()]
+
+    off = crawl("off")
+    assert not any("only-in-sitemap" in u for u in off)
+    assert len(off) == 3  # index, page, sitemap
+
+    on = crawl("on", discover_sitemaps=True)
+    # the two sitemap-only pages are crawled, page.html exactly once, and
+    # sitemap entries land AFTER real links of the same level (idx offset)
+    assert sum("only-in-sitemap" in u for u in on) == 2
+    assert sum(u.endswith("/page.html") for u in on) == 1
+    assert len(on) == 5
+    # determinism: same crawl again, identical order
+    assert crawl("on2", discover_sitemaps=True) == on
