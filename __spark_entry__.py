@@ -3615,6 +3615,40 @@ def sitemap_parse_q(spark, sf_dir):
     )
 
 
+def image_batches_q(spark, sf_dir):
+    """Training-batch packing (operators/crawlops.py pack_image_batches):
+    aspect-bucketed images ranked within bucket by the RANGED global-seq
+    primitive (no per-bucket window funnel — 7 buckets would mean 7
+    reducers for 10^10 images), batch_idx = rank DIV 16, incomplete tail
+    batches dropped. Per-batch counts + id span; the oracle recomputes the
+    rank with a row_number window (exact at oracle scale)."""
+    from httrack2warc_spark.operators.crawlops import (
+        assign_aspect_buckets,
+        pack_image_batches,
+    )
+
+    imgs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(64) + (F.col("doc_id") % 29) * 16).cast("int").alias("w"),
+        (F.lit(64) + (F.col("doc_id") * 7 % 31) * 16).cast("int").alias("h"),
+    )
+    packed = pack_image_batches(
+        assign_aspect_buckets(imgs, "w", "h", base=64),
+        batch_size=16,
+        order_cols=("doc_id",),
+        drop_last=True,
+    )
+    return (
+        packed.groupBy("bucket_n", "bucket_d", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+        .orderBy("bucket_n", "bucket_d", "batch_idx")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -3763,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_buckets": aspect_buckets_q,
         "link_predict": link_predict_q,
         "sitemap_parse": sitemap_parse_q,
+        "image_batches": image_batches_q,
     }
 
 
@@ -6709,6 +6744,45 @@ def _oracle_sqls() -> dict[str, str]:
                    || '?a=1&b=' || CAST(e AS VARCHAR) AS loc
             FROM documents, UNNEST(range(0, CAST(doc_id % 4 AS INT) + 1)) AS t(e)
             ORDER BY doc_id, pos
+        """,
+        # image_batches: rank-in-bucket recomputed with a window (exact at
+        # oracle scale; the engine's ranged-seq path is parity-tested),
+        # identical bucket argmin (wt = 10368/d, tie -> lower index).
+        "image_batches": """
+            WITH img AS (
+                SELECT doc_id,
+                       64 + (doc_id % 29) * 16 AS w,
+                       64 + (doc_id * 7 % 31) * 16 AS h
+                FROM documents
+            ),
+            b(i, n, d, wt) AS (
+                VALUES (0, 1, 1, 10368), (1, 4, 3, 3456), (2, 3, 4, 2592),
+                       (3, 3, 2, 5184), (4, 2, 3, 3456), (5, 16, 9, 1152),
+                       (6, 9, 16, 648)
+            ),
+            assigned AS (
+                SELECT doc_id, n, d,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY abs(w * d - h * n) * wt, i
+                       ) AS rn
+                FROM img CROSS JOIN b
+            ),
+            ranked AS (
+                SELECT doc_id, n, d,
+                       row_number() OVER (PARTITION BY n, d ORDER BY doc_id) - 1
+                           AS rank_in_bucket,
+                       count(*) OVER (PARTITION BY n, d) AS n_bucket
+                FROM assigned WHERE rn = 1
+            )
+            SELECT n AS bucket_n, d AS bucket_d,
+                   rank_in_bucket // 16 AS batch_idx,
+                   CAST(count(*) AS BIGINT) AS n_images,
+                   min(doc_id) AS first_id, max(doc_id) AS last_id
+            FROM ranked
+            WHERE rank_in_bucket < (n_bucket // 16) * 16
+            GROUP BY n, d, rank_in_bucket // 16
+            ORDER BY bucket_n, bucket_d, batch_idx
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is

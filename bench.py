@@ -124,6 +124,7 @@ def main() -> None:
         "aspect_buckets",
         "link_predict",
         "sitemap_parse",
+        "image_batches",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

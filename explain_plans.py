@@ -254,6 +254,10 @@ def main() -> None:
         ("sitemap_parse", "map-only: XML synthesis, regexp_extract_all, "
          "entity-decode transform and posexplode all in one codegen span + "
          "Generate; zero exchanges before the presentation sort"),
+        ("image_batches", "ONE range exchange on (bucket, doc_id) does the "
+         "ranking work (ranged seq, no per-bucket window funnel); the "
+         "bucket-stats join is a broadcast of <=7 rows; the final "
+         "per-batch aggregate is partial-aggregable"),
         ("link_predict", "wedge self-join shuffles (v, x) pairs of 8-byte "
          "ids on the center key; pair aggregate + left_anti adjacency "
          "check + two degree joins, all on int keys — documents never "

@@ -43,6 +43,7 @@ __all__ = [
     "trap_signals",
     "retry_schedule",
     "assign_aspect_buckets",
+    "pack_image_batches",
     "sitemap_locs",
     "sitemap_outlinks",
     "xml_unescape_col",
@@ -340,3 +341,56 @@ def sitemap_outlinks(
             "referrer",
         )
     )
+
+
+def pack_image_batches(
+    images: DataFrame,
+    batch_size: int,
+    bucket_cols: tuple[str, ...] = ("bucket_n", "bucket_d"),
+    order_cols: tuple[str, ...] = ("image_id",),
+    drop_last: bool = False,
+    num_partitions: int | None = None,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """Pack bucketed images into fixed-size training batches: within each
+    aspect bucket, rank images by ``order_cols`` (must be tie-free) and
+    assign ``batch_idx = rank_in_bucket DIV batch_size``.  ``drop_last``
+    removes the incomplete tail batch per bucket (the training-loader
+    convention).
+
+    Scale: a window PARTITIONED BY bucket funnels 10^10 images through
+    ~7 reducers (one per aspect bucket) — the skew disaster.  Instead the
+    rank rides the engine's ranged global-sequence primitive
+    (operators/sequence.py with_global_seq: repartitionByRange over
+    (bucket…, order…), per-partition row_number + an offsets collect —
+    fully parallel), and per-bucket ranks are recovered by subtracting
+    each bucket's min seq, a ≤len(buckets)-row aggregate broadcast back.
+    Integer arithmetic end-to-end (``DIV``, never float division).
+    ``cache_handle`` passes through to with_global_seq (ranged mode
+    persists the range-partitioned input; unpersist after materializing).
+    """
+    from httrack2warc_spark.operators.sequence import with_global_seq
+
+    order = [F.col(c) for c in (*bucket_cols, *order_cols)]
+    seq = with_global_seq(
+        images,
+        order,
+        mode="ranged",
+        out_col="__seq",
+        num_partitions=num_partitions,
+        cache_handle=cache_handle,
+    )
+    stats = seq.groupBy(*bucket_cols).agg(
+        F.min("__seq").alias("__min"), F.count(F.lit(1)).alias("__n")
+    )
+    out = (
+        seq.join(F.broadcast(stats), list(bucket_cols))
+        .withColumn("rank_in_bucket", F.col("__seq") - F.col("__min"))
+        .withColumn("batch_idx", F.expr(f"rank_in_bucket DIV {int(batch_size)}"))
+    )
+    if drop_last:
+        out = out.where(
+            F.col("rank_in_bucket")
+            < F.expr(f"(__n DIV {int(batch_size)}) * {int(batch_size)}")
+        )
+    return out.drop("__seq", "__min", "__n")

@@ -369,3 +369,34 @@ def test_scheduler_discover_sitemaps_e2e(spark, tmp_path):
     assert len(on) == 5
     # determinism: same crawl again, identical order
     assert crawl("on2", discover_sitemaps=True) == on
+
+
+def test_pack_image_batches_exact(spark):
+    """Two buckets, B=3: ranks and batch indexes hand-computed; drop_last
+    removes each bucket's incomplete tail batch."""
+    from httrack2warc_spark.operators.crawlops import pack_image_batches
+
+    rows = [(f"i{i:02d}", 1, 1) for i in range(7)] + [
+        (f"j{i:02d}", 4, 3) for i in range(3)
+    ]
+    images = spark.createDataFrame(rows, "image_id string, bucket_n int, bucket_d int")
+    caches = []
+    out = pack_image_batches(
+        images, batch_size=3, order_cols=("image_id",), cache_handle=caches
+    )
+    got = {
+        r.image_id: (r.rank_in_bucket, r.batch_idx) for r in out.collect()
+    }
+    assert got["i00"] == (0, 0) and got["i02"] == (2, 0)
+    assert got["i03"] == (3, 1) and got["i06"] == (6, 2)
+    assert got["j00"] == (0, 0) and got["j02"] == (2, 0)
+
+    dropped = pack_image_batches(
+        images, batch_size=3, order_cols=("image_id",), drop_last=True,
+        cache_handle=caches,
+    )
+    kept = sorted(r.image_id for r in dropped.collect())
+    # 1x1 bucket: 7 -> keep 6; 4:3 bucket: exactly one full batch, all kept
+    assert kept == [f"i{i:02d}" for i in range(6)] + ["j00", "j01", "j02"]
+    for c in caches:
+        c.unpersist()
