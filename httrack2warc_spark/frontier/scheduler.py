@@ -632,10 +632,19 @@ class FrontierScheduler:
             and self.robots is not None
             and "crawl_delay" in self.robots.columns
         )
+        # a global capacity ≥ the whole frontier is provably the identity:
+        # sum(min(count, budget)) ≤ n_frontier ≤ C means water-fill returns
+        # alloc == demand for every host — skip the 3 eager water-fill jobs
+        # + checkpoint + alloc join entirely, and don't let a loose capacity
+        # disable the level-mode fast path (n_frontier is already in hand)
+        capacity_binds = (
+            cfg.round_capacity is not None
+            and cfg.round_capacity < n_frontier
+        )
         budget_can_bind = (
             self.host_budget is not None
             or crawl_delay_active
-            or cfg.round_capacity is not None
+            or capacity_binds
             or n_frontier > cfg.default_host_budget
         )
         # level mode: selection is provably the identity — no robots rows
@@ -686,7 +695,7 @@ class FrontierScheduler:
             budget = F.when(
                 F.col("__cd").isNotNull(), F.least(budget.cast("long"), cap)
             ).otherwise(budget.cast("long"))
-        if cfg.round_capacity is not None:
+        if capacity_binds:
             # global round capacity: water-fill it max-min fairly across
             # hosts. Demand = the host's frontier rows capped by its
             # per-host budget (the budget expression is constant per host,

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from httrack2warc_spark.functions.text import word_tokens
+from httrack2warc_spark.operators.dedup import md5_prefix_long
 
 __all__ = [
     "bm25_topk",
@@ -114,8 +115,7 @@ def _md5_uniform(key: Column, seed: int) -> Column:
     """Deterministic uniform draw in [0, 2^32) from the upper 32 md5 bits of
     ``key || ':' || seed`` — the cross-engine-reproducible sampling family
     (any SQL engine: ('0x' || substr(md5(k||':'||s), 1, 8))::BIGINT)."""
-    digest = F.md5(F.concat(key.cast("string"), F.lit(f":{seed}")))
-    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    return md5_prefix_long(F.concat(key.cast("string"), F.lit(f":{seed}")))
 
 
 def deterministic_sample(
@@ -647,10 +647,7 @@ def dsir_weights(
             ),
         ).otherwise(F.array().cast("array<string>"))
         out = with_w.select(*cols, F.explode(grams).alias("__g"))
-        bucket = (
-            F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10)
-            .cast("long") % n_buckets
-        )
+        bucket = md5_prefix_long(F.col("__g")) % n_buckets
         return out.select(*cols, bucket.alias("__b"))
 
     # both aggregates are consumed by TWO downstream readers each (the
@@ -738,11 +735,8 @@ def substring_dup_spans(
         .select(F.col(id_col), F.explode(spans).alias("__s"))
         .select(
             id_col,
-            # 60-bit md5 prefix: lean 8-byte shuffle key, reproducible in
-            # any engine with md5 (15 hex digits < 2^63, no sign wrap)
-            F.conv(F.substring(F.md5(F.col("__s")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("__h"),
+            # 60-bit md5 prefix: lean 8-byte shuffle key (shared primitive)
+            md5_prefix_long(F.col("__s"), 15).alias("__h"),
         )
         .repartition(F.col("__h"))
         .dropDuplicates([id_col, "__h"])
@@ -790,10 +784,11 @@ def unigram_logprob(
 
     Scale shape: documents never shuffle — (id, word) count rows do (one
     exchange), and the reference-vocabulary logp table joins back on the
-    word key (broadcast when the vocab fits, shuffle-hash otherwise; hot
-    function words are fine either way because the doc-side is already
-    aggregated per document). The reference count aggregate materializes
-    once (localCheckpoint) and feeds both the T/V scalar job and the join.
+    word key (broadcast when the vocab fits — gated on the already-collected
+    V, not forced — shuffle-hash otherwise; hot function words are fine
+    either way because the doc-side is already aggregated per document). The
+    reference count aggregate materializes once (localCheckpoint) and feeds
+    both the T/V scalar job and the join.
 
     Returns (id, logprob_micro: long, n_tokens: long), one row per document
     with >= 1 token.
@@ -831,8 +826,14 @@ def unigram_logprob(
     oov = F.floor(
         F.log(F.lit(alpha) / F.lit(denom)) * F.lit(1000000.0)
     ).cast("long")
+    # broadcast only when the collected vocab count says the table is small
+    # (~30 B/row -> 1M rows ~ 30 MB, the sane ceiling for a forced hint); a
+    # web-scale reference slice (10^7+ words) degrades to the optimizer's
+    # choice (shuffle-hash) instead of OOMing the driver on a forced build
+    if vocab <= 1_000_000:
+        word_logp = F.broadcast(word_logp)
     return (
-        doc_w.join(F.broadcast(word_logp), "__t", "left")
+        doc_w.join(word_logp, "__t", "left")
         .groupBy(id_col)
         .agg(
             F.sum(
@@ -872,17 +873,22 @@ def hashed_classifier_score(
 
     Scale shape: documents never shuffle; one partial+final aggregate on
     (id, bucket) 24-byte rows, then a BroadcastHashJoin against the
-    ≤``n_buckets``-row weight table (shuffle-hash if a giant vocab model
-    ever outgrows broadcast). Same plan family as ``dsir_weights`` — one
-    scan, one narrow exchange, integer-exact output.
+    ≤``n_buckets``-row weight table (the hint is only forced for the
+    generated table, whose size is known; a user-supplied giant model is
+    left to the optimizer, which degrades to shuffle-hash). Same plan
+    family as ``dsir_weights`` — one scan, one narrow exchange,
+    integer-exact output.
+
+    The weight join is LEFT with coalesce(w, 0): a sparse trained table
+    covering only nonzero-weight buckets (the natural fastText export)
+    contributes 0 for uncovered buckets instead of silently dropping the
+    document rows that hash there — n_tokens is always the document's full
+    token count and every ≥1-token document gets its row.
 
     Returns (id, logit_micro: long, n_tokens: long), one row per document
     with ≥1 token.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("long")
-        % n_buckets
-    )
+    bucket = md5_prefix_long(F.col("__t")) % n_buckets
     doc_b = (
         df.select(
             F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__t")
@@ -891,15 +897,10 @@ def hashed_classifier_score(
         .groupBy(id_col, "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    if weights is None:
+    generated = weights is None
+    if generated:
         spark = df.sparkSession
-        draw = F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(seed), F.col("bucket"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
+        draw = md5_prefix_long(F.concat_ws(":", F.lit(seed), F.col("bucket")))
         weights = spark.range(0, n_buckets).select(
             F.col("id").alias("bucket"),
             (draw % 2000001 - 1000000).alias("w_micro"),
@@ -907,11 +908,15 @@ def hashed_classifier_score(
     w = weights.select(
         F.col("bucket").alias("__b"), F.col("w_micro").alias("__w")
     )
+    if generated:
+        w = F.broadcast(w)
     return (
-        doc_b.join(F.broadcast(w), "__b")
+        doc_b.join(w, "__b", "left")
         .groupBy(id_col)
         .agg(
-            F.sum(F.col("__c") * F.col("__w")).alias("logit_micro"),
+            F.sum(
+                F.col("__c") * F.coalesce(F.col("__w"), F.lit(0))
+            ).alias("logit_micro"),
             F.sum("__c").alias("n_tokens"),
         )
     )

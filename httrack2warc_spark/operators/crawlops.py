@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from httrack2warc_spark.operators.dedup import md5_prefix_long
+
 __all__ = [
     "canonicalize_query_col",
     "trap_signals",
@@ -159,15 +161,9 @@ def retry_schedule(
         F.lit(int(cap_s)).cast("long"),
     )
     jitter = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(url_col), F.lit(":"), attempt.cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_prefix_long(
+            F.concat(F.col(url_col), F.lit(":"), attempt.cast("string"))
+        )
         % int(jitter_mod_s)
     )
     delay = (delay_core + jitter).alias("delay_s")
@@ -219,21 +215,21 @@ def assign_aspect_buckets(
     lits = F.array(
         *[
             F.struct(
-                F.lit(i).alias("i"),
                 F.lit(n).alias("n"),
                 F.lit(d).alias("d"),
                 F.lit(scale // d).alias("wt"),
             )
-            for i, (n, d) in enumerate(buckets)
+            for n, d in buckets
         ]
     )
     w = F.col(w_col).cast("long")
     h = F.col(h_col).cast("long")
+    # fold accumulator carries only (key, n, d) — ties break toward the
+    # earlier literal via the strict '<', no index field needed
     best = F.aggregate(
         lits,
         F.struct(
             F.lit(None).cast("long").alias("key"),
-            F.lit(-1).alias("i"),
             F.lit(0).alias("n"),
             F.lit(0).alias("d"),
         ),
@@ -242,7 +238,6 @@ def assign_aspect_buckets(
             | (F.abs(w * b["d"] - h * b["n"]) * b["wt"] < acc["key"]),
             F.struct(
                 (F.abs(w * b["d"] - h * b["n"]) * b["wt"]).alias("key"),
-                b["i"].alias("i"),
                 b["n"].alias("n"),
                 b["d"].alias("d"),
             ),

@@ -108,6 +108,18 @@ def _shingles_of(words: Column, n: int) -> Column:
     return F.filter(cur, lambda x: x.isNotNull())
 
 
+def md5_prefix_long(col: Column, n_hex: int = 8) -> Column:
+    """First ``n_hex`` hex digits of md5(col) as a non-negative signed long
+    — THE cross-engine uniform-hash primitive (md5 is the only hash Spark
+    and DuckDB share; any SQL engine reproduces it with md5 + substr + hex
+    conv, e.g. ``('0x' || substr(md5(x), 1, 8))::BIGINT``). ``n_hex`` ≤ 15
+    keeps the value < 2^60, so there is no sign wrap and ``%`` agrees
+    between engines. Centralized here beside ``_md5_long`` so every
+    consumer (count-min buckets, retry jitter, feature-hash buckets,
+    substring-span keys, sampling draws) shares one audited expression."""
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("long")
+
+
 def _md5_long(hex32: Column) -> Column:
     """Lower 64 bits of an md5 hex digest as a signed long: two 32-bit hex
     halves via conv(), recombined with shift/or (bit 63 wraps negative — the

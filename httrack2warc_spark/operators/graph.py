@@ -95,14 +95,19 @@ def common_neighbor_scores(
 
     Scale: wedge generation through a common neighbor ``v`` fans out
     ``deg(v)²`` — a 10^5-degree hub alone emits 10^10 pairs.
-    ``max_center_degree`` drops hub CENTERS from wedge generation (the
-    ``max_shingle_df`` pattern from the dedup family: a bounded, documented
-    recall trade — pairs whose only witnesses are hubs are the least
-    informative precisely because a hub neighborhood is uninformative).
-    Degrees are still computed over the FULL edge set, so surviving
-    scores are exact, not approximations.  ``min_common`` prunes the long
-    tail before the degree joins.  Three shuffles: canonicalize+distinct,
-    the wedge self-join on the center, the pair aggregate; the degree
+    ``max_center_degree`` drops hub CENTERS from CANDIDATE generation only
+    (the ``max_shingle_df`` pattern from the dedup family: a bounded,
+    documented recall trade — a pair whose EVERY witness is a hub is never
+    emitted, and that loss is the least informative precisely because a hub
+    neighborhood is uninformative).  Surviving candidates are then
+    re-counted EXACTLY over the full neighbor sets (the dedup family's
+    "candidates capped, verify exact" recipe), so every emitted score —
+    ``common``, degrees, and the Jaccard rational — is exact, never the
+    hub-censored undercount; the recount join fans out deg(a) per
+    candidate, bounded because the candidate set is already pruned.
+    ``min_common`` prunes the long tail before the degree joins.  Shuffles:
+    canonicalize+distinct, the wedge self-join on the center, the pair
+    aggregate (plus, under the cap, the exact-recount join); the degree
     attach is two joins on 8-byte keys.
     """
     e = (
@@ -117,20 +122,43 @@ def common_neighbor_scores(
         e.select(F.col("b").alias("v"), F.col("a").alias("x"))
     )
     deg = both.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-    centers = both
     if max_center_degree is not None:
         centers = both.join(
             deg.where(F.col("d") <= max_center_degree).select("v"), "v", "leftsemi"
         )
-    pairs = (
-        centers.alias("l")
-        .join(centers.alias("r"), "v")
-        .where(F.col("l.x") < F.col("r.x"))
-        .select(F.col("l.x").alias("a"), F.col("r.x").alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
-        .where(F.col("common") >= min_common)
-    )
+        cand = (
+            centers.alias("l")
+            .join(centers.alias("r"), "v")
+            .where(F.col("l.x") < F.col("r.x"))
+            .select(F.col("l.x").alias("a"), F.col("r.x").alias("b"))
+            .distinct()
+        )
+        # exact recount over the FULL neighbor sets: |N(a) ∩ N(b)| via two
+        # joins on 8-byte keys — hub witnesses count again here, only the
+        # candidate GENERATION was capped
+        pairs = (
+            cand.join(
+                both.select(F.col("v").alias("a"), F.col("x").alias("__nb")), "a"
+            )
+            .join(
+                both.select(F.col("v").alias("b"), F.col("x").alias("__nb")),
+                ["b", "__nb"],
+                "leftsemi",
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common"))
+            .where(F.col("common") >= min_common)
+        )
+    else:
+        pairs = (
+            both.alias("l")
+            .join(both.alias("r"), "v")
+            .where(F.col("l.x") < F.col("r.x"))
+            .select(F.col("l.x").alias("a"), F.col("r.x").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common"))
+            .where(F.col("common") >= min_common)
+        )
     nonadj = pairs.join(e, ["a", "b"], "left_anti")
     return (
         nonadj.join(deg.select(F.col("v").alias("a"), F.col("d").alias("deg_a")), "a")

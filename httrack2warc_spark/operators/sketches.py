@@ -565,18 +565,12 @@ def binned_quantiles(
 
 
 def _cm_bucket(item: Column, row: int, width: int) -> Column:
-    """Row-``row`` counter index for ``item``: the first 8 hex digits of
-    md5("row:item") mod width — the cross-engine hash family (md5 is the
-    one hash Spark and DuckDB share; 8 hex digits < 2^32 so the signed
-    long is always positive and ``%`` agrees between engines)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit(row), item)), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % width
-    )
+    """Row-``row`` counter index for ``item``: md5_prefix_long of
+    "row:item" mod width — the shared cross-engine hash primitive
+    (operators/dedup.md5_prefix_long)."""
+    from httrack2warc_spark.operators.dedup import md5_prefix_long
+
+    return md5_prefix_long(F.concat_ws(":", F.lit(row), item)) % width
 
 
 def count_min_table(

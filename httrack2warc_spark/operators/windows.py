@@ -61,11 +61,17 @@ def change_rate_estimates(
     of observations (key, ts, state), estimate each page's Poisson change
     rate λ — the signal an incremental crawler ranks refetches by.
 
-    Per key, in (ts, *order_cols) order: n = observation intervals,
+    Per key, in (ts, *order_cols, state) order: n = observation intervals,
     X = intervals whose state differs from the previous observation. The
     bias-corrected estimator r̂ = −ln((n − X + 0.5)/(n + 0.5)) is the
     expected changes per revisit interval; dividing by the mean interval
-    gives the per-day rate.
+    gives the per-day rate.  The state column rides the window order as the
+    LAST tie-break: when ``order_cols`` doesn't make (ts, *order_cols)
+    total, rows tying on it sort by state, and any remaining ties are
+    bit-identical rows — so n_changes is a pure function of the history,
+    never of partition order (repo invariant: every ordering explicit).
+    Pass ``order_cols`` (e.g. an event id) to impose the true observation
+    order when same-timestamp observations with different states exist.
 
     Cross-engine determinism (the CLAUDE.md floor-micro recipe): the ln
     argument is ONE fixed IEEE expression over exact integers (+0.5),
@@ -82,7 +88,9 @@ def change_rate_estimates(
     for keys with ≥2 observations and a positive mean interval.
     """
     order_cols = order_cols or []
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), *order_cols)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), *order_cols, F.col(state_col)
+    )
     prev = F.lag(F.col(state_col)).over(w)
     obs = df.select(
         F.col(key_col).alias("key"),

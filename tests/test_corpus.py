@@ -477,6 +477,31 @@ def test_hashed_classifier_trained_weights_and_determinism(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_hashed_classifier_sparse_weights_keep_every_document(spark):
+    """A sparse trained table (the natural fastText export covers only
+    nonzero-weight buckets) must not drop documents or shrink n_tokens:
+    uncovered buckets contribute weight 0 through the left join."""
+    from httrack2warc_spark.operators.corpus import hashed_classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "good good text"), (2, "zebra zebra")],
+        "id long, text string",
+    )
+    bucket_of = lambda t: spark.sql(
+        f"SELECT CAST(conv(substring(md5('{t}'), 1, 8), 16, 10) AS BIGINT) % 4096"
+    ).first()[0]
+    # covers ONLY "good" — "text" and "zebra" hash to uncovered buckets
+    w = spark.createDataFrame(
+        [(bucket_of("good"), 500000)], "bucket long, w_micro long"
+    )
+    out = {r.id: (r.logit_micro, r.n_tokens)
+           for r in hashed_classifier_score(docs, "text", "id", weights=w).collect()}
+    # doc 1: 2×good weighted, "text" contributes 0; n_tokens = full 3
+    assert out[1] == (2 * 500000, 3)
+    # doc 2: no covered bucket at all — still one row, logit 0, n_tokens 2
+    assert out[2] == (0, 2)
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer induction
 # ---------------------------------------------------------------------------

@@ -138,6 +138,29 @@ def test_common_neighbor_scores_center_cap_keeps_degrees_exact(spark):
     assert capped == {}
 
 
+def test_common_neighbor_scores_mixed_witness_exact_under_cap(spark):
+    """A pair witnessed by BOTH a hub and a small center must get the
+    exact common count (hub witnesses counted in the recount), not the
+    candidate-generation undercount — the 'candidates capped, verify
+    exact' contract."""
+    # hub 0 — {1, 2, 4, 5, 6}; small center 3 — {1, 2}
+    edges = [(0, i) for i in (1, 2, 4, 5, 6)] + [(1, 3), (2, 3)]
+    e = spark.createDataFrame(edges, "a int, b int")
+    # deg(0)=5 > cap; pair (1,2) has witnesses {0, 3}: candidate comes
+    # only from center 3, but common must still be the true 2
+    capped = {
+        (r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"])
+        for r in common_neighbor_scores(e, max_center_degree=3).collect()
+    }
+    assert capped[(1, 2)] == (2, 2, 2)
+    # and it agrees with the uncapped exact path for that pair
+    exact = {
+        (r["a"], r["b"]): r["common"]
+        for r in common_neighbor_scores(e).collect()
+    }
+    assert exact[(1, 2)] == 2
+
+
 # ---------------------------------------------------------------------------
 # scheduler integration: the hygiene gates as CrawlConfig options
 # ---------------------------------------------------------------------------
