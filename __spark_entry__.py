@@ -5833,11 +5833,13 @@ def _oracle_sqls() -> dict[str, str]:
                 SELECT source, doc_id, n_chars,
                        row_number() OVER (
                            PARTITION BY source
-                           ORDER BY round(ln((CAST(('0x' || substr(
+                           ORDER BY CAST(floor(ln((CAST(('0x' || substr(
                                      md5(CAST(doc_id AS VARCHAR) || ':11'),
                                      1, 8)) AS BIGINT) + 0.5)
                                      / 4294967296.0)
-                                 / CAST(n_chars AS DOUBLE), 9) DESC,
+                                 / CAST(n_chars AS DOUBLE)
+                                 * CAST(1000000000 AS DOUBLE))
+                                 AS BIGINT) DESC,
                                doc_id
                        ) AS rn
                 FROM documents WHERE n_chars > 0
@@ -5929,10 +5931,11 @@ def _oracle_sqls() -> dict[str, str]:
         "weighted_sample": r"""
             SELECT doc_id, n_chars FROM (
                 SELECT doc_id, n_chars,
-                       round(ln((CAST(('0x' || substr(
+                       CAST(floor(ln((CAST(('0x' || substr(
                                  md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))
                                  AS BIGINT) + 0.5) / 4294967296.0)
-                             / CAST(n_chars AS DOUBLE), 9) AS aes
+                             / CAST(n_chars AS DOUBLE)
+                             * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS aes
                 FROM documents WHERE n_chars > 0
                 ORDER BY aes DESC, doc_id LIMIT 25
             ) ORDER BY doc_id

@@ -559,10 +559,12 @@ class FrontierScheduler:
         self._flush_deferred()
         return out
 
-    def _run_round_guarded(self, round_no: int, next_seq: int) -> tuple[int, int]:
+    def _run_round_guarded(
+        self, round_no: int, next_seq: int, n_hint: int | None = None
+    ) -> tuple[int, int]:
         aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         try:
-            return self._run_round(round_no, next_seq)
+            return self._run_round(round_no, next_seq, n_hint)
         finally:
             self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
@@ -586,17 +588,23 @@ class FrontierScheduler:
         else:
             work()
 
-    def _run_round(self, round_no: int, next_seq: int) -> tuple[int, int]:
+    def _run_round(
+        self, round_no: int, next_seq: int, n_hint: int | None = None
+    ) -> tuple[int, int]:
         cfg = self.cfg
         # Emptiness + sizing: from the in-memory handoff when the previous
         # round left one (its deferred tail may still be committing tables —
         # nothing here may touch the catalog), else from parquet footers
         # (first round / fresh resume: no tail outstanding, catalog reads are
-        # safe). Either way no Spark job runs.
+        # safe). Either way no Spark job runs. ``n_hint`` carries a count
+        # run()'s block gate already paid for, so the footers aren't re-read.
         use_mem = self._frontier_mem is not None
-        n_frontier = (
-            self._frontier_count if use_mem else self._frontier_row_count()
-        )
+        if use_mem:
+            n_frontier = self._frontier_count
+        elif n_hint is not None:
+            n_frontier = n_hint
+        else:
+            n_frontier = self._frontier_row_count()
         if n_frontier == 0:
             return 0, next_seq
         frontier = (
@@ -1297,14 +1305,18 @@ class FrontierScheduler:
             kg += 1
         return kg
 
-    def _run_level_block_guarded(self, round_no: int, next_seq: int, k: int):
+    def _run_level_block_guarded(
+        self, round_no: int, next_seq: int, k: int, n_hint: int | None = None
+    ):
         aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         try:
-            return self._run_level_block(round_no, next_seq, k)
+            return self._run_level_block(round_no, next_seq, k, n_hint)
         finally:
             self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
-    def _run_level_block(self, round_no: int, next_seq: int, k: int):
+    def _run_level_block(
+        self, round_no: int, next_seq: int, k: int, n_hint: int | None = None
+    ):
         """Fuse up to ``k`` BFS levels into ONE foreground materialization
         (cfg.batch_levels — VERDICT r4 Next #2a).
 
@@ -1352,7 +1364,12 @@ class FrontierScheduler:
         """
         cfg = self.cfg
         use_mem = self._frontier_mem is not None
-        n0 = self._frontier_count if use_mem else self._frontier_row_count()
+        if use_mem:
+            n0 = self._frontier_count
+        elif n_hint is not None:
+            n0 = n_hint  # run()'s block gate already read the footers
+        else:
+            n0 = self._frontier_row_count()
         if n0 == 0:
             return 0, next_seq, 1
         frontier0 = (
@@ -1825,24 +1842,29 @@ class FrontierScheduler:
         try:
             while round_no < self.cfg.max_rounds:
                 out = None
+                n_hint = None  # footer count the block gate paid for, if any
                 if self.cfg.batch_levels > 1:
-                    n_now = (
-                        self._frontier_count
-                        if self._frontier_mem is not None
-                        else self._frontier_row_count()
-                    )
+                    if self._frontier_mem is not None:
+                        n_now = self._frontier_count
+                    else:
+                        n_now = n_hint = self._frontier_row_count()
                     k = min(self.cfg.batch_levels, self.cfg.max_rounds - round_no)
                     k = self._growth_capped_k(k, n_now)
                     if k > 1 and self._block_eligible(n_now):
                         # fused k-level block: one foreground materialization
                         # for up to k rounds; None = post-hoc budget fallback,
                         # re-run the same rounds through the per-round path
-                        out = self._run_level_block_guarded(round_no, next_seq, k)
+                        # (state untouched by contract, so the hint holds)
+                        out = self._run_level_block_guarded(
+                            round_no, next_seq, k, n_hint
+                        )
                 if out is not None:
                     fetched, next_seq, consumed = out
                 else:
                     # non-flushing form: round r's commit tail overlaps r+1
-                    fetched, next_seq = self._run_round_guarded(round_no, next_seq)
+                    fetched, next_seq = self._run_round_guarded(
+                        round_no, next_seq, n_hint
+                    )
                     consumed = 1
                 if fetched == 0:
                     break

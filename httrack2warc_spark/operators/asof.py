@@ -50,6 +50,13 @@ def asof_join(
     duplicates can exist (the matched row is the one with the greatest
     tiebreak value). Left rows keep all their columns; ``right_ts`` is
     attached alongside ``right_cols`` (callers alias collisions beforehand).
+
+    NULL timestamps follow DuckDB ASOF JOIN / pandas merge_asof: a right
+    row with NULL ``right_ts`` never matches anything (filtered before the
+    union — otherwise Spark's nulls-first ascending sort would attach it to
+    every left row preceding the first real right row), and a left row with
+    NULL ``left_ts`` gets the all-NULL no-match result (nulls sort first in
+    BOTH traversal directions, before any right row is visible).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
@@ -60,6 +67,7 @@ def asof_join(
     # side ordering at equal ts: right rows must sort BEFORE left rows to be
     # visible at the left row (exact_matches) or AFTER to be excluded
     r_side, l_side = (0, 1) if exact_matches else (1, 0)
+    right = right.where(F.col(right_ts).isNotNull())
     r_tagged = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
@@ -76,8 +84,13 @@ def asof_join(
         F.lit(None).cast(r_tagged.schema["__rp"].dataType).alias("__rp"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
+    # nulls FIRST in both directions: a NULL-ts left row's window then
+    # contains no right rows, giving the no-match result (desc defaults to
+    # nulls-last, which would hand a NULL-ts left row the whole window)
     ts_order = (
-        F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+        F.col("__ts")
+        if direction == "backward"
+        else F.col("__ts").desc_nulls_first()
     )
     w = (
         Window.partitionBy(*keys)

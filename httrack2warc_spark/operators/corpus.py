@@ -633,20 +633,16 @@ def dsir_weights(
     target_text_col = target_text_col or text_col
 
     def bigram_buckets(frame: DataFrame, col: str, keep_id: bool) -> DataFrame:
+        from httrack2warc_spark.operators.dedup import _shingles_of
+
         cols = [F.col(id_col)] if keep_id else []
-        # tokenize ONCE per row (materialized column — the _shingles_of
-        # lambda-body rationale), then zip the word array with its shift
+        # tokenize ONCE per row (materialized column), then the shared
+        # zip-with-shifted shingle helper — same "a b" space-joined grams,
+        # same empty array for 1-token docs
         with_w = frame.select(*cols, word_tokens(F.col(col)).alias("__w"))
-        w = F.col("__w")
-        grams = F.when(
-            F.size(w) >= 2,
-            F.zip_with(
-                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))),
-                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
-                lambda x, y: F.concat(x, F.lit(" "), y),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        out = with_w.select(*cols, F.explode(grams).alias("__g"))
+        out = with_w.select(
+            *cols, F.explode(_shingles_of(F.col("__w"), 2)).alias("__g")
+        )
         bucket = md5_prefix_long(F.col("__g")) % n_buckets
         return out.select(*cols, bucket.alias("__b"))
 

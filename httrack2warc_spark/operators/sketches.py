@@ -108,9 +108,9 @@ def _hll_params(p: int) -> tuple[int, int, int, float]:
     m = 1 << p
     bucket_hex = p // 4
     w_hex = 13  # 52 bits of rho material
-    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
-        0.697 if m == 64 else 0.673
-    )
+    # p is a multiple of 4, so m ∈ {16, 256, 4096, 65536}: only the m=16
+    # small-range constant (0.673) and the m ≥ 128 formula are reachable
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else 0.673
     return m, bucket_hex, w_hex, alpha
 
 
@@ -166,11 +166,7 @@ def hll_registers(
         hx = F.hex(w52)
         first = F.substring(hx, 1, 1)
         digit_lz = F.coalesce(
-            *[
-                F.when(first == d, F.lit(z))
-                for d, z in (("1", 3), ("2", 2), ("3", 2), ("4", 1),
-                             ("5", 1), ("6", 1), ("7", 1))
-            ],
+            *[F.when(first == d, F.lit(z)) for d, z in _HEX_LZ.items()],
             F.lit(0),  # 8-F
         )
         lz = (F.lit(13) - F.length(hx)) * 4 + digit_lz
@@ -223,12 +219,7 @@ def hll_oracle_sql(
     """The DuckDB twin of :func:`hll_cardinality` — same hex digits, same
     CASE ladder, same DECIMAL(38,18) harmonic sum.  Emitted here so the
     graded query and its oracle can never drift apart."""
-    m = 1 << p
-    bucket_hex = p // 4
-    w_hex = 13
-    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
-        0.697 if m == 64 else 0.673
-    )
+    m, bucket_hex, w_hex, alpha = _hll_params(p)
     amm = alpha * m * m  # single DOUBLE literal: DuckDB parses a bare
     # decimal-point literal as DECIMAL and overflows multiplying by m^2
     groups = list(group_exprs or [])
@@ -409,8 +400,11 @@ def weighted_sample(
 
     One top-k (TakeOrdered / window over a single ordering) — no shuffle
     of the full payload; rows with weight <= 0 are excluded.  The ranking
-    key is round(ln(u)/w, 9) with id tie-break so legitimate ties resolve
-    identically everywhere.
+    key is floor(ln(u)/w * 1e9) as BIGINT with id tie-break — ln(u)/w is
+    one fixed-shape IEEE tree over the same inputs in any engine, and
+    floor of the identical double is identical (the build-notes floor-micro
+    rule; round(double, 9) is shortest-repr-based and can disagree between
+    engines at a repr boundary).
     """
     digest = F.md5(
         F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
@@ -418,7 +412,9 @@ def weighted_sample(
     u = (
         F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") + 0.5
     ) / F.lit(float(1 << 32))
-    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    key = F.floor(
+        F.log(u) / F.col(weight_col).cast("double") * F.lit(1000000000.0)
+    ).cast("long")
     ranked = (
         df.where(F.col(weight_col) > 0)
         .withColumn("__aes", key)
@@ -450,7 +446,9 @@ def grouped_weighted_sample(
     u = (
         F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") + 0.5
     ) / F.lit(float(1 << 32))
-    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    key = F.floor(
+        F.log(u) / F.col(weight_col).cast("double") * F.lit(1000000000.0)
+    ).cast("long")
     w = Window.partitionBy(group_col).orderBy(
         F.col("__aes").desc(), F.col(id_col)
     )

@@ -136,3 +136,27 @@ def test_asof_join_rejects_bad_direction(spark):
     with _pytest.raises(ValueError):
         asof_join(left, right, "k", "lts", "rts", ["val"],
                   direction="nearest")
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """DuckDB ASOF / pandas merge_asof semantics: a NULL-ts right row is
+    invisible (it must not attach to left rows before the first real right
+    row), and a NULL-ts left row gets the all-NULL no-match result — in
+    both traversal directions."""
+    left = spark.createDataFrame(
+        [("a", 5), ("a", None)], "k string, lts int"
+    )
+    right = spark.createDataFrame(
+        [("a", None, "ghost"), ("a", 10, "real")],
+        "k string, rts int, val string",
+    )
+    back = {r["lts"]: r["val"] for r in asof_join(
+        left, right, "k", "lts", "rts", ["val"]).collect()}
+    # lts=5 precedes the only real right row (ts=10): no match — the
+    # null-ts "ghost" must NOT have been picked up by the nulls-first sort
+    assert back == {5: None, None: None}
+    fwd = {r["lts"]: r["val"] for r in asof_join(
+        left, right, "k", "lts", "rts", ["val"],
+        direction="forward").collect()}
+    # forward: lts=5 matches ts=10; NULL left ts still matches nothing
+    assert fwd == {5: "real", None: None}
