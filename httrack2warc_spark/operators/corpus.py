@@ -650,7 +650,7 @@ def dsir_weights(
     # smoothing-total scalar job AND the returned plan), and the gram
     # pipeline above them is the expensive part — localCheckpoint(eager)
     # runs the tokenize+md5 work exactly once (the scheduler's materializer
-    # pattern; persist is not enough — see the CLAUDE.md cache-by-plan note)
+    # pattern; persist is not enough — see the build-notes cache-by-plan note)
     doc_b = bigram_buckets(df, text_col, keep_id=True).groupBy(
         id_col, "__b"
     ).agg(F.count(F.lit(1)).alias("__c")).localCheckpoint(eager=True)
@@ -706,7 +706,7 @@ def substring_dup_spans(
     Scale shape: documents are scanned and tokenized exactly ONCE — the
     naive shape (shared-span aggregate + semi-join + total-count join)
     consumes the span pipeline three times and Spark re-derives a common
-    subtree per consumer (the CLAUDE.md union rule), tripling the expensive
+    subtree per consumer (the build-notes union rule), tripling the expensive
     tokenize+md5 scan. Instead, one EXPLICIT repartition on the span hash
     satisfies the clustering requirement of all three downstream steps
     ([h] ⊆ [id, h]): the per-doc distinct, the per-span doc count (a window

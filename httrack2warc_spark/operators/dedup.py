@@ -568,7 +568,7 @@ def allpairs_jaccard_pairs(
 
     Output: (a, b, inter, jacc_micro) — integer-exact in any engine
     (inter·10⁶ < 2⁵³ so the double floor of the quotient is reproducible;
-    the CLAUDE.md floor-micro recipe).
+    the build-notes floor-micro recipe).
     """
     t_micro = int(round(threshold * 1_000_000))
     base = (

@@ -291,7 +291,7 @@ def _rounded_candidates(
     raw cosine that rounds up to the floor is never lost), then
     ``localCheckpoint(eager=True)`` — the pairs frame feeds a union (whose
     branches would re-run the whole LSH join + cosine fold per branch, the
-    CLAUDE.md union rule) and at least one later join-back, so it is
+    build-notes union rule) and at least one later join-back, so it is
     materialized ONCE. Returns (pairs(a, b, __cos), directed(__src, __dst,
     __cos)); candidate pairs are narrow 24-byte rows, so the checkpoint is
     tiny relative to the work it deduplicates.

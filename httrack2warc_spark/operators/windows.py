@@ -73,7 +73,7 @@ def change_rate_estimates(
     Pass ``order_cols`` (e.g. an event id) to impose the true observation
     order when same-timestamp observations with different states exist.
 
-    Cross-engine determinism (the CLAUDE.md floor-micro recipe): the ln
+    Cross-engine determinism (the build-notes floor-micro recipe): the ln
     argument is ONE fixed IEEE expression over exact integers (+0.5),
     floored to micros immediately; timestamps reduce to exact integer
     microseconds (unix_micros == DuckDB epoch_us bit-for-bit); all later
