@@ -3649,6 +3649,63 @@ def image_batches_q(spark, sf_dir):
     )
 
 
+def winnow_fp_q(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03,
+    the MOSS algorithm): hash every 3-word shingle, slide a 4-wide window
+    over the hash sequence, keep each window's minimum with the rightmost-
+    on-ties rule. Selection is restated engine-neutrally as an integer MIN
+    over packed ``hash*2^24 + (2^24-1-pos)`` bigints, so the value hash
+    pins the md5 hash family, the packing, the window minimum, the tie
+    rule and the short-document whole-doc fallback — computed array-side
+    in Spark (zero shuffle) and via a ROWS window in the oracle."""
+    from httrack2warc_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    out = winnow_fingerprints(docs, "text", "doc_id", shingle_n=3, window=4)
+    return out.orderBy("doc_id", "pos")
+
+
+def mixture_sample_q(spark, sf_dir):
+    """Domain-mixture resampling (Pile/DoReMi-style static mixing): derive
+    the retention-maximal per-domain keep rates that hit target shares
+    45/35/20 across three sources — rate_d = C*p_d/n_d with
+    C = min_d(n_d/p_d), so the binding domain is kept whole — then keep
+    rows whose md5 draw clears the 2^32-scaled floor threshold. The value
+    hash pins the derived thresholds (fixed-shape IEEE over per-domain
+    counts), the draw family and exact membership."""
+    from httrack2warc_spark.operators.corpus import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, "doc_id", "source",
+        {"src0": 0.45, "src1": 0.35, "src2": 0.2}, seed=7,
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def phrase_search_q(spark, sf_dir):
+    """Exact positional phrase search over a positional posting list: each
+    document is suffixed with two planted occurrences of the 3-gram
+    "data line join" (natural hits also count), and the operator returns
+    every 1-based anchor position via slot-voting — posting for phrase
+    slot j at word position p votes anchor p-(j-1); anchors with all 3
+    distinct slot votes match. Tokens filter to the phrase vocabulary
+    before the only shuffle (O(hits), never O(tokens)). The value hash
+    pins tokenization, the anchor arithmetic and the distinct-slot rule."""
+    from httrack2warc_spark.operators.corpus import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" padding data line join mid data line join"),
+        ).alias("text"),
+    )
+    out = phrase_search(aug, "text", "doc_id", ["data", "line", "join"])
+    return out.orderBy("doc_id", "pos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -3798,6 +3855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_predict": link_predict_q,
         "sitemap_parse": sitemap_parse_q,
         "image_batches": image_batches_q,
+        "winnow_fp": winnow_fp_q,
+        "mixture_sample": mixture_sample_q,
+        "phrase_search": phrase_search_q,
     }
 
 
@@ -6786,6 +6846,95 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE rank_in_bucket < (n_bucket // 16) * 16
             GROUP BY n, d, rank_in_bucket // 16
             ORDER BY bucket_n, bucket_d, batch_idx
+        """,
+        # winnow_fp: same packed-bigint selection, window-function form —
+        # min over ROWS BETWEEN CURRENT AND 3 FOLLOWING, full windows only
+        # (plus the whole-doc window for docs with < 4 shingles).
+        "winnow_fp": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               trim(regexp_replace(lower(text), '[^\w\s]+', ' ', 'g')),
+                               '\s+'),
+                           x -> x <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))::BIGINT
+                           * 16777216 + (16777215 - i) AS packed,
+                       len(w) - 2 AS n
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+                WHERE len(w) >= 3
+            ), wm AS (
+                SELECT doc_id, i, n,
+                       min(packed) OVER (PARTITION BY doc_id ORDER BY i
+                                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+                FROM sh
+            ), sel AS (
+                SELECT DISTINCT doc_id, m
+                FROM wm
+                WHERE i <= greatest(n - 3, 1)
+            )
+            SELECT doc_id,
+                   CAST(16777215 - (m % 16777216) AS INTEGER) AS pos,
+                   m // 16777216 AS fp
+            FROM sel
+            ORDER BY doc_id, pos
+        """,
+        # mixture_sample: thresholds restate the exact IEEE shape
+        # floor(((min(n/p) * p) / n) * 2^32) over per-domain counts.
+        "mixture_sample": """
+            WITH cnt AS (
+                SELECT source AS d, count(*) AS n,
+                       CASE source
+                           WHEN 'src0' THEN CAST('0.45' AS DOUBLE)
+                           WHEN 'src1' THEN CAST('0.35' AS DOUBLE)
+                           WHEN 'src2' THEN CAST('0.2' AS DOUBLE)
+                       END AS p
+                FROM documents
+                WHERE source IN ('src0', 'src1', 'src2')
+                GROUP BY source
+            ), thr AS (
+                SELECT d,
+                       CAST(floor(
+                           ((min(CAST(n AS DOUBLE) / p) OVER ()) * p
+                            / CAST(n AS DOUBLE))
+                           * CAST(4294967296 AS DOUBLE)) AS BIGINT) AS t
+                FROM cnt
+            )
+            SELECT doc_id, source
+            FROM documents JOIN thr ON source = thr.d
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT < t
+            ORDER BY doc_id
+        """,
+        # phrase_search: positional postings filtered to the phrase
+        # vocabulary, slot-voting on anchor = i - (j-1), all-slots match.
+        "phrase_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(text || ' padding data line join mid data line join'),
+                               '[^0-9a-z_]+'),
+                           x -> x <> '') AS w
+                FROM documents
+            ), post AS (
+                SELECT doc_id, i, w[i] AS t
+                FROM toks, UNNEST(generate_series(1, len(w))) AS u(i)
+                WHERE w[i] IN ('data', 'line', 'join')
+            ), ph AS (
+                SELECT * FROM (VALUES (1, 'data'), (2, 'line'), (3, 'join')) AS v(j, t)
+            ), hits AS (
+                SELECT doc_id, post.i - (ph.j - 1) AS pos, ph.j AS j
+                FROM post JOIN ph ON post.t = ph.t
+                WHERE post.i - (ph.j - 1) >= 1
+            )
+            SELECT doc_id, CAST(pos AS INTEGER) AS pos
+            FROM hits
+            GROUP BY doc_id, pos
+            HAVING count(DISTINCT j) = 3
+            ORDER BY doc_id, pos
         """,
         # image/audio/video: value-checked against generation-time expecteds
         # (constant-table oracles above); frontier_crawl's BFS core is

@@ -22,6 +22,8 @@ from httrack2warc_spark.operators.corpus import (  # noqa: F401
     decontaminate,
     dedup_paragraphs,
     deterministic_sample,
+    mixture_sample,
+    phrase_search,
     redact_pii,
     repetition_topgram_stats,
     stratified_sample,
@@ -30,6 +32,7 @@ from httrack2warc_spark.operators.corpus import (  # noqa: F401
 from httrack2warc_spark.operators.dedup import (  # noqa: F401
     connected_components,
     dedup_by_components,
+    winnow_fingerprints,
 )
 from httrack2warc_spark.operators.fuzzy import fuzzy_match_pairs  # noqa: F401
 from httrack2warc_spark.operators.pagerank import pagerank  # noqa: F401

@@ -38,7 +38,9 @@ __all__ = [
     "hashed_classifier_score",
     "bpe_pair_counts",
     "train_bpe",
+    "mixture_sample",
     "pack_sequences",
+    "phrase_search",
     "redact_pii",
     "repetition_topgram_stats",
     "stratified_sample",
@@ -1029,3 +1031,124 @@ def train_bpe(
             F.col("cnt"),
         ).localCheckpoint(eager=True)
     return merges
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    targets: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Maximal deterministic subsample whose expected domain mixture equals
+    ``targets`` — the static data-mixing step every multi-source training
+    corpus runs (Pile/DoReMi-style domain weights). Unlike
+    ``stratified_sample`` (caller supplies per-stratum RATES), the rates
+    here are DERIVED from the data: with n_d rows in domain d and target
+    share p_d, the retention-maximal solution keeps domain d at rate
+    C * p_d / n_d where C = min_d(n_d / p_d) — the binding domain is kept
+    whole and every other domain is thinned to match. Domains not in
+    ``targets`` are dropped. Membership is the md5 draw (pure function of
+    (id, seed)), so the sample is stable across engines, partitionings and
+    corpus growth.
+
+    Cross-engine determinism: C, the rates and the 2^32-scaled thresholds
+    are fixed-shape IEEE expressions over per-domain BIGINT counts and
+    double literals — ``floor(((C * p) / n) * 2^32)`` with this exact
+    association — so any SQL engine computes bit-identical thresholds and
+    the md5 draw comparison is exact-integer.
+
+    Scale: one partial-agg count per domain (tiny result), an unpartitioned
+    window MIN over that |domains|-row table (single partition is fine at
+    metadata grade), then a broadcast join back and a codegen'd filter —
+    the 100 TB corpus is scanned once and never shuffled.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    p_case: Column = F.lit(None).cast("double")
+    for value, share in sorted(targets.items()):
+        p_case = F.when(
+            F.col(domain_col) == value, F.lit(float(share))
+        ).otherwise(p_case)
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__p", p_case)
+        .where(F.col("__p").isNotNull())
+    )
+    c_min = F.min(F.col("__n").cast("double") / F.col("__p")).over(
+        Window.partitionBy()
+    )
+    thresholds = counts.select(
+        F.col(domain_col),
+        F.floor(
+            ((c_min * F.col("__p")) / F.col("__n").cast("double"))
+            * F.lit(float(1 << 32))
+        )
+        .cast("long")
+        .alias("__thr"),
+    )
+    draw = _md5_uniform(F.col(id_col), seed)
+    return (
+        df.join(F.broadcast(thresholds), domain_col)
+        .where(draw < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase: list[str],
+) -> DataFrame:
+    """Exact positional phrase search over a positional posting list — the
+    inverted-index primitive behind benchmark decontamination at the
+    phrase level and boilerplate locating (where ``decontaminate`` counts
+    n-gram leakage, this returns the exact 1-based word position of every
+    occurrence). Matching is on the ``word_tokens`` stream, so punctuation
+    and case are normalized exactly as the rest of the text family.
+
+    Algorithm: each posting for the j-th phrase term at word position p
+    votes for anchor position p - (j - 1); an anchor with all
+    ``len(phrase)`` distinct j-votes is a match (repeated phrase terms
+    vote once per slot they could fill — countDistinct(j) handles them).
+
+    Scale: the token stream filters to the phrase vocabulary BEFORE
+    anything shuffles (the ``bm25_topk`` shape) — a phrase query over
+    100 TB shuffles O(vocabulary hits), never O(tokens); the
+    (slot, term) table is |phrase| rows and broadcast-joins; the only
+    exchange is the (id, anchor) aggregation of the hits.
+
+    Returns (id, pos) — one row per occurrence, pos = 1-based word
+    position of the phrase's first word.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    terms = [t.lower() for t in phrase]
+    m = len(terms)
+    spark = df.sparkSession
+    slots = F.broadcast(
+        spark.createDataFrame(
+            [(j + 1, t) for j, t in enumerate(terms)], "__j int, __t string"
+        )
+    )
+    postings = df.select(
+        F.col(id_col),
+        F.posexplode(word_tokens(F.col(text_col))).alias("__i", "__t"),
+    ).where(F.col("__t").isin(list(set(terms))))
+    hits = (
+        postings.join(slots, "__t")
+        .select(
+            F.col(id_col),
+            (F.col("__i") + 2 - F.col("__j")).alias("pos"),
+            F.col("__j"),
+        )
+        .where(F.col("pos") >= 1)
+    )
+    return (
+        hits.groupBy(id_col, "pos")
+        .agg(F.count_distinct(F.col("__j")).alias("__nj"))
+        .where(F.col("__nj") == m)
+        .select(id_col, "pos")
+    )

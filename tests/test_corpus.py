@@ -573,3 +573,52 @@ def test_bpe_pair_counts_weighted(spark):
     )
     rows = {r.pair: r.cnt for r in bpe_pair_counts(vocab, "syms", "cnt").collect()}
     assert rows == {"a b": 7, "b c": 5}
+
+
+def test_mixture_sample_rates_and_membership(spark):
+    from httrack2warc_spark.operators.corpus import mixture_sample
+
+    rows = [(i, "a" if i < 100 else ("b" if i < 400 else "c")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    targets = {"a": 0.5, "b": 0.3, "c": 0.2}
+    # n = {a:100, b:300, c:600}; C = min(200, 1000, 3000) = 200 — domain a
+    # binds and is kept whole; b thins to 200*0.3/300=0.2, c to 200*0.2/600.
+    out = mixture_sample(df, "id", "dom", targets, seed=3)
+    got = {(r.id, r.dom) for r in out.collect()}
+    kept = {d: sum(1 for _, x in got if x == d) for d in targets}
+    assert kept["a"] == 100                       # binding domain kept whole
+    assert abs(kept["b"] - 60) < 25               # ~0.2 * 300
+    assert abs(kept["c"] - 40) < 25               # ~0.0667 * 600
+    # exact membership replays the documented rule
+    C = min(100 / 0.5, 300 / 0.3, 600 / 0.2)
+    n = {"a": 100, "b": 300, "c": 600}
+    for i, d in [(5, "a"), (150, "b"), (500, "c"), (999, "c")]:
+        thr = math.floor(((C * targets[d]) / n[d]) * float(1 << 32))
+        draw = int(hashlib.md5(f"{i}:3".encode()).hexdigest()[:8], 16)
+        assert ((i, d) in got) == (draw < thr), (i, d)
+    # domains outside targets are dropped entirely
+    df2 = df.union(spark.createDataFrame([(5000, "zz")], "id long, dom string"))
+    got2 = {r.dom for r in mixture_sample(df2, "id", "dom", targets).collect()}
+    assert "zz" not in got2
+
+
+def test_phrase_search_positions_and_repeated_terms(spark):
+    from httrack2warc_spark.operators.corpus import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the data line join is here and data line join again"),
+            (2, "data line nope join"),
+            (3, "Data, LINE; join!"),          # normalization
+            (4, "x data data data y"),          # overlapping repeated-term
+            (5, ""),
+        ],
+        "id long, text string",
+    )
+    out = phrase_search(docs, "text", "id", ["data", "line", "join"])
+    got = {(r.id, r.pos) for r in out.collect()}
+    assert got == {(1, 2), (1, 8), (3, 1)}
+    # repeated-term phrase: slot voting must demand distinct slots
+    out2 = phrase_search(docs, "text", "id", ["data", "data"])
+    got2 = {(r.id, r.pos) for r in out2.collect()}
+    assert got2 == {(4, 2), (4, 3)}

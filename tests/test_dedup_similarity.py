@@ -814,3 +814,60 @@ def test_allpairs_prefix_excludes_hot_shingles_from_join(spark):
     indexed = {r.sh for r in prefix.select("sh").distinct().collect()}
     assert "hot stop words" not in indexed  # df=8 — suffix material
     assert indexed  # rare per-doc shingles are indexed
+
+
+def test_winnow_fingerprints_reference_parity(spark):
+    """Exact parity with a pure-python winnowing (Schleimer et al.) replay:
+    same md5 hash family, packed-bigint tie rule (rightmost min), full
+    windows only, whole-doc fallback for docs with < window shingles."""
+    import hashlib
+    import re
+
+    from httrack2warc_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n"),
+            (2, "one two three"),                 # exactly one shingle
+            (3, "x y"),                           # too short: nothing
+            (4, "r r r r r r r r"),               # all-equal hashes: tie rule
+            (5, "a b c d e f g h i j k l m n"),   # duplicate of 1
+        ],
+        "id long, text string",
+    )
+    out = winnow_fingerprints(docs, "text", "id", shingle_n=3, window=4)
+    got = {(r.id, r.pos, r.fp) for r in out.collect()}
+
+    def ref(text, k=3, w=4):
+        words = [x for x in re.split(
+            r"\s+", re.sub(r"[^\w\s]+", " ", text.lower()).strip()) if x]
+        sh = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+        if not sh:
+            return set()
+        packed = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) * (1 << 24)
+            + ((1 << 24) - 1 - (i + 1))
+            for i, s in enumerate(sh)
+        ]
+        sel = set()
+        for start in range(max(len(packed) - w + 1, 1)):
+            c = min(packed[start:start + w])
+            sel.add(((1 << 24) - 1 - (c % (1 << 24)), c >> 24))
+        return sel
+
+    exp = set()
+    for i, text in [(1, "a b c d e f g h i j k l m n"), (2, "one two three"),
+                    (3, "x y"), (4, "r r r r r r r r"),
+                    (5, "a b c d e f g h i j k l m n")]:
+        exp |= {(i, p, f) for p, f in ref(text)}
+    assert got == exp
+    # tie rule on doc 4 (all shingles identical): every window's rightmost
+    # position wins, so selections are positions w, w+1, ..., n
+    d4 = sorted(p for i, p, _ in got if i == 4)
+    assert d4 == [4, 5, 6]
+    # guarantee: duplicate docs share identical fingerprint sets
+    assert {(p, f) for i, p, f in got if i == 1} == \
+           {(p, f) for i, p, f in got if i == 5}
+    # short doc: exactly one whole-doc fingerprint
+    assert sum(1 for i, _, _ in got if i == 2) == 1
+    assert not any(i == 3 for i, _, _ in got)
