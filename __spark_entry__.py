@@ -3665,6 +3665,35 @@ def winnow_fp_q(spark, sf_dir):
     return out.orderBy("doc_id", "pos")
 
 
+def winnow_overlap_q(spark, sf_dir):
+    """MOSS-style local-overlap candidates: docs with doc_id % 50 == 0 get
+    an identical 9-word passage appended (a shared run of ≥ k+w−1 = 6 words
+    guarantees a shared fingerprint), then pairs sharing ≥2 distinct
+    winnowing fingerprints are returned with exact integer parts
+    (n_shared, n_a, n_b); fingerprints in more than 100 documents are
+    dropped before the join (the hot-key cap — engaged here by the corpus's
+    own hot boilerplate shingles). The value hash pins fingerprint
+    generation, the distinct rule, the cap and the pair counts."""
+    from httrack2warc_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" copied passage alpha beta gamma delta epsilon zeta eta theta"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = winnow_overlap_pairs(
+        aug, "text", "doc_id",
+        shingle_n=3, window=4, min_shared=2, max_fp_df=100,
+    )
+    return out.orderBy("a", "b")
+
+
 def mixture_sample_q(spark, sf_dir):
     """Domain-mixture resampling (Pile/DoReMi-style static mixing): derive
     the retention-maximal per-domain keep rates that hit target shares
@@ -3856,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": sitemap_parse_q,
         "image_batches": image_batches_q,
         "winnow_fp": winnow_fp_q,
+        "winnow_overlap": winnow_overlap_q,
         "mixture_sample": mixture_sample_q,
         "phrase_search": phrase_search_q,
     }
@@ -6881,6 +6911,59 @@ def _oracle_sqls() -> dict[str, str]:
                    m // 16777216 AS fp
             FROM sel
             ORDER BY doc_id, pos
+        """,
+        # winnow_overlap: the winnow_fp chain on augmented text, then
+        # distinct (doc, fp) sets, >100-df hot-fp drop, fp self-join.
+        "winnow_overlap": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 50 = 0
+                            THEN text || ' copied passage alpha beta gamma delta epsilon zeta eta theta'
+                            ELSE text END AS text
+                FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               trim(regexp_replace(lower(text), '[^\w\s]+', ' ', 'g')),
+                               '\s+'),
+                           x -> x <> '') AS w
+                FROM aug
+            ), sh AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))::BIGINT
+                           * 16777216 + (16777215 - i) AS packed,
+                       len(w) - 2 AS n
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+                WHERE len(w) >= 3
+            ), wm AS (
+                SELECT doc_id, i, n,
+                       min(packed) OVER (PARTITION BY doc_id ORDER BY i
+                                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+                FROM sh
+            ), fps AS (
+                SELECT DISTINCT doc_id, m // 16777216 AS fp
+                FROM wm
+                WHERE i <= greatest(n - 3, 1)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id
+            ), hot AS (
+                SELECT fp FROM fps GROUP BY fp HAVING count(*) > 100
+            ), j AS (
+                SELECT fp, doc_id FROM fps
+                WHERE fp NOT IN (SELECT fp FROM hot)
+            ), pairs AS (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM j x JOIN j y ON x.fp = y.fp AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            )
+            SELECT a, b, n_shared, sa.n AS n_a, sb.n AS n_b
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            ORDER BY a, b
         """,
         # mixture_sample: thresholds restate the exact IEEE shape
         # floor(((min(n/p) * p) / n) * 2^32) over per-domain counts.

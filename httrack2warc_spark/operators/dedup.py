@@ -39,6 +39,7 @@ __all__ = [
     "connected_components",
     "dedup_by_components",
     "winnow_fingerprints",
+    "winnow_overlap_pairs",
 ]
 
 # ---------------------------------------------------------------------------
@@ -1208,4 +1209,68 @@ def winnow_fingerprints(
         .cast("int")
         .alias("pos"),
         F.shiftright(F.col("__c"), 24).alias("fp"),
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Local-overlap candidate pairs à la MOSS: documents sharing at least
+    ``min_shared`` distinct winnowing fingerprints (see
+    ``winnow_fingerprints``). Where MinHash/Jaccard measures WHOLE-document
+    similarity, shared winnowing fingerprints localize COPIED PASSAGES — a
+    400-word document embedding one plagiarized paragraph of another scores
+    near zero Jaccard but is guaranteed ≥1 shared fingerprint for any
+    shared run of ``shingle_n + window - 1`` words.
+
+    Returns (a, b, n_shared, n_a, n_b): shared-fingerprint count plus each
+    side's distinct-fingerprint total — all exact integers, so overlap
+    ratios (n_shared / min(n_a, n_b)) are computed downstream from exact
+    parts, never shipped as engine-divergent floats.
+
+    Scale: fingerprint generation is shuffle-free (see
+    ``winnow_fingerprints``); the candidate join shuffles distinct
+    (fp, id) pairs — 16-byte rows at ~2/(window+1) of the shingle count —
+    and self-joins on the 8-byte fp key. ``max_fp_df`` drops fingerprints
+    in more than that many documents BEFORE the join (boilerplate
+    passages: a fp in d docs contributes d² pair rows — the
+    ``max_shingle_df`` hot-key cap pattern; per-doc totals n_a/n_b stay
+    pre-cap exact).
+    """
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, shingle_n, window)
+        .select(F.col(id_col).alias("__id"), "fp")
+        .distinct()
+    )
+    sizes = fps.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    joinable = fps
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_fp_df)
+            .select("fp")
+        )
+        joinable = fps.join(hot, "fp", "left_anti")
+    left = joinable.select(F.col("__id").alias("a"), "fp")
+    right = joinable.select(F.col("__id").alias("b"), "fp")
+    shared = (
+        left.join(right, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.select(F.col("__id").alias("a"),
+                                 F.col("__n").alias("n_a")), "a")
+        .join(sizes.select(F.col("__id").alias("b"),
+                           F.col("__n").alias("n_b")), "b")
+        .select("a", "b", "n_shared", "n_a", "n_b")
     )

@@ -871,3 +871,48 @@ def test_winnow_fingerprints_reference_parity(spark):
     # short doc: exactly one whole-doc fingerprint
     assert sum(1 for i, _, _ in got if i == 2) == 1
     assert not any(i == 3 for i, _, _ in got)
+
+
+def test_winnow_overlap_pairs_guarantee_and_cap(spark):
+    """Any shared run of >= shingle_n + window - 1 words guarantees a shared
+    fingerprint (the winnowing contract); the max_fp_df cap drops
+    boilerplate fingerprints from the join but keeps per-doc totals."""
+    from httrack2warc_spark.operators.dedup import winnow_overlap_pairs
+
+    passage = "alpha beta gamma delta epsilon zeta"  # 6 = 3 + 4 - 1 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {passage} closing remarks follow now"),
+            (2, f"totally different framing {passage} and another ending"),
+            (3, "no shared passage in this document at all whatsoever"),
+        ],
+        "id long, text string",
+    )
+    out = winnow_overlap_pairs(docs, "text", "id", shingle_n=3, window=4,
+                               min_shared=1)
+    rows = {(r.a, r.b): r.n_shared for r in out.collect()}
+    assert (1, 2) in rows and rows[(1, 2)] >= 1       # the guarantee
+    assert all(3 not in k for k in rows)
+    # a fingerprint present in every doc is boilerplate: cap at df<=2 kills
+    # the (1,2) pair if the passage fp lands in all three docs
+    docs2 = spark.createDataFrame(
+        [(i, f"doc {i} prefix {passage} suffix words here") for i in (1, 2, 3)],
+        "id long, text string",
+    )
+    capped = winnow_overlap_pairs(docs2, "text", "id", shingle_n=3, window=4,
+                                  min_shared=1, max_fp_df=2)
+    uncapped = winnow_overlap_pairs(docs2, "text", "id", shingle_n=3,
+                                    window=4, min_shared=1)
+    assert len(capped.collect()) < len(uncapped.collect())
+    # n_a/n_b are PRE-cap totals
+    any_row = uncapped.collect()[0]
+    fp_counts = {
+        r["id"]: r["cnt"]
+        for r in __import__("httrack2warc_spark.operators.dedup",
+                            fromlist=["winnow_fingerprints"])
+        .winnow_fingerprints(docs2, "text", "id", 3, 4)
+        .select("id", "fp").distinct()
+        .groupBy("id").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert any_row.n_a == fp_counts[any_row.a]
+    assert any_row.n_b == fp_counts[any_row.b]
