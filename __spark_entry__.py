@@ -3649,6 +3649,39 @@ def image_batches_q(spark, sf_dir):
     )
 
 
+def image_patches_q(spark, sf_dir):
+    """ViT patch extraction VALUE-CHECKED: the generator emits row-major
+    per-patch means computed by an independent reshape-and-sum formulation
+    (synth.py exp_patch) at generation time; the query runs the real
+    decode → mapInPandas patchify kernel (per-tile ndarray.mean) and
+    compares each of the 64 images' 2×2 grid — a 256-row constant table
+    the DuckDB oracle states exactly, so codec round-trip + Arrow plumbing
+    + the patch-grid arithmetic are all on the hash."""
+    from httrack2warc_spark.frontier.synth import generate_images
+    from httrack2warc_spark.functions.images import patchify_images
+
+    imgs = generate_images(spark, 64, w=16, h=16, expected_patch=8)
+    out = patchify_images(imgs.select("image_id", "bytes", "fmt"), patch=8)
+    exp = imgs.select("image_id", "exp_patch")
+    joined = out.join(F.broadcast(exp), "image_id")
+    mean_ok = (
+        F.abs(
+            F.col("p_mean")
+            - F.element_at(
+                "exp_patch", F.col("patch_row") * 2 + F.col("patch_col") + 1
+            )
+        )
+        < 1e-9
+    )
+    return (
+        joined.where(F.col("decoded"))
+        .select(
+            "image_id", "patch_row", "patch_col", mean_ok.alias("mean_ok")
+        )
+        .orderBy("image_id", "patch_row", "patch_col")
+    )
+
+
 def winnow_fp_q(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03,
     the MOSS algorithm): hash every 3-word shingle, slide a 4-wide window
@@ -3886,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_batches": image_batches_q,
         "winnow_fp": winnow_fp_q,
         "winnow_overlap": winnow_overlap_q,
+        "image_patches": image_patches_q,
         "mixture_sample": mixture_sample_q,
         "phrase_search": phrase_search_q,
     }
@@ -6876,6 +6910,17 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE rank_in_bucket < (n_bucket // 16) * 16
             GROUP BY n, d, rank_in_bucket // 16
             ORDER BY bucket_n, bucket_d, batch_idx
+        """,
+        # image_patches: constant expected table (generation-time exp_patch
+        # vs the patchify kernel — the image-family convention).
+        "image_patches": """
+            SELECT 'img-' || i AS image_id,
+                   pr.pr::INT AS patch_row, pc.pc::INT AS patch_col,
+                   true AS mean_ok
+            FROM range(64) t(i),
+                 (SELECT UNNEST([0, 1]) AS pr) pr,
+                 (SELECT UNNEST([0, 1]) AS pc) pc
+            ORDER BY image_id, patch_row, patch_col
         """,
         # winnow_fp: same packed-bigint selection, window-function form —
         # min over ROWS BETWEEN CURRENT AND 3 FOLLOWING, full windows only

@@ -229,6 +229,7 @@ def generate_images(
     fmt_cycle: tuple[str, ...] = ("png", "jpeg", "png", "gif"),
     num_partitions: int | None = None,
     with_expected: bool = False,
+    expected_patch: int | None = None,
 ) -> DataFrame:
     """Deterministic image+caption table matching BASELINE.json input_hint:
     (image_id, bytes, w, h, fmt, caption, phash). Generation runs in
@@ -241,7 +242,12 @@ def generate_images(
     std instead of ndarray.std, flat per-channel means. A downstream feature
     pass that matches them proves the codec round-trip + Arrow plumbing +
     kernel math end-to-end, which is what lets the graded image queries be
-    value-checked by a constant-table DuckDB oracle."""
+    value-checked by a constant-table DuckDB oracle.
+
+    ``expected_patch=p`` additionally emits ``exp_patch`` — row-major
+    per-patch means over the p×p ViT grid, computed by reshape-and-sum
+    (a different formulation than the patchify kernel's per-tile
+    ``ndarray.mean``), for value-checking ``patchify_images``."""
     base = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -273,11 +279,19 @@ def generate_images(
                         float(np.sqrt(max(var, 0.0))),
                         hist.tolist(), phash64(recon),
                     )
+                if expected_patch is not None:
+                    p_ = expected_patch
+                    gh, gw = recon.shape[0] // p_, recon.shape[1] // p_
+                    grid = recon[: gh * p_, : gw * p_, :].astype(np.float64)
+                    sums = grid.reshape(gh, p_, gw, p_, 3).sum(axis=(1, 3, 4))
+                    row = row + ((sums / float(p_ * p_ * 3)).reshape(-1).tolist(),)
                 rows.append(row)
             cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
             if with_expected:
                 cols += ["exp_mean_r", "exp_mean_g", "exp_mean_b",
                          "exp_std_lum", "exp_hist", "exp_phash"]
+            if expected_patch is not None:
+                cols += ["exp_patch"]
             yield pd.DataFrame(rows, columns=cols)
 
     schema = (
@@ -289,4 +303,6 @@ def generate_images(
             ", exp_mean_r double, exp_mean_g double, exp_mean_b double, "
             "exp_std_lum double, exp_hist array<double>, exp_phash long"
         )
+    if expected_patch is not None:
+        schema += ", exp_patch array<double>"
     return base.mapInPandas(gen, schema=schema)

@@ -64,6 +64,7 @@ __all__ = [
     "synth_video",
     "video_decode_frames",
     "frame_sample",
+    "patchify_images",
     "with_decode_check",
 ]
 
@@ -493,3 +494,57 @@ def with_decode_check(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
 
     cols = [f.name for f in fields]
     return images.select(*cols).mapInPandas(check, schema=out_schema)
+
+
+def patchify_images(images: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch extraction — the image-training prep op that turns
+    each decoded image into its (h//patch) × (w//patch) grid of
+    ``patch``×``patch`` patches, one row per patch with per-patch mean and
+    std over all channels (float64). Images whose dimensions aren't
+    multiples of ``patch`` are center-cropped to the largest fitting grid
+    (the standard ViT preprocessing rule); undecodable formats quarantine
+    as one (patch_row = −1) row with ``decoded = false`` — never crash the
+    job.
+
+    Scale: one ``mapInPandas`` pass (Arrow batches, numpy slicing per
+    patch); the fan-out is (h·w)/patch² rows of 5 narrow columns per image
+    — patch PIXELS never leave the kernel, only the statistics, so a
+    10^10-image table ships ~40 bytes/patch, not re-encoded tiles. No
+    shuffle; partitioning is inherited from the image scan.
+    """
+    out_schema = (
+        "image_id string, patch_row int, patch_col int, "
+        "p_mean double, p_std double, decoded boolean"
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = decode_image(r.bytes, r.fmt).astype(np.float64)
+                    h, w = px.shape[0], px.shape[1]
+                    gh, gw = h // patch, w // patch
+                    oy, ox = (h - gh * patch) // 2, (w - gw * patch) // 2
+                    for pr in range(gh):
+                        for pc in range(gw):
+                            tile = px[
+                                oy + pr * patch: oy + (pr + 1) * patch,
+                                ox + pc * patch: ox + (pc + 1) * patch,
+                                :,
+                            ]
+                            rows.append(
+                                (r.image_id, pr, pc, float(tile.mean()),
+                                 float(tile.std()), True)
+                            )
+                except NotImplementedError:
+                    rows.append((r.image_id, -1, -1, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "patch_row", "patch_col",
+                         "p_mean", "p_std", "decoded"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        work, schema=out_schema
+    )

@@ -170,3 +170,40 @@ def test_pil_real_jpeg_decode():
     out = decode_image(buf.getvalue(), "jpeg")
     assert out.shape == pixels.shape
     assert psnr(pixels, out) >= 30.0
+
+
+def test_patchify_images_grid_and_crop(spark):
+    from httrack2warc_spark.functions.images import patchify_images, png_encode
+
+    # 16×16 with four constant 8×8 quadrants → exact patch means
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[:8, :8] = 10
+    px[:8, 8:] = 20
+    px[8:, :8] = 30
+    px[8:, 8:] = 40
+    # 16×24: grid 2×3 exactly (no crop); 16×20 with patch 8 → gw=2, crop
+    # offset (20-16)//2 = 2, so columns 2..17 of a horizontal ramp
+    ramp = np.tile(
+        np.arange(20, dtype=np.uint8).reshape(1, 20, 1), (16, 1, 3)
+    )
+    df = spark.createDataFrame(
+        [("quad", bytearray(png_encode(px)), "png"),
+         ("ramp", bytearray(png_encode(ramp)), "png"),
+         ("bad", bytearray(b"\x00\x01"), "jpeg")],
+        "image_id string, bytes binary, fmt string",
+    )
+    out = patchify_images(df, patch=8)
+    rows = {(r.image_id, r.patch_row, r.patch_col): r for r in out.collect()}
+    assert rows[("quad", 0, 0)].p_mean == 10.0
+    assert rows[("quad", 0, 1)].p_mean == 20.0
+    assert rows[("quad", 1, 0)].p_mean == 30.0
+    assert rows[("quad", 1, 1)].p_mean == 40.0
+    assert rows[("quad", 0, 0)].p_std == 0.0
+    # ramp: center crop keeps columns 2..17 → patch (.,0) covers 2..9
+    assert rows[("ramp", 0, 0)].p_mean == float(np.arange(2, 10).mean())
+    assert rows[("ramp", 1, 1)].p_mean == float(np.arange(10, 18).mean())
+    assert ("ramp", 0, 2) not in rows          # gw = 20//8 = 2
+    # quarantine row for the undecodable payload
+    bad = rows[("bad", -1, -1)]
+    assert bad.decoded is False and bad.p_mean is None
+    assert sum(1 for k in rows if k[0] == "quad") == 4
