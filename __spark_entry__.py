@@ -3682,6 +3682,28 @@ def image_patches_q(spark, sf_dir):
     )
 
 
+def clip_filter_q(spark, sf_dir):
+    """CLIP-score alignment gate (the LAION multimodal curation step):
+    even vec_ids play image embeddings, odd vec_ids their paired caption
+    embeddings; pairs whose rounded-6 cosine clears 0.1 survive. The gate
+    compares the ROUNDED value (the cross-engine-stable citizen), so
+    membership and the shipped score are both on the hash."""
+    from httrack2warc_spark.operators.similarity import cosine_pair_filter
+
+    emb = _t(spark, sf_dir, "embeddings")
+    img = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").cast("array<double>").alias("img_vec"),
+    )
+    cap = emb.where(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") - 1).alias("pair_id"),
+        F.col("embedding").cast("array<double>").alias("cap_vec"),
+    )
+    pairs = img.join(cap, "pair_id")
+    out = cosine_pair_filter(pairs, "img_vec", "cap_vec", threshold=0.1)
+    return out.select("pair_id", "cos_sim_r").orderBy("pair_id")
+
+
 def winnow_fp_q(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03,
     the MOSS algorithm): hash every 3-word shingle, slide a 4-wide window
@@ -3920,6 +3942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": winnow_fp_q,
         "winnow_overlap": winnow_overlap_q,
         "image_patches": image_patches_q,
+        "clip_filter": clip_filter_q,
         "mixture_sample": mixture_sample_q,
         "phrase_search": phrase_search_q,
     }
@@ -6910,6 +6933,23 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE rank_in_bucket < (n_bucket // 16) * 16
             GROUP BY n, d, rank_in_bucket // 16
             ORDER BY bucket_n, bucket_d, batch_idx
+        """,
+        # clip_filter: DuckDB's list_cosine_similarity vs the zip_with/
+        # aggregate form agree at round-6 (the embedding_topk precedent);
+        # the gate compares the rounded value in both engines.
+        "clip_filter": """
+            WITH img AS (
+                SELECT vec_id AS pair_id, embedding::DOUBLE[] AS iv
+                FROM embeddings WHERE vec_id % 2 = 0
+            ), cap AS (
+                SELECT vec_id - 1 AS pair_id, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id % 2 = 1
+            )
+            SELECT i.pair_id,
+                   round(list_cosine_similarity(iv, cv), 6) AS cos_sim_r
+            FROM img i JOIN cap ON i.pair_id = cap.pair_id
+            WHERE round(list_cosine_similarity(iv, cv), 6) >= 0.1
+            ORDER BY i.pair_id
         """,
         # image_patches: constant expected table (generation-time exp_patch
         # vs the patchify kernel — the image-family convention).

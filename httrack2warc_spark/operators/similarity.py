@@ -30,6 +30,7 @@ from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 __all__ = [
     "cosine",
+    "cosine_pair_filter",
     "brute_force_topk",
     "lsh_ann_topk",
     "ivf_topk",
@@ -648,4 +649,33 @@ def sq8_topk(
         scored.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= k)
         .drop("__r")
+    )
+
+
+def cosine_pair_filter(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold: float,
+    round_digits: int = 6,
+    out_col: str = "cos_sim_r",
+) -> DataFrame:
+    """CLIP-score-style alignment gate over already-paired embeddings — the
+    LAION curation step: given one row per (image-embedding,
+    caption-embedding) pair, keep rows whose cosine similarity clears
+    ``threshold``. The kept similarity ships ROUNDED to ``round_digits``
+    (the lsh_ann ranking-key rule): the raw double's last ulps depend on
+    accumulation order, the rounded value is the cross-engine-stable
+    citizen, and the gate compares the ROUNDED value so membership is
+    reproducible too.
+
+    Scale: pure higher-order-function arithmetic (zip_with/aggregate) per
+    row — no UDF, no shuffle, no join; in a real multimodal table both
+    embeddings live in the SAME row (the input_hint shape extended with an
+    embedding pair), so the 100 TB gate is one codegen'd scan that never
+    touches the image bytes column.
+    """
+    cos = F.round(cosine(F.col(a_col), F.col(b_col)), round_digits)
+    return pairs.withColumn(out_col, cos).where(
+        F.col(out_col) >= threshold
     )

@@ -916,3 +916,30 @@ def test_winnow_overlap_pairs_guarantee_and_cap(spark):
     }
     assert any_row.n_a == fp_counts[any_row.a]
     assert any_row.n_b == fp_counts[any_row.b]
+
+
+def test_cosine_pair_filter_gate_and_rounding(spark):
+    from httrack2warc_spark.operators.similarity import cosine_pair_filter
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),      # cos 1.0 — kept
+        (2, [1.0, 0.0], [0.0, 1.0]),      # cos 0.0 — dropped at 0.5
+        (3, [1.0, 0.0], [-1.0, 0.0]),     # cos -1.0 — dropped
+        (4, [1.0, 1.0], [1.0, 0.0]),      # cos ~0.7071068 — kept
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, a array<double>, b array<double>"
+    )
+    out = cosine_pair_filter(df, "a", "b", threshold=0.5)
+    got = {r.pair_id: r.cos_sim_r for r in out.collect()}
+    assert set(got) == {1, 4}
+    assert got[1] == 1.0
+    assert got[4] == 0.707107            # rounded-6 value ships
+    # the gate compares the ROUNDED value: 0.4999996 rounds to 0.5 — kept
+    import math
+    eps = [(5, [1.0, 0.0], [0.4999996, math.sqrt(1 - 0.4999996**2)])]
+    df2 = spark.createDataFrame(
+        eps, "pair_id long, a array<double>, b array<double>"
+    )
+    kept = cosine_pair_filter(df2, "a", "b", threshold=0.5).collect()
+    assert len(kept) == 1 and kept[0].cos_sim_r == 0.5
