@@ -3682,6 +3682,36 @@ def image_patches_q(spark, sf_dir):
     )
 
 
+def html_extract_q(spark, sf_dir):
+    """HTML main-content extraction — the ingest step between fetched crawl
+    payloads and the documents table. Each document is wrapped in a
+    deterministic HTML page (title with an entity, a script with a raw '<',
+    a nav div, a comment) and run through the pure-Column regexp chain
+    (functions/text.py html_to_text/html_title — RE2 ∩ Java dialect,
+    documented order). The value hash pins script/head/comment stripping,
+    block-tag newlines, entity decode order and whitespace collapse."""
+    from httrack2warc_spark.functions.text import html_title, html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(' &amp; friends</title><script type="text/javascript">'
+              "var x = 1 < 2;</script></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><div class="nav">nav '),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</div><!-- hidden --></body></html>"),
+    )
+    body = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        html_title(html).alias("title"),
+        body.alias("body"),
+        F.length(body).cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def clip_filter_q(spark, sf_dir):
     """CLIP-score alignment gate (the LAION multimodal curation step):
     even vec_ids play image embeddings, odd vec_ids their paired caption
@@ -3943,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": winnow_overlap_q,
         "image_patches": image_patches_q,
         "clip_filter": clip_filter_q,
+        "html_extract": html_extract_q,
         "mixture_sample": mixture_sample_q,
         "phrase_search": phrase_search_q,
     }
@@ -6933,6 +6964,54 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE rank_in_bucket < (n_bucket // 16) * 16
             GROUP BY n, d, rank_in_bucket // 16
             ORDER BY bucket_n, bucket_d, batch_idx
+        """,
+        # html_extract: the documented RE2∩Java regexp chain replayed
+        # verbatim (same pass order, entity order, whitespace passes).
+        "html_extract": r"""
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || doc_id
+                       || ' &amp; friends</title><script type="text/javascript">var x = 1 < 2;</script></head><body><p>'
+                       || text || '</p><div class="nav">nav ' || (doc_id % 5)
+                       || '</div><!-- hidden --></body></html>' AS html
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                           '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+                           '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g'),
+                           '(?is)<head\b[^>]*>.*?</head\s*>', '', 'g'),
+                           '(?s)<!--.*?-->', '', 'g') AS x,
+                       regexp_extract(html, '(?is)<title[^>]*>(.*?)</title\s*>', 1) AS t
+                FROM h
+            ), s2 AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(x,
+                           '(?is)</?(p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|section|article|header|footer|nav|pre)\b[^>]*>', e'\n', 'g'),
+                           '(?s)<[^>]+>', ' ', 'g') AS x,
+                       t
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id,
+                       replace(replace(replace(replace(replace(replace(x,
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x,
+                       replace(replace(replace(replace(replace(replace(t,
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+                FROM s2
+            ), s4 AS (
+                SELECT doc_id,
+                       regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(x,
+                           '[ \t\r\f]+', ' ', 'g'),
+                           ' ?\n ?', e'\n', 'g'),
+                           '\n+', e'\n', 'g')),
+                           '^\n+|\n+$', '', 'g') AS body,
+                       trim(regexp_replace(t, '\s+', ' ', 'g')) AS title
+                FROM s3
+            )
+            SELECT doc_id, title, body, length(body)::BIGINT AS n_chars
+            FROM s4 ORDER BY doc_id
         """,
         # clip_filter: DuckDB's list_cosine_similarity vs the zip_with/
         # aggregate form agree at round-6 (the embedding_topk precedent);

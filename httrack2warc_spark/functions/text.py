@@ -21,6 +21,8 @@ __all__ = [
     "lang_scores",
     "lang_id",
     "doc_fingerprint",
+    "html_to_text",
+    "html_title",
 ]
 
 # small per-language stopword seeds for the n-gram/stopword heuristic
@@ -113,3 +115,61 @@ def doc_fingerprint(text: Column, normalize: bool = True) -> Column:
     xxhash64 over the canonicalized token stream)."""
     base = F.concat_ws(" ", word_tokens(text)) if normalize else text
     return F.xxhash64(base)
+
+
+# --- HTML main-content extraction ---------------------------------------------
+#
+# The regex chain below is deliberately RE2 ∩ Java-regex (inline (?is) flags,
+# non-greedy .*?, NO backreferences), applied in this exact order, so a SQL
+# oracle replays it verbatim with regexp_replace(..., 'g'):
+#   1. strip <script>…</script> and <style>…</style> (separate passes — RE2
+#      has no backreferences to share one pattern)
+#   2. strip <head>…</head> (titles/meta are not body text)
+#   3. strip <!-- comments -->
+#   4. block-level tags → '\n' (paragraph boundaries survive)
+#   5. any remaining tag → ' '
+#   6. entity decode: &lt; &gt; &quot; &#39; &nbsp; then &amp; LAST
+#      (so '&amp;lt;' decodes to '&lt;', never twice)
+#   7. collapse horizontal whitespace, trim around newlines, collapse
+#      newline runs, trim
+
+_HTML_BLOCK_TAGS = (
+    "p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|section|article|"
+    "header|footer|nav|pre"
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """Main-content text from an HTML payload — the step between fetched
+    crawl payloads and the ``documents`` table. Pure-Column regexp chain
+    (whole-stage codegen, no parser library, no UDF): honest about being a
+    regex extractor, which is exactly what large-corpus pipelines run at
+    ingest grade (full DOM parsing is reserved for link rewriting, see
+    ``operators/linkrewrite.py``). Scale: one codegen'd projection — no
+    shuffle, no Python."""
+    x = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script\s*>", "")
+    x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style\s*>", "")
+    x = F.regexp_replace(x, r"(?is)<head\b[^>]*>.*?</head\s*>", "")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", "")
+    x = F.regexp_replace(
+        x, r"(?is)</?(" + _HTML_BLOCK_TAGS + r")\b[^>]*>", "\n"
+    )
+    x = F.regexp_replace(x, r"(?s)<[^>]+>", " ")
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    x = F.regexp_replace(x, r"[ \t\r\f]+", " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n+", "\n")
+    # trim() strips only spaces — newline padding needs its own pass
+    return F.regexp_replace(F.trim(x), r"^\n+|\n+$", "")
+
+
+def html_title(col: Column) -> Column:
+    """<title> text (first occurrence), entity-decoded and
+    whitespace-collapsed with the same chain as ``html_to_text``."""
+    t = F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

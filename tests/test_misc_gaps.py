@@ -145,3 +145,38 @@ def test_sorted_neighborhood_pairs_window_semantics(spark):
     assert got == expect
     # skew immunity: each record generates at most window-1 forward candidates
     assert len(got) <= len(rows) * 2
+
+
+def test_html_to_text_extraction_chain(spark):
+    """The documented pass order: script/style/head/comment strip, block-tag
+    newlines, entity decode with &amp; LAST, whitespace collapse including
+    newline padding (trim() alone leaves newlines)."""
+    from pyspark.sql import functions as F
+
+    from httrack2warc_spark.functions.text import html_title, html_to_text
+
+    cases = [
+        (1, '<html><head><title> A &amp;lt; B </title>'
+            '<style>p { color: red; }</style></head>'
+            '<body><p>one</p><p>two &amp; three</p></body></html>'),
+        (2, '<div>x</div><script>if (a < b) { alert("</div>"); }</script>'
+            '<span>y</span>'),
+        (3, 'plain text, no markup'),
+        (4, '<body><ul><li>a</li><li>b</li></ul><!-- <p>ghost</p> --></body>'),
+    ]
+    df = spark.createDataFrame(cases, "id long, html string")
+    out = {
+        r.id: (r.t, r.ti)
+        for r in df.select(
+            "id",
+            html_to_text(F.col("html")).alias("t"),
+            html_title(F.col("html")).alias("ti"),
+        ).collect()
+    }
+    # &amp;lt; decodes ONCE to &lt; (amp last); title whitespace collapsed
+    assert out[1] == ("one\ntwo & three", "A &lt; B")
+    # raw '<' inside script must not break the strip; span → inline space
+    assert out[2] == ("x\ny", "")
+    assert out[3] == ("plain text, no markup", "")
+    # commented-out markup never surfaces
+    assert out[4] == ("a\nb", "")
