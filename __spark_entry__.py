@@ -3682,6 +3682,55 @@ def image_patches_q(spark, sf_dir):
     )
 
 
+#: ordered merge list for the bpe_encode graded query — includes a chained
+#: merge ('ta'+'b' fires only after 't'+'a') and a merge ('b','l') that the
+#: earlier 'ta b' consumption must starve on "table" (order semantics).
+BPE_MERGES: list[tuple[str, str]] = [
+    ("i", "n"), ("e", "r"), ("t", "a"), ("ta", "b"), ("b", "l"), ("o", "w"),
+    ("s", "o"), ("a", "r"),
+]
+
+
+def bpe_encode_q(spark, sf_dir):
+    """Tokenizer APPLY (BPE segment + count) with a fixed ordered merge
+    list: every word splits to characters and each merge rewrites
+    'a b' → 'ab' via two literal space-padded replaces (no lookaround —
+    the RE2-safe formulation; the second pass picks up alternating
+    occurrences the leftmost scan skipped). The value hash pins the merge
+    ORDER (later merges starve on earlier consumptions — 'table' ends
+    'tab l e', never 'ta bl e'), the segmentation and the subword counts."""
+    from httrack2warc_spark.operators.corpus import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, "text", "doc_id", BPE_MERGES).orderBy("doc_id")
+
+
+def _bpe_encode_sql() -> str:
+    inner = "(' ' || regexp_replace(x, '(.)', '\\1 ', 'g'))"
+    for a, b in BPE_MERGES:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        inner = f"replace(replace({inner}, '{pat}', '{rep}'), '{pat}', '{rep}')"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                       x -> x <> '') AS w
+            FROM documents
+        ), enc AS (
+            SELECT doc_id,
+                   list_transform(w, x -> trim({inner})) AS e
+            FROM toks
+        )
+        SELECT doc_id,
+               array_to_string(e, ' / ') AS seg,
+               CAST(coalesce(list_sum(
+                   list_transform(e, x -> len(string_split(x, ' ')))), 0)
+                   AS BIGINT) AS n_tokens
+        FROM enc ORDER BY doc_id
+    """
+
+
 def html_extract_q(spark, sf_dir):
     """HTML main-content extraction — the ingest step between fetched crawl
     payloads and the documents table. Each document is wrapped in a
@@ -3974,6 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_patches": image_patches_q,
         "clip_filter": clip_filter_q,
         "html_extract": html_extract_q,
+        "bpe_encode": bpe_encode_q,
         "mixture_sample": mixture_sample_q,
         "phrase_search": phrase_search_q,
     }
@@ -6965,6 +7015,9 @@ def _oracle_sqls() -> dict[str, str]:
             GROUP BY n, d, rank_in_bucket // 16
             ORDER BY bucket_n, bucket_d, batch_idx
         """,
+        # bpe_encode: merge chain built programmatically from BPE_MERGES
+        # (same list as the query) — see _bpe_encode_sql.
+        "bpe_encode": _bpe_encode_sql(),
         # html_extract: the documented RE2∩Java regexp chain replayed
         # verbatim (same pass order, entity order, whitespace passes).
         "html_extract": r"""

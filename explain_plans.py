@@ -262,6 +262,29 @@ def main() -> None:
          "ids on the center key; pair aggregate + left_anti adjacency "
          "check + two degree joins, all on int keys — documents never "
          "enter the plan"),
+        ("winnow_fp", "ZERO-shuffle fingerprinting: one WholeStageCodegen "
+         "Project evaluates the packed-hash array + zip_with window "
+         "minima array-side, then Generate explodes the distinct "
+         "selections — the only Exchange is the oracle orderBy"),
+        ("winnow_overlap", "fingerprints self-join on the 8-byte fp key "
+         "after the >max_fp_df hot-fp left_anti; per-doc totals join "
+         "back on id — document text never shuffles, only (fp, id) rows"),
+        ("mixture_sample", "per-domain counts partial+final aggregate "
+         "(tiny), unpartitioned window-min over the |domains|-row table, "
+         "broadcast back, codegen'd md5-draw filter — the corpus scans "
+         "once and never shuffles"),
+        ("phrase_search", "tokenize Generate → vocabulary isin Filter "
+         "BEFORE any exchange, broadcast (slot,term) join, one hash "
+         "aggregate on (id, anchor) — O(hits) shuffle, never O(tokens)"),
+        ("image_patches", "two mapInPandas sources (generator + patchify "
+         "kernel) meet in a BroadcastHashJoin on image_id; patch pixels "
+         "never leave the kernel — only 5-column statistics rows flow"),
+        ("clip_filter", "zip_with/aggregate cosine inside a codegen "
+         "Project; the pair join is a plain hash join on pair_id (in the "
+         "input_hint shape both embeddings share a row → map-only)"),
+        ("html_extract", "ONE codegen Project runs the whole regexp "
+         "chain (script/head strip → block newlines → entities → "
+         "whitespace) — no UDF, no shuffle except the oracle orderBy"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 

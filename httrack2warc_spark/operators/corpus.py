@@ -37,6 +37,7 @@ __all__ = [
     "dsir_weights",
     "hashed_classifier_score",
     "bpe_pair_counts",
+    "bpe_encode",
     "train_bpe",
     "mixture_sample",
     "pack_sequences",
@@ -1151,4 +1152,51 @@ def phrase_search(
         .agg(F.count_distinct(F.col("__j")).alias("__nj"))
         .where(F.col("__nj") == m)
         .select(id_col, "pos")
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply an ordered BPE merge list (e.g. from ``train_bpe``) to every
+    word — the tokenizer-APPLY step that turns text into subword tokens for
+    training. Each word splits to characters, then each merge rewrites
+    ``"a b" → "ab"`` on the space-delimited symbol string.
+
+    Cross-engine formulation (the value-hash contract): the per-word string
+    is padded with sentinel spaces and each merge is TWO literal
+    ``replace(' a b ', ' ab ')`` passes — no regex lookaround (RE2 has
+    none), no \\Q quoting; a single leftmost replace-all pass consumes the
+    shared boundary space and skips alternating occurrences ('a a a a'
+    matches twice, not thrice), and the second pass picks up exactly the
+    skipped ones, reproducing BPE's merge-all-occurrences step in any
+    engine with plain replace().
+
+    Scale: pure higher-order-function work inside one codegen'd projection
+    — the merge chain runs per word-ARRAY element (lambda-var-only bodies:
+    no captured-tree re-evaluation hazard), documents never shuffle, and a
+    k-merge tokenizer costs 2k literal replaces per word. Returns
+    (id, seg, n_tokens): the fully segmented document (words joined with
+    ' / ') and the subword count.
+    """
+    from httrack2warc_spark.functions.text import word_tokens
+
+    def enc(w: Column) -> Column:
+        x = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+        for a, b in merges:
+            pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            x = F.replace(F.replace(x, pat, rep), pat, rep)
+        return F.trim(x)
+
+    encoded = F.transform(word_tokens(F.col(text_col)), enc)
+    n = F.aggregate(
+        encoded, F.lit(0), lambda acc, x: acc + F.size(F.split(x, " "))
+    )
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(" / ", encoded).alias("seg"),
+        n.cast("long").alias("n_tokens"),
     )

@@ -622,3 +622,26 @@ def test_phrase_search_positions_and_repeated_terms(spark):
     out2 = phrase_search(docs, "text", "id", ["data", "data"])
     got2 = {(r.id, r.pos) for r in out2.collect()}
     assert got2 == {(4, 2), (4, 3)}
+
+
+def test_bpe_encode_order_and_double_pass(spark):
+    from httrack2warc_spark.operators.corpus import bpe_encode
+
+    merges = [("i", "n"), ("e", "r"), ("t", "a"), ("ta", "b"), ("b", "l"),
+              ("o", "w")]
+    docs = spark.createDataFrame(
+        [(1, "table winter in a window"), (2, "aaaa"), (3, "")],
+        "id long, text string",
+    )
+    out = {r.id: (r.seg, r.n_tokens)
+           for r in bpe_encode(docs, "text", "id", merges).collect()}
+    # merge ORDER: 'ta b' fires before 'b l' can — 'tab l e', never 'ta bl e'
+    assert out[1] == ("tab l e / w in t er / in / a / w in d ow", 13)
+    # 'a a a a' with no (a,a) merge stays 4 chars; empty doc → 0 tokens
+    assert out[2] == ("a a a a", 4)
+    assert out[3] == ("", 0)
+    # double-pass semantics: merge (a,a) on 'aaaa' = 'aa aa' (leftmost
+    # non-overlapping, alternating occurrence caught by the second pass)
+    out2 = {r.id: (r.seg, r.n_tokens)
+            for r in bpe_encode(docs, "text", "id", [("a", "a")]).collect()}
+    assert out2[2] == ("aa aa", 2)
