@@ -3682,6 +3682,44 @@ def image_patches_q(spark, sf_dir):
     )
 
 
+def ingest_pipeline_q(spark, sf_dir):
+    """End-to-end web-ingest composition — the full path from fetched HTML
+    to training chunks, each stage an already-value-checked operator:
+    html_to_text (regexp chain) → ≥10-token quality gate → exact
+    first-occurrence dedup on the extracted body (the generator plants
+    exact-duplicate documents; dedup keys on the STRING here so the oracle
+    joins byte-for-byte — production keys on xxhash64, see exact_dedup) →
+    deterministic 0.8 sample → 32/8 sliding-window chunking. The value
+    hash pins every stage boundary and their composition order."""
+    from httrack2warc_spark.functions.text import html_to_text, token_count
+    from httrack2warc_spark.operators.corpus import (
+        chunk_documents,
+        deterministic_sample,
+    )
+    from httrack2warc_spark.operators.dedup import first_occurrence
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(' &amp; friends</title><script type="text/javascript">'
+              "var x = 1 < 2;</script></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><div class="nav">nav '),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</div><!-- hidden --></body></html>"),
+    )
+    staged = docs.select("doc_id", html_to_text(html).alias("body"))
+    gated = staged.where(token_count(F.col("body")) >= 10)
+    deduped = first_occurrence(gated, "body", [F.col("doc_id")])
+    sampled = deterministic_sample(deduped, "doc_id", 0.8, seed=11)
+    chunks = chunk_documents(sampled, "body", "doc_id",
+                             max_tokens=32, overlap=8)
+    return chunks.select(
+        "doc_id", "chunk_idx", "chunk_text", "n_tokens"
+    ).orderBy("doc_id", "chunk_idx")
+
+
 #: ordered merge list for the bpe_encode graded query — includes a chained
 #: merge ('ta'+'b' fires only after 't'+'a') and a merge ('b','l') that the
 #: earlier 'ta b' consumption must starve on "table" (order semantics).
@@ -4024,6 +4062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_filter": clip_filter_q,
         "html_extract": html_extract_q,
         "bpe_encode": bpe_encode_q,
+        "ingest_pipeline": ingest_pipeline_q,
         "mixture_sample": mixture_sample_q,
         "phrase_search": phrase_search_q,
     }
@@ -7014,6 +7053,84 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE rank_in_bucket < (n_bucket // 16) * 16
             GROUP BY n, d, rank_in_bucket // 16
             ORDER BY bucket_n, bucket_d, batch_idx
+        """,
+        # ingest_pipeline: the html_extract body chain composed with the
+        # quality gate, string-keyed first-occurrence dedup, the md5 draw
+        # (0.8 * 2^32 = 3435973836) and the 32/8 chunk arithmetic.
+        "ingest_pipeline": r"""
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || doc_id
+                       || ' &amp; friends</title><script type="text/javascript">var x = 1 < 2;</script></head><body><p>'
+                       || text || '</p><div class="nav">nav ' || (doc_id % 5)
+                       || '</div><!-- hidden --></body></html>' AS html
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                           '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+                           '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g'),
+                           '(?is)<head\b[^>]*>.*?</head\s*>', '', 'g'),
+                           '(?s)<!--.*?-->', '', 'g') AS x
+                FROM h
+            ), s2 AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(x,
+                           '(?is)</?(p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|section|article|header|footer|nav|pre)\b[^>]*>', e'\n', 'g'),
+                           '(?s)<[^>]+>', ' ', 'g') AS x
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id,
+                       replace(replace(replace(replace(replace(replace(x,
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&') AS x
+                FROM s2
+            ), s4 AS (
+                SELECT doc_id,
+                       regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(x,
+                           '[ \t\r\f]+', ' ', 'g'),
+                           ' ?\n ?', e'\n', 'g'),
+                           '\n+', e'\n', 'g')),
+                           '^\n+|\n+$', '', 'g') AS body
+                FROM s3
+            ), gated AS (
+                SELECT doc_id, body FROM s4
+                WHERE len(list_filter(
+                    regexp_split_to_array(lower(body), '[^0-9a-z_]+'),
+                    x -> x <> '')) >= 10
+            ), dedup AS (
+                SELECT doc_id, body FROM (
+                    SELECT doc_id, body,
+                           row_number() OVER (PARTITION BY body
+                                              ORDER BY doc_id) AS rn
+                    FROM gated
+                ) WHERE rn = 1
+            ), samp AS (
+                SELECT doc_id, body FROM dedup
+                WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 8))::BIGINT
+                      < 3435973836
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(body), '[^0-9a-z_]+'),
+                           x -> x <> '') AS w
+                FROM samp
+            ), sized AS (
+                SELECT doc_id, w, len(w) AS n,
+                       CASE WHEN len(w) > 0
+                            THEN 1 + CAST(floor((greatest(len(w) - 32, 0) + 23) / 24)
+                                          AS INT)
+                            ELSE 0 END AS n_chunks
+                FROM toks
+            ), idx AS (
+                SELECT doc_id, w, n, UNNEST(range(0, n_chunks)) AS chunk_idx
+                FROM sized
+            )
+            SELECT doc_id, chunk_idx::INT AS chunk_idx,
+                   array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+                       AS chunk_text,
+                   least(32, n - chunk_idx * 24)::INT AS n_tokens
+            FROM idx ORDER BY doc_id, chunk_idx
         """,
         # bpe_encode: merge chain built programmatically from BPE_MERGES
         # (same list as the query) — see _bpe_encode_sql.
