@@ -125,6 +125,17 @@ def main() -> None:
         "link_predict",
         "sitemap_parse",
         "image_batches",
+        # round 5 fifth wave: fingerprint/phrase family, multimodal prep,
+        # ingest extraction + the end-to-end composition
+        "winnow_fp",
+        "winnow_overlap",
+        "mixture_sample",
+        "phrase_search",
+        "image_patches",
+        "clip_filter",
+        "html_extract",
+        "bpe_encode",
+        "ingest_pipeline",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan
