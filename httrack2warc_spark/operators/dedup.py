@@ -1243,10 +1243,15 @@ def winnow_overlap_pairs(
     ``max_shingle_df`` hot-key cap pattern; per-doc totals n_a/n_b stay
     pre-cap exact).
     """
+    # materialize the distinct fingerprint set once: it feeds the per-doc
+    # totals, the hot-fp cap AND both self-join sides — lazy, each of the
+    # four consumers re-ran tokenize + per-shingle md5 + the window minima
+    # (the simhash_dedup rep-set pattern; measured 3.3 s → ~1.5 s at sf0.1)
     fps = (
         winnow_fingerprints(df, text_col, id_col, shingle_n, window)
         .select(F.col(id_col).alias("__id"), "fp")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = fps.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     joinable = fps
