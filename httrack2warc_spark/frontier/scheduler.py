@@ -236,6 +236,14 @@ class CrawlConfig:
     trap_max_depth: int = 8
     trap_max_repeats: int = 2
     trap_max_params: int = 8
+    # ingest extraction (functions/text.py::html_to_text): when the fetch
+    # contract carries a ``body`` column, fetched page bodies are run
+    # through the pure-Column HTML extraction chain and drained into a
+    # ``pages`` table (url, url_key, seq, round, title, text, n_tokens) on
+    # the same deferred commit wave as images — the crawl's output IS the
+    # documents table, ready for the corpus operators. Robots bodies are
+    # excluded. OFF by default (pure drain; visit order untouched).
+    extract_text: bool = False
     # sitemap ingestion (operators/crawlops.py::sitemap_outlinks): when the
     # fetch contract carries a ``body`` column, <loc> entries of fetched
     # sitemap documents (sitemap*.xml URL, or an XML body opening a
@@ -508,7 +516,8 @@ class FrontierScheduler:
             self._pending = {
                 "new_seen": [], "log": [], "metrics": [], "front_adds": [],
                 "front_removed": [], "new_hosts": [], "images": [],
-                "checks": [], "summary": None, "caches": [], "rounds": [],
+                "checks": [], "pages": [], "summary": None, "caches": [],
+                "rounds": [],
             }
         return self._pending
 
@@ -1239,6 +1248,29 @@ class FrontierScheduler:
             pend["images"].append(drained)
             pend["checks"].append(checked)
 
+        # ---- page-text drain (ingest extraction): fetched HTML bodies →
+        # (title, text, n_tokens) rows on the same deferred commit wave
+        if cfg.extract_text and "body" in fetched.columns:
+            from httrack2warc_spark.functions.text import (
+                html_title,
+                html_to_text,
+                token_count,
+            )
+
+            body_rows = fetched.where(F.col("body").isNotNull())
+            if "__robots" in fetched.columns:
+                # __robots == 0 marks the robots.txt fetch rows
+                body_rows = body_rows.where(F.col("__robots") != 0)
+            pages_rows = body_rows.select(
+                "url",
+                "url_key",
+                "seq",
+                F.lit(round_no).alias("round"),
+                html_title(F.col("body")).alias("title"),
+                html_to_text(F.col("body")).alias("text"),
+            ).withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+            pend["pages"].append(pages_rows)
+
         # caches this window pins until its flush (delta lineages reach into
         # them); the LATEST handoffs (next_frontier / hosts / summary) are
         # excluded — they carry state into the next window
@@ -1623,6 +1655,26 @@ class FrontierScheduler:
             pend["images"].append(drained)
             pend["checks"].append(checked)
 
+        if cfg.extract_text and "body" in fetched_rows.columns:
+            from httrack2warc_spark.functions.text import (
+                html_title,
+                html_to_text,
+                token_count,
+            )
+
+            body_rows = fetched_rows.where(F.col("body").isNotNull())
+            if "__robots" in fetched_rows.columns:
+                body_rows = body_rows.where(F.col("__robots") != 0)
+            pages_rows = body_rows.select(
+                "url",
+                "url_key",
+                "seq",
+                lvl_round.alias("round"),
+                html_title(F.col("body")).alias("title"),
+                html_to_text(F.col("body")).alias("text"),
+            ).withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+            pend["pages"].append(pages_rows)
+
         merge_now = cfg.use_summaries and (
             cfg.summary_every <= 1
             or any(
@@ -1752,6 +1804,9 @@ class FrontierScheduler:
                 lambda: self.catalog.append("images_fetched", img_all)
             )
             commits.append(lambda: self.catalog.append("image_checks", chk_all))
+        if pend["pages"]:
+            pages_all = _union(pend["pages"])
+            commits.append(lambda: self.catalog.append("pages", pages_all))
 
         covered = getattr(self, "_summary_covered_round", 0)
         caches = pend["caches"]

@@ -559,3 +559,52 @@ def test_round_capacity_identity_when_loose(spark, tmp_path):
         CrawlConfig(num_parts=8, max_rounds=10, round_capacity=1000),
     )
     assert urls == GOLDEN_VISIT_ORDER
+
+
+def test_extract_text_pages_drain(spark, tmp_path):
+    """cfg.extract_text: fetched HTML bodies run through the html_to_text
+    chain and land in the `pages` table on the commit wave — robots bodies
+    excluded, visit order untouched (pure drain)."""
+    from pyspark.sql import functions as F
+
+    from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler
+    from httrack2warc_spark.frontier.synth import SyntheticWeb
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    host = "ext.example.org"
+    page_html = ("<html><head><title>Front &amp; Center</title>"
+                 "<script>var x = 1 < 2;</script></head>"
+                 "<body><p>hello world</p><div>from page one</div></body></html>")
+    robots_body = "User-agent: *\nDisallow:\n"
+    pages = spark.createDataFrame(
+        [(f"{host}/robots.txt", 200, "text/plain", len(robots_body), "r", None,
+          robots_body),
+         (f"{host}/", 200, "text/html", len(page_html), "f", None, page_html),
+         (f"{host}/page/1", 200, "text/html", 40, "g", None,
+          "<body><p>second page text here</p></body>")],
+        "url_key string, status int, mime string, size long, localfile string, "
+        "image_id string, body string",
+    )
+    links = spark.createDataFrame(
+        [(f"{host}/", 0, f"http://{host}/page/1")],
+        "src_key string, link_idx int, dst_url string",
+    )
+    web = SyntheticWeb(pages, links, broadcast_pages=True)
+    cat = TableCatalog(spark, str(tmp_path / "ext"))
+    sched = FrontierScheduler(
+        spark, cat, web,
+        CrawlConfig(num_parts=4, max_rounds=4, extract_text=True),
+    )
+    log = sched.run(seeds=[f"http://{host}/"])
+    got = {r.url_key: (r.title, r.text, r.n_tokens)
+           for r in cat.read("pages").collect()}
+    assert got[f"{host}/"] == ("Front & Center", "hello world\nfrom page one", 5)
+    assert got[f"{host}/page/1"] == ("", "second page text here", 4)
+    assert f"{host}/robots.txt" not in got          # robots bodies excluded
+    # pure drain: the visit order matches the same crawl without the gate
+    cat2 = TableCatalog(spark, str(tmp_path / "ext2"))
+    log2 = FrontierScheduler(
+        spark, cat2, web, CrawlConfig(num_parts=4, max_rounds=4),
+    ).run(seeds=[f"http://{host}/"])
+    assert [(r.seq, r.url) for r in log.orderBy("seq").collect()] == \
+           [(r.seq, r.url) for r in log2.orderBy("seq").collect()]
