@@ -1250,26 +1250,7 @@ class FrontierScheduler:
 
         # ---- page-text drain (ingest extraction): fetched HTML bodies →
         # (title, text, n_tokens) rows on the same deferred commit wave
-        if cfg.extract_text and "body" in fetched.columns:
-            from httrack2warc_spark.functions.text import (
-                html_title,
-                html_to_text,
-                token_count,
-            )
-
-            body_rows = fetched.where(F.col("body").isNotNull())
-            if "__robots" in fetched.columns:
-                # __robots == 0 marks the robots.txt fetch rows
-                body_rows = body_rows.where(F.col("__robots") != 0)
-            pages_rows = body_rows.select(
-                "url",
-                "url_key",
-                "seq",
-                F.lit(round_no).alias("round"),
-                html_title(F.col("body")).alias("title"),
-                html_to_text(F.col("body")).alias("text"),
-            ).withColumn("n_tokens", token_count(F.col("text")).cast("long"))
-            pend["pages"].append(pages_rows)
+        self._drain_pages(fetched, F.lit(round_no), pend)
 
         # caches this window pins until its flush (delta lineages reach into
         # them); the LATEST handoffs (next_frontier / hosts / summary) are
@@ -1286,6 +1267,46 @@ class FrontierScheduler:
         if (round_no + 1) % max(cfg.commit_every, 1) == 0:
             self._force_flush()
         return n_fetched, next_seq
+
+    # ---------------------------------------------------------- pages drain
+    def _drain_pages(self, src, round_col, pend) -> None:
+        """cfg.extract_text: run fetched HTML bodies through the pure-Column
+        extraction chain and stage (url, url_key, seq, round, title, text,
+        n_tokens) rows for the ``pages`` table on the pending commit wave.
+        ONE implementation for both the per-round and level-block paths —
+        the two drains must stay column-identical (catalog.read unions
+        filesets with the first-inspected schema). No-op unless the fetch
+        contract carries a ``body`` column; robots bodies excluded.
+
+        Known cost: ``n_tokens`` shares the extraction chain with ``text``
+        in one Project and Spark does not fully subexpression-eliminate it
+        (measured +62% over text-only at sf0.1) — accepted for the opt-in
+        drain; a consumer that prefers can drop the column and recompute
+        token_count over the committed rows in one cheap stored-text pass."""
+        if not self.cfg.extract_text or "body" not in src.columns:
+            return
+        from httrack2warc_spark.functions.text import (
+            html_title,
+            html_to_text,
+            token_count,
+        )
+
+        body_rows = src.where(F.col("body").isNotNull())
+        if "__robots" in src.columns:
+            # __robots == 0 marks the robots.txt fetch rows
+            body_rows = body_rows.where(F.col("__robots") != 0)
+        text = html_to_text(F.col("body"))
+        pend["pages"].append(
+            body_rows.select(
+                "url",
+                "url_key",
+                "seq",
+                round_col.alias("round"),
+                html_title(F.col("body")).alias("title"),
+                text.alias("text"),
+                token_count(text).cast("long").alias("n_tokens"),
+            )
+        )
 
     # ------------------------------------------------------------- level block
     def _block_eligible(self, n_frontier: int) -> bool:
@@ -1502,6 +1523,12 @@ class FrontierScheduler:
 
         # ---- the ONE foreground materialization --------------------------
         fetch_cols = ["seq", "status", "mime", "size", "localfile", "image_id"]
+        if cfg.extract_text and "body" in fetched_levels[0].columns:
+            # page bodies must survive the block materialization or the
+            # pages drain below sees no body column and silently drains
+            # nothing for every fused round (the per-round path would) —
+            # the memory cost of carrying them is the price of extraction
+            fetch_cols.append("body")
         fdtypes = dict(fetched_levels[0].dtypes)
         parts = [
             f.select(*frontier_cols, "__robots", *fetch_cols)
@@ -1655,25 +1682,7 @@ class FrontierScheduler:
             pend["images"].append(drained)
             pend["checks"].append(checked)
 
-        if cfg.extract_text and "body" in fetched_rows.columns:
-            from httrack2warc_spark.functions.text import (
-                html_title,
-                html_to_text,
-                token_count,
-            )
-
-            body_rows = fetched_rows.where(F.col("body").isNotNull())
-            if "__robots" in fetched_rows.columns:
-                body_rows = body_rows.where(F.col("__robots") != 0)
-            pages_rows = body_rows.select(
-                "url",
-                "url_key",
-                "seq",
-                lvl_round.alias("round"),
-                html_title(F.col("body")).alias("title"),
-                html_to_text(F.col("body")).alias("text"),
-            ).withColumn("n_tokens", token_count(F.col("text")).cast("long"))
-            pend["pages"].append(pages_rows)
+        self._drain_pages(fetched_rows, lvl_round, pend)
 
         merge_now = cfg.use_summaries and (
             cfg.summary_every <= 1

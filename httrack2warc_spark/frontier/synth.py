@@ -282,7 +282,13 @@ def generate_images(
                 if expected_patch is not None:
                     p_ = expected_patch
                     gh, gw = recon.shape[0] // p_, recon.shape[1] // p_
-                    grid = recon[: gh * p_, : gw * p_, :].astype(np.float64)
+                    # CENTER crop — must mirror patchify_images' offset rule
+                    # exactly or the value oracle checks the wrong pixels
+                    # for any dims that aren't multiples of the patch size
+                    oy = (recon.shape[0] - gh * p_) // 2
+                    ox = (recon.shape[1] - gw * p_) // 2
+                    grid = recon[oy: oy + gh * p_, ox: ox + gw * p_, :] \
+                        .astype(np.float64)
                     sums = grid.reshape(gh, p_, gw, p_, 3).sum(axis=(1, 3, 4))
                     row = row + ((sums / float(p_ * p_ * 3)).reshape(-1).tolist(),)
                 rows.append(row)

@@ -537,7 +537,12 @@ def patchify_images(images: DataFrame, patch: int = 8) -> DataFrame:
                                 (r.image_id, pr, pc, float(tile.mean()),
                                  float(tile.std()), True)
                             )
-                except NotImplementedError:
+                except Exception:
+                    # quarantine EVERY decode failure, not just the
+                    # missing-codec NotImplementedError: corrupt payloads
+                    # raise ValueError/struct.error/zlib.error from the
+                    # builtin codecs and UnidentifiedImageError from PIL —
+                    # a bad row must never kill the task
                     rows.append((r.image_id, -1, -1, None, None, False))
             yield pd.DataFrame(
                 rows,

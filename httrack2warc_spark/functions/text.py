@@ -138,6 +138,20 @@ _HTML_BLOCK_TAGS = (
     "header|footer|nav|pre"
 )
 
+#: ordered entity decode — &amp; LAST so '&amp;lt;' decodes once, to '&lt;'
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def _decode_entities(col: Column) -> Column:
+    """The ONE entity chain both html_to_text and html_title apply — body
+    and title decoding (and their SQL oracle replicas) must never drift."""
+    for ent, rep in _HTML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return col
+
 
 def html_to_text(col: Column) -> Column:
     """Main-content text from an HTML payload — the step between fetched
@@ -155,9 +169,7 @@ def html_to_text(col: Column) -> Column:
         x, r"(?is)</?(" + _HTML_BLOCK_TAGS + r")\b[^>]*>", "\n"
     )
     x = F.regexp_replace(x, r"(?s)<[^>]+>", " ")
-    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
-        x = F.replace(x, F.lit(ent), F.lit(rep))
+    x = _decode_entities(x)
     x = F.regexp_replace(x, r"[ \t\r\f]+", " ")
     x = F.regexp_replace(x, r" ?\n ?", "\n")
     x = F.regexp_replace(x, r"\n+", "\n")
@@ -169,7 +181,6 @@ def html_title(col: Column) -> Column:
     """<title> text (first occurrence), entity-decoded and
     whitespace-collapsed with the same chain as ``html_to_text``."""
     t = F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
-    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
-        t = F.replace(t, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.trim(
+        F.regexp_replace(_decode_entities(t), r"\s+", " ")
+    )

@@ -673,7 +673,11 @@ def cosine_pair_filter(
     row — no UDF, no shuffle, no join; in a real multimodal table both
     embeddings live in the SAME row (the input_hint shape extended with an
     embedding pair), so the 100 TB gate is one codegen'd scan that never
-    touches the image bytes column.
+    touches the image bytes column. Known cost: the pushed-down Filter
+    re-evaluates the cosine tree (FilterExec does no subexpression
+    elimination — the build-notes 8.6× hazard), so the gate pays ≤2× the
+    dot product per row; still scan-bound and branch-free, and the
+    alternative (materializing the score as data) costs a full exchange.
     """
     cos = F.round(cosine(F.col(a_col), F.col(b_col)), round_digits)
     return pairs.withColumn(out_col, cos).where(

@@ -608,3 +608,45 @@ def test_extract_text_pages_drain(spark, tmp_path):
     ).run(seeds=[f"http://{host}/"])
     assert [(r.seq, r.url) for r in log.orderBy("seq").collect()] == \
            [(r.seq, r.url) for r in log2.orderBy("seq").collect()]
+
+
+def test_extract_text_pages_drain_block_path(spark, tmp_path):
+    """The level-block path must drain pages too: bodies survive the block
+    materialization (fetch_cols carries `body` when extract_text is on) and
+    every fused round's pages land — identical rows to the per-round path."""
+    from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler
+    from httrack2warc_spark.frontier.synth import SyntheticWeb
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    host = "blk.example.org"
+    def body(n):
+        return f"<body><p>page {n} text body here</p></body>"
+    pages = spark.createDataFrame(
+        [(f"{host}/", 200, "text/html", 30, "a", None, body(0)),
+         (f"{host}/p/1", 200, "text/html", 30, "b", None, body(1)),
+         (f"{host}/p/2", 200, "text/html", 30, "c", None, body(2)),
+         (f"{host}/p/3", 200, "text/html", 30, "d", None, body(3))],
+        "url_key string, status int, mime string, size long, localfile string, "
+        "image_id string, body string",
+    )
+    links = spark.createDataFrame(
+        [(f"{host}/", 0, f"http://{host}/p/1"),
+         (f"{host}/p/1", 0, f"http://{host}/p/2"),
+         (f"{host}/p/2", 0, f"http://{host}/p/3")],
+        "src_key string, link_idx int, dst_url string",
+    )
+    web = SyntheticWeb(pages, links, broadcast_pages=True)
+    cfg = CrawlConfig(num_parts=4, max_rounds=6, fetch_robots=False,
+                      batch_levels=3, extract_text=True)
+    cat = TableCatalog(spark, str(tmp_path / "blk"))
+    sched = FrontierScheduler(spark, cat, web, cfg)
+    sched.run(seeds=[f"http://{host}/"])
+    assert sched.block_rounds                 # blocks actually engaged
+    got = {r.url_key: (r.text, r.n_tokens)
+           for r in cat.read("pages").collect()}
+    assert got == {
+        f"{host}/": ("page 0 text body here", 5),
+        f"{host}/p/1": ("page 1 text body here", 5),
+        f"{host}/p/2": ("page 2 text body here", 5),
+        f"{host}/p/3": ("page 3 text body here", 5),
+    }
