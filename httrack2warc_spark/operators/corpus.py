@@ -1049,9 +1049,11 @@ def mixture_sample(
     share p_d, the retention-maximal solution keeps domain d at rate
     C * p_d / n_d where C = min_d(n_d / p_d) — the binding domain is kept
     whole and every other domain is thinned to match. Domains not in
-    ``targets`` are dropped. Membership is the md5 draw (pure function of
-    (id, seed)), so the sample is stable across engines, partitionings and
-    corpus growth.
+    ``targets`` are dropped; a target domain with ZERO rows simply never
+    appears (C minimizes over present domains only — the asked mixture is
+    unachievable and the others are kept at their max rather than emptied).
+    Membership is the md5 draw (pure function of (id, seed)), so the
+    sample is stable across engines, partitionings and corpus growth.
 
     Cross-engine determinism: C, the rates and the 2^32-scaled thresholds
     are fixed-shape IEEE expressions over per-domain BIGINT counts and
