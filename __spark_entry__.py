@@ -3682,6 +3682,41 @@ def image_patches_q(spark, sf_dir):
     )
 
 
+def incremental_dedup_q(spark, sf_dir):
+    """Cross-set incremental dedup — which documents of a NEW batch
+    near-duplicate the kept REFERENCE corpus: a fifth of the new batch
+    repeats a reference text verbatim (J = 1), a fifth appends one token
+    (J just under 1), the rest reverse their word order (3-gram Jaccard
+    collapses). Exact-recall parameterization (32 bands × 1 row: per-pair
+    miss ≤ 2^-32 at J ≥ 0.5) + exact Jaccard verify ⇒ the result equals
+    all-pairs CROSS Jaccard ≥ 0.5, which the oracle computes directly.
+    Returns every (new_id, ref_id, jaccard) pair rounded to 6."""
+    from httrack2warc_spark.functions.text import word_tokens
+    from httrack2warc_spark.operators.dedup import minhash_cross_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.select("doc_id", "text")
+    new = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.col("text"), F.lit(" extra trailing token")),
+        )
+        .otherwise(
+            F.concat_ws(" ", F.reverse(word_tokens(F.col("text"))))
+        )
+        .alias("text"),
+    )
+    pairs = minhash_cross_pairs(
+        new, ref, "text", "doc_id",
+        num_hashes=32, bands=32, rows_per_band=1, threshold=0.5,
+    )
+    return pairs.select(
+        "new_id", "ref_id", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("new_id", "ref_id")
+
+
 def ingest_pipeline_q(spark, sf_dir):
     """End-to-end web-ingest composition — the full path from fetched HTML
     to training chunks, each stage an already-value-checked operator:
@@ -4065,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": html_extract_q,
         "bpe_encode": bpe_encode_q,
         "ingest_pipeline": ingest_pipeline_q,
+        "incremental_dedup": incremental_dedup_q,
         "mixture_sample": mixture_sample_q,
         "phrase_search": phrase_search_q,
     }
@@ -7055,6 +7091,63 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE rank_in_bucket < (n_bucket // 16) * 16
             GROUP BY n, d, rank_in_bucket // 16
             ORDER BY bucket_n, bucket_d, batch_idx
+        """,
+        # incremental_dedup: all-pairs CROSS Jaccard >= 0.5 between the
+        # reconstructed new batch and the reference (3-word shingles,
+        # same tokenization twin as ngram_jaccard).
+        "incremental_dedup": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               trim(regexp_replace(lower(text), '[^\w\s]+', ' ', 'g')),
+                               '\s+'),
+                           x -> x <> '') AS w0,
+                       text
+                FROM documents
+            ), newdocs AS (
+                SELECT doc_id + 100000 AS doc_id,
+                       CASE
+                           WHEN doc_id % 5 = 0 THEN text
+                           WHEN doc_id % 5 = 1 THEN text || ' extra trailing token'
+                           ELSE array_to_string(list_reverse(
+                               list_filter(
+                                   regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                   x -> x <> '')), ' ')
+                       END AS text
+                FROM documents
+            ), tn AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               trim(regexp_replace(lower(text), '[^\w\s]+', ' ', 'g')),
+                               '\s+'),
+                           x -> x <> '') AS w
+                FROM newdocs
+            ), shn AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM tn, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+                WHERE len(w) >= 3
+            ), shr AS (
+                SELECT DISTINCT doc_id, w0[i] || ' ' || w0[i+1] || ' ' || w0[i+2] AS s
+                FROM base, UNNEST(generate_series(1, greatest(len(w0) - 2, 0))) AS t(i)
+                WHERE len(w0) >= 3
+            ), szn AS (
+                SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id
+            ), szr AS (
+                SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS new_id, y.doc_id AS ref_id, count(*) AS i
+                FROM shn x JOIN shr y ON x.s = y.s
+                GROUP BY 1, 2
+            )
+            SELECT new_id, ref_id,
+                   round(i::DOUBLE / (a.n + b.n - i), 6) AS jaccard
+            FROM inter
+            JOIN szn a ON a.doc_id = new_id
+            JOIN szr b ON b.doc_id = ref_id
+            WHERE i::DOUBLE / (a.n + b.n - i) >= 0.5
+            ORDER BY new_id, ref_id
         """,
         # ingest_pipeline: the html_extract body chain composed with the
         # quality gate, string-keyed first-occurrence dedup, the md5 draw

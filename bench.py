@@ -136,6 +136,7 @@ def main() -> None:
         "html_extract",
         "bpe_encode",
         "ingest_pipeline",
+        "incremental_dedup",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

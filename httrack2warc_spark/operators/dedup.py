@@ -40,6 +40,8 @@ __all__ = [
     "dedup_by_components",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "minhash_cross_pairs",
+    "incremental_dedup",
 ]
 
 # ---------------------------------------------------------------------------
@@ -1279,3 +1281,129 @@ def winnow_overlap_pairs(
                            F.col("__n").alias("n_b")), "b")
         .select("a", "b", "n_shared", "n_a", "n_b")
     )
+
+
+def minhash_cross_pairs(
+    new: DataFrame,
+    ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-set near-dup pairs — the INCREMENTAL dedup primitive: which
+    documents of a new crawl batch near-duplicate the already-kept
+    reference corpus? Same MinHash family and banding as
+    ``minhash_lsh_dedup``, but candidates come from shared (band, bucket)
+    keys BETWEEN the two sets (never within either side — within-batch
+    dedup is a separate, cheaper within-set pass), then exact Jaccard over
+    the distinct shingle sets verifies. Returns (new_id, ref_id, jaccard).
+
+    With the exact-recall parameterization (bands = num_hashes,
+    rows_per_band = 1 — per-pair miss probability ≤ (1−t)^bands), the
+    result equals all-pairs CROSS Jaccard ≥ threshold, which is what lets
+    a SQL oracle value-check it.
+
+    Scale: each side tokenizes/hashes ONCE (eager localCheckpoint — sets
+    + signatures materialize together, the minhash_lsh_dedup rationale);
+    band rows from both sides share one explicit (band, bucket)
+    repartition — the cap window and BOTH join inputs reuse that single
+    exchange (the capacity-path split-after-repartition pattern).
+    ``max_bucket_size`` caps the COMBINED bucket population before the
+    join: the blowup is |bucket_new|·|bucket_ref| pairs, so the cap must
+    see both sides.
+    """
+    def prep(df: DataFrame, out_id: str, out_set: str) -> DataFrame:
+        base = _with_shingle_hashes(
+            _full_width_repartition(df), text_col, shingle_n
+        ).withColumn("__set", F.array_distinct("__h"))
+        return (
+            base.withColumn(
+                "minhash", _minhash_sig_expr(F.col("__set"), num_hashes)
+            )
+            .select(
+                F.col(id_col).alias(out_id),
+                F.col("__set").alias(out_set),
+                "minhash",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    nb = prep(new, "new_id", "set_n")
+    rb = prep(ref, "ref_id", "set_r")
+
+    def bandify(base: DataFrame, idc: str, tag: int) -> DataFrame:
+        return base.select(
+            F.col(idc).alias("__id"),
+            F.lit(tag).alias("__side"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[
+                                F.element_at(
+                                    F.col("minhash"), b * rows_per_band + r + 1
+                                )
+                                for r in range(rows_per_band)
+                            ]
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    both = _full_width_repartition(
+        bandify(nb, "new_id", 0).unionByName(bandify(rb, "ref_id", 1)),
+        "band", "bucket",
+    )
+    if max_bucket_size is not None:
+        wc = Window.partitionBy("band", "bucket")
+        both = (
+            both.withColumn("__n", F.count("*").over(wc))
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    lhs = both.where(F.col("__side") == 0).select(
+        F.col("__id").alias("new_id"), "band", "bucket"
+    )
+    rhs = both.where(F.col("__side") == 1).select(
+        F.col("__id").alias("ref_id"), "band", "bucket"
+    )
+    cand = lhs.join(rhs, ["band", "bucket"]).select("new_id", "ref_id")
+    inter = F.size(F.array_intersect("set_n", "set_r")).cast("double")
+    union = F.size("set_n") + F.size("set_r") - inter
+    return (
+        cand.join(nb.select("new_id", "set_n"), "new_id")
+        .join(rb.select("ref_id", "set_r"), "ref_id")
+        .where(
+            F.least(F.size("set_n"), F.size("set_r"))
+            >= threshold * F.greatest(F.size("set_n"), F.size("set_r"))
+        )
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "ref_id", "jaccard")
+        .distinct()
+    )
+
+
+def incremental_dedup(
+    new: DataFrame,
+    ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Keep only the new-batch rows that near-duplicate NOTHING in the
+    reference corpus (one left_anti on the flagged id set) — the policy
+    wrapper over ``minhash_cross_pairs``; kwargs pass through."""
+    flagged = (
+        minhash_cross_pairs(new, ref, text_col, id_col, **kwargs)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new.join(flagged, id_col, "left_anti")

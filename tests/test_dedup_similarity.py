@@ -943,3 +943,52 @@ def test_cosine_pair_filter_gate_and_rounding(spark):
     )
     kept = cosine_pair_filter(df2, "a", "b", threshold=0.5).collect()
     assert len(kept) == 1 and kept[0].cos_sim_r == 0.5
+
+
+def test_minhash_cross_pairs_matches_brute_force(spark):
+    """Cross-set candidates + exact verify == all-pairs cross Jaccard under
+    the exact-recall parameterization; the bucket cap sees BOTH sides."""
+    import itertools
+    import re
+
+    from httrack2warc_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_cross_pairs,
+    )
+
+    def para(i):
+        return " ".join(f"w{(i * 31 + k * 7) % 40}" for k in range(14))
+
+    ref = spark.createDataFrame(
+        [(i, para(i)) for i in range(30)], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, para(i) if i % 3 == 0 else para(i) + " tailword")
+         for i in range(30)],
+        "id long, text string",
+    )
+    pairs = minhash_cross_pairs(
+        new, ref, "text", "id",
+        num_hashes=32, bands=32, rows_per_band=1, threshold=0.5,
+    )
+    got = {(r.new_id, r.ref_id): round(r.jaccard, 6) for r in pairs.collect()}
+
+    def sh(t, n=3):
+        w = [x for x in re.split(r"\s+", t.lower().strip()) if x]
+        return set(" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
+
+    exp = {}
+    for i, j in itertools.product(range(30), range(30)):
+        a, b = sh(para(i) if i % 3 == 0 else para(i) + " tailword"), sh(para(j))
+        jac = len(a & b) / len(a | b)
+        if jac >= 0.5:
+            exp[(100 + i, j)] = round(jac, 6)
+    assert got == exp
+    # never within-set: new ids only on the left, ref ids only on the right
+    assert all(a >= 100 and b < 100 for a, b in got)
+    # policy wrapper drops exactly the flagged new ids
+    kept = {r.id for r in incremental_dedup(
+        new, ref, "text", "id",
+        num_hashes=32, bands=32, rows_per_band=1, threshold=0.5,
+    ).collect()}
+    assert kept == {100 + i for i in range(30)} - {a for a, _ in exp}
