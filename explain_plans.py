@@ -285,6 +285,14 @@ def main() -> None:
         ("html_extract", "ONE codegen Project runs the whole regexp "
          "chain (script/head strip → block newlines → entities → "
          "whitespace) — no UDF, no shuffle except the oracle orderBy"),
+        ("ingest_pipeline", "five stages fuse into one plan: extraction "
+         "Project → gate Filter → body-key window dedup (one exchange) → "
+         "md5-draw Filter → chunk Generate — no stage materializes "
+         "between them"),
+        ("incremental_dedup", "both checkpointed band streams share one "
+         "explicit (band,bucket) repartition reused by the cap window "
+         "and BOTH cross-join inputs; verify joins read the checkpointed "
+         "sets — no re-tokenize anywhere in the plan"),
     ]:
         sections.append((name, expect, grab(qs[name](spark, sf_dir))))
 
