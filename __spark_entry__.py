@@ -3682,6 +3682,20 @@ def image_patches_q(spark, sf_dir):
     )
 
 
+def epoch_shuffle_q(spark, sf_dir):
+    """Deterministic training-epoch permutation: dense global rank in md5
+    draw order over (doc_id, seed, epoch), stamped via the RANGED
+    global-sequence primitive (range exchange + per-partition row_number +
+    offset map — never a single-partition window). The value hash pins the
+    whole permutation — any partitioning drift, draw drift or off-by-one
+    in the ranged offsets flips it."""
+    from httrack2warc_spark.operators.corpus import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = epoch_shuffle(docs, "doc_id", epoch=2, seed=9, mode="ranged")
+    return out.select("rank", "doc_id").orderBy("rank")
+
+
 def incremental_dedup_q(spark, sf_dir):
     """Cross-set incremental dedup — which documents of a NEW batch
     near-duplicate the kept REFERENCE corpus: a fifth of the new batch
@@ -4101,6 +4115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": bpe_encode_q,
         "ingest_pipeline": ingest_pipeline_q,
         "incremental_dedup": incremental_dedup_q,
+        "epoch_shuffle": epoch_shuffle_q,
         "mixture_sample": mixture_sample_q,
         "phrase_search": phrase_search_q,
     }
@@ -7091,6 +7106,16 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE rank_in_bucket < (n_bucket // 16) * 16
             GROUP BY n, d, rank_in_bucket // 16
             ORDER BY bucket_n, bucket_d, batch_idx
+        """,
+        # epoch_shuffle: the permutation replayed as one global
+        # row_number over the same md5 draw key.
+        "epoch_shuffle": """
+            SELECT row_number() OVER (
+                       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':e2:9'), 1, 8))::BIGINT,
+                                doc_id) - 1 AS rank,
+                   doc_id
+            FROM documents
+            ORDER BY rank
         """,
         # incremental_dedup: all-pairs CROSS Jaccard >= 0.5 between the
         # reconstructed new batch and the reference (3-word shingles,

@@ -137,6 +137,7 @@ def main() -> None:
         "bpe_encode",
         "ingest_pipeline",
         "incremental_dedup",
+        "epoch_shuffle",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

@@ -35,6 +35,7 @@ __all__ = [
     "dedup_paragraphs",
     "deterministic_sample",
     "dsir_weights",
+    "epoch_shuffle",
     "hashed_classifier_score",
     "bpe_pair_counts",
     "bpe_encode",
@@ -1206,3 +1207,38 @@ def bpe_encode(
         F.concat_ws(" / ", encoded).alias("seg"),
         n.cast("long").alias("n_tokens"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    seed: int = 42,
+    out_col: str = "rank",
+    mode: str = "ranged",
+) -> DataFrame:
+    """Deterministic training-epoch permutation — the dataloader shuffle,
+    computed once as data: every row gets a dense global ``out_col`` rank
+    (0, 1, …) in the order of its md5 draw over (id, seed, epoch). Each
+    epoch is an independent permutation; re-running any epoch on any
+    cluster/partitioning reproduces it bit-for-bit (df.orderBy(rand()) is
+    per-partition-seeded and neither stable nor resumable).
+
+    Scale: the draw is one codegen'd Project; the dense rank uses the
+    RANGED global-sequence primitive (``with_global_seq``) — range
+    exchange on the draw + per-partition row_number + a collected
+    per-partition offset map — never a single-partition global window.
+    ``mode="single"`` is the small-input shortcut.
+    """
+    draw = _md5_uniform(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":e{epoch}")), seed
+    )
+    from httrack2warc_spark.operators.sequence import with_global_seq
+
+    return with_global_seq(
+        df.withColumn("__draw", draw),
+        order=[F.col("__draw"), F.col(id_col)],
+        start=0,
+        out_col=out_col,
+        mode=mode,
+    ).drop("__draw")

@@ -653,3 +653,26 @@ def test_bpe_encode_order_and_double_pass(spark):
     out3 = {r.id: r.seg for r in bpe_encode(
         docs2, "text", "id", [("a", "b"), ("b", "aa")]).collect()}
     assert out3[6] == "ab a a"          # (b,aa) must not match inside 'ab'
+
+
+def test_epoch_shuffle_permutation_properties(spark):
+    from httrack2warc_spark.operators.corpus import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    e1 = {r.id: r.rank for r in epoch_shuffle(df, "id", 1, seed=5).collect()}
+    # dense permutation: ranks are exactly 0..n-1
+    assert sorted(e1.values()) == list(range(500))
+    # stable across runs and modes (ranged == single)
+    e1b = {r.id: r.rank for r in epoch_shuffle(
+        df, "id", 1, seed=5, mode="single").collect()}
+    assert e1 == e1b
+    # different epochs are different permutations of the same ids
+    e2 = {r.id: r.rank for r in epoch_shuffle(df, "id", 2, seed=5).collect()}
+    assert e1 != e2 and sorted(e2.values()) == list(range(500))
+    # exact md5 replay
+    import hashlib
+    draws = sorted(
+        (int(hashlib.md5(f"{i}:e1:5".encode()).hexdigest()[:8], 16), i)
+        for i in range(500)
+    )
+    assert {i: r for r, (_, i) in enumerate(draws)} == e1
