@@ -3682,6 +3682,33 @@ def image_patches_q(spark, sf_dir):
     )
 
 
+def blocklist_filter_q(spark, sf_dir):
+    """Domain-hierarchy blocklist gate: synthetic hosts
+    sub{id%7}.site{id%11}.com are filtered against a blocklist that names
+    one registrable domain (site3.com — must block every subdomain), one
+    exact deep host (sub2.site5.com — must block only that subdomain) and
+    one miss (site99.com). Suffix-explode + equi-join, never an endswith
+    nested loop. The value hash pins the suffix chain and the hierarchy
+    semantics."""
+    from httrack2warc_spark.operators.crawlops import domain_blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("sub"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".site"), (F.col("doc_id") % 11).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+    )
+    rules = spark.createDataFrame(
+        [("site3.com",), ("sub2.site5.com",), ("site99.com",)],
+        "domain string",
+    )
+    out = domain_blocklist_filter(hosts, "host", rules)
+    return out.select("doc_id", "host").orderBy("doc_id")
+
+
 def epoch_shuffle_q(spark, sf_dir):
     """Deterministic training-epoch permutation: dense global rank in md5
     draw order over (doc_id, seed, epoch), stamped via the RANGED
@@ -4116,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_pipeline": ingest_pipeline_q,
         "incremental_dedup": incremental_dedup_q,
         "epoch_shuffle": epoch_shuffle_q,
+        "blocklist_filter": blocklist_filter_q,
         "mixture_sample": mixture_sample_q,
         "phrase_search": phrase_search_q,
     }
@@ -7106,6 +7134,27 @@ def _oracle_sqls() -> dict[str, str]:
             WHERE rank_in_bucket < (n_bucket // 16) * 16
             GROUP BY n, d, rank_in_bucket // 16
             ORDER BY bucket_n, bucket_d, batch_idx
+        """,
+        # blocklist_filter: hierarchy semantics replayed — kept iff NO
+        # suffix of the host appears in the rule list.
+        "blocklist_filter": r"""
+            WITH hosts AS (
+                SELECT doc_id,
+                       'sub' || (doc_id % 7) || '.site' || (doc_id % 11) || '.com' AS host
+                FROM documents
+            ), sfx AS (
+                SELECT doc_id, host,
+                       array_to_string(w[i:len(w)], '.') AS s
+                FROM (SELECT doc_id, host, string_split(host, '.') AS w FROM hosts),
+                     UNNEST(generate_series(1, len(w))) AS t(i)
+            )
+            SELECT doc_id, host
+            FROM hosts
+            WHERE doc_id NOT IN (
+                SELECT doc_id FROM sfx
+                WHERE s IN ('site3.com', 'sub2.site5.com', 'site99.com')
+            )
+            ORDER BY doc_id
         """,
         # epoch_shuffle: the permutation replayed as one global
         # row_number over the same md5 draw key.

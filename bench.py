@@ -138,6 +138,7 @@ def main() -> None:
         "ingest_pipeline",
         "incremental_dedup",
         "epoch_shuffle",
+        "blocklist_filter",
     ]
 
     # warm the JVM/IO once (scan metadata, codegen) so timings measure the plan

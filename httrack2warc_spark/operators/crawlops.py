@@ -41,6 +41,8 @@ from pyspark.sql import functions as F
 from httrack2warc_spark.operators.dedup import md5_prefix_long
 
 __all__ = [
+    "host_suffixes",
+    "domain_blocklist_filter",
     "canonicalize_query_col",
     "trap_signals",
     "retry_schedule",
@@ -389,3 +391,53 @@ def pack_image_batches(
             < F.expr(f"(__n DIV {int(batch_size)}) * {int(batch_size)}")
         )
     return out.drop("__seq", "__min", "__n")
+
+
+def host_suffixes(host: Column) -> Column:
+    """array<string> of a host's registrable-suffix chain, most-specific
+    first: ``a.b.example.com`` → [a.b.example.com, b.example.com,
+    example.com, com]. The per-element slice references the split array
+    (cheap: hosts are ≤ ~6 labels — the CollapseProject re-eval costs
+    O(labels²) on a tiny tree, unlike the shingle case)."""
+    parts = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.concat_ws(".", F.slice(parts, i, F.size(parts))),
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    host_col: str,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+    keep: bool = False,
+) -> DataFrame:
+    """Domain-hierarchy blocklist gate — the SafeBrowsing/ad-list style
+    crawler filter regex exclusions don't express: a listed ``domain``
+    blocks the exact host AND every subdomain (``example.com`` blocks
+    ``a.b.example.com``), nothing else (``notexample.com`` stays). With
+    ``keep=True`` the list is an ALLOWLIST (only matching hosts survive).
+
+    Scale: each row explodes to its ≤ ~6 host suffixes and equi-joins the
+    (broadcast) blocklist on the suffix string — never a LIKE/endswith
+    cross join, which would be a BroadcastNestedLoopJoin over |rules|
+    comparisons per row. Flagged ids come back through one left_anti
+    (or left_semi) on the row's own id-free key: the host itself, so the
+    gate composes as a plain column filter with no id contract.
+    """
+    suffixes = df.select(F.col(host_col).alias("__h")).distinct().select(
+        "__h", F.explode(host_suffixes(F.col("__h"))).alias("__sfx")
+    )
+    hit_hosts = (
+        suffixes.join(
+            F.broadcast(blocklist.select(F.col(domain_col).alias("__sfx"))),
+            "__sfx",
+        )
+        .select("__h")
+        .distinct()
+    )
+    how = "left_semi" if keep else "left_anti"
+    return df.join(
+        hit_hosts.select(F.col("__h").alias(host_col)), host_col, how
+    )

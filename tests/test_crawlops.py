@@ -423,3 +423,32 @@ def test_pack_image_batches_exact(spark):
     assert kept == [f"i{i:02d}" for i in range(6)] + ["j00", "j01", "j02"]
     for c in caches:
         c.unpersist()
+
+
+def test_domain_blocklist_hierarchy(spark):
+    from pyspark.sql import functions as F
+
+    from httrack2warc_spark.operators.crawlops import (
+        domain_blocklist_filter,
+        host_suffixes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a.b.example.com"), (2, "example.com"), (3, "notexample.com"),
+         (4, "deep.sub.other.org"), (5, "other.org"), (6, "com")],
+        "id long, host string",
+    )
+    rules = spark.createDataFrame([("example.com",), ("sub.other.org",)],
+                                  "domain string")
+    kept = {r.id for r in domain_blocklist_filter(df, "host", rules).collect()}
+    # example.com blocks itself + subdomains; notexample.com is NOT a
+    # subdomain (string suffix != domain suffix); sub.other.org blocks the
+    # deep host but not the parent other.org
+    assert kept == {3, 5, 6}
+    allow = {r.id for r in
+             domain_blocklist_filter(df, "host", rules, keep=True).collect()}
+    assert allow == {1, 2, 4}
+    sfx = df.where(F.col("id") == 1).select(
+        F.explode(host_suffixes(F.col("host"))).alias("s")).collect()
+    assert [r.s for r in sfx] == [
+        "a.b.example.com", "b.example.com", "example.com", "com"]
