@@ -236,6 +236,13 @@ class CrawlConfig:
     trap_max_depth: int = 8
     trap_max_repeats: int = 2
     trap_max_params: int = 8
+    # domain-hierarchy blocklist (operators/crawlops.py semantics): each
+    # entry blocks the exact host AND every subdomain, nothing else.
+    # Applied at the same gate as the exclusion regexes, so blocked URLs
+    # never reach the url_seen probe, frontier or summaries. ≤32 entries
+    # fold into a pure-Column predicate (zero joins); larger lists run the
+    # suffix-explode equi-join (domain_blocklist_filter). OFF by default.
+    blocklist: list[str] = field(default_factory=list)
     # ingest extraction (functions/text.py::html_to_text): when the fetch
     # contract carries a ``body`` column, fetched page bodies are run
     # through the pure-Column HTML extraction chain and drained into a
@@ -378,6 +385,26 @@ class FrontierScheduler:
                     max_params=self.cfg.trap_max_params,
                 )["is_trap"]
             )
+        if self.cfg.blocklist:
+            bl = list(self.cfg.blocklist)
+            if len(bl) <= 32:
+                # fold the hierarchy test into one codegen predicate —
+                # (host == d) | endswith('.' + d) IS the suffix semantics
+                pred = F.lit(False)
+                for d in bl:
+                    pred = pred | (F.col("host") == d) | F.col(
+                        "host"
+                    ).endswith("." + d)
+                out = out.where(~pred)
+            else:
+                from httrack2warc_spark.operators.crawlops import (
+                    domain_blocklist_filter,
+                )
+
+                rules = self.spark.createDataFrame(
+                    [(d,) for d in bl], "domain string"
+                )
+                out = domain_blocklist_filter(out, "host", rules)
         return out
 
     @staticmethod

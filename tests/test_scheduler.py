@@ -650,3 +650,36 @@ def test_extract_text_pages_drain_block_path(spark, tmp_path):
         f"{host}/p/2": ("page 2 text body here", 5),
         f"{host}/p/3": ("page 3 text body here", 5),
     }
+
+
+def test_blocklist_gate_blocks_subdomains_only(spark, tmp_path):
+    """cfg.blocklist: a listed domain blocks its host + subdomains at the
+    exclusion gate (never probed, never fetched); sibling domains and the
+    string-suffix trap (notblocked.org vs blocked.org) stay crawlable."""
+    from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler
+    from httrack2warc_spark.frontier.synth import SyntheticWeb
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    def page(k):
+        return (k, 200, "text/html", 10, k, None)
+    pages = spark.createDataFrame(
+        [page("ok.example.com/"), page("blocked.org/"),
+         page("sub.blocked.org/"), page("notblocked.org/")],
+        "url_key string, status int, mime string, size long, "
+        "localfile string, image_id string",
+    )
+    links = spark.createDataFrame(
+        [("ok.example.com/", 0, "http://blocked.org/"),
+         ("ok.example.com/", 1, "http://sub.blocked.org/"),
+         ("ok.example.com/", 2, "http://notblocked.org/")],
+        "src_key string, link_idx int, dst_url string",
+    )
+    web = SyntheticWeb(pages, links, broadcast_pages=True)
+    cat = TableCatalog(spark, str(tmp_path / "bl"))
+    log = FrontierScheduler(
+        spark, cat, web,
+        CrawlConfig(num_parts=4, max_rounds=4, fetch_robots=False,
+                    blocklist=["blocked.org"]),
+    ).run(seeds=["http://ok.example.com/"])
+    visited = {r.url_key for r in log.collect()}
+    assert visited == {"ok.example.com/", "notblocked.org/"}
