@@ -1317,24 +1317,30 @@ def minhash_cross_pairs(
     join: the blowup is |bucket_new|·|bucket_ref| pairs, so the cap must
     see both sides.
     """
-    def prep(df: DataFrame, out_id: str, out_set: str) -> DataFrame:
-        base = _with_shingle_hashes(
-            _full_width_repartition(df), text_col, shingle_n
-        ).withColumn("__set", F.array_distinct("__h"))
-        return (
-            base.withColumn(
-                "minhash", _minhash_sig_expr(F.col("__set"), num_hashes)
-            )
-            .select(
-                F.col(id_col).alias(out_id),
-                F.col("__set").alias(out_set),
-                "minhash",
-            )
-            .localCheckpoint(eager=True)
+    # BOTH sides tokenize/hash/sign in ONE materialization: tag + union,
+    # checkpoint once, split by tag — halves the prep jobs vs two eager
+    # checkpoints, and the split filters are cheap scans of the
+    # checkpointed blocks (results bit-identical either way)
+    tagged = new.select(
+        F.lit(0).alias("__side"), F.col(id_col), F.col(text_col)
+    ).unionByName(
+        ref.select(F.lit(1).alias("__side"), F.col(id_col), F.col(text_col))
+    )
+    base = (
+        _with_shingle_hashes(
+            _full_width_repartition(tagged), text_col, shingle_n
         )
-
-    nb = prep(new, "new_id", "set_n")
-    rb = prep(ref, "ref_id", "set_r")
+        .withColumn("__set", F.array_distinct("__h"))
+        .withColumn("minhash", _minhash_sig_expr(F.col("__set"), num_hashes))
+        .select("__side", F.col(id_col).alias("__id"), "__set", "minhash")
+        .localCheckpoint(eager=True)
+    )
+    nb = base.where(F.col("__side") == 0).select(
+        F.col("__id").alias("new_id"), F.col("__set").alias("set_n"), "minhash"
+    )
+    rb = base.where(F.col("__side") == 1).select(
+        F.col("__id").alias("ref_id"), F.col("__set").alias("set_r"), "minhash"
+    )
 
     def bandify(base: DataFrame, idc: str, tag: int) -> DataFrame:
         return base.select(
