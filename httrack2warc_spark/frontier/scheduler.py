@@ -924,6 +924,20 @@ class FrontierScheduler:
             raw_links = raw_links.unionByName(
                 sitemap_outlinks(fetched.where(F.col("__robots") == 1))
             )
+            if cfg.fetch_robots:
+                from httrack2warc_spark.operators.crawlops import (
+                    robots_sitemap_outlinks,
+                )
+
+                # Sitemap: directives in this round's robots.txt bodies —
+                # the declared sitemap URL enters the normal discovery plan
+                # and its <urlset> chains through sitemap_outlinks when
+                # fetched next round
+                raw_links = raw_links.unionByName(
+                    robots_sitemap_outlinks(
+                        fetched.where(F.col("__robots") == 0)
+                    )
+                )
         candidates = (
             self._canonicalize(raw_links, "dst_url")
             .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))

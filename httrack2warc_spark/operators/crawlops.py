@@ -43,6 +43,7 @@ from httrack2warc_spark.operators.dedup import md5_prefix_long
 __all__ = [
     "host_suffixes",
     "domain_blocklist_filter",
+    "robots_sitemap_outlinks",
     "canonicalize_query_col",
     "trap_signals",
     "retry_schedule",
@@ -440,4 +441,51 @@ def domain_blocklist_filter(
     how = "left_semi" if keep else "left_anti"
     return df.join(
         hit_hosts.select(F.col("__h").alias(host_col)), host_col, how
+    )
+
+
+#: RFC 9309 §2.3 allows non-group records; the sitemaps.org extension is the
+#: ubiquitous one. Case-insensitive, per-line, value = first non-space run.
+ROBOTS_SITEMAP_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"
+
+#: robots-declared sitemaps order after page links AND after body-discovered
+#: sitemap entries within the same parent
+ROBOTS_SITEMAP_LINK_IDX_OFFSET = 2 * SITEMAP_LINK_IDX_OFFSET
+
+
+def robots_sitemap_outlinks(
+    fetched: DataFrame,
+    body_col: str = "body",
+    url_col: str = "url",
+    seq_col: str = "seq",
+    depth_col: str = "depth",
+) -> DataFrame:
+    """``Sitemap:`` directives in fetched robots.txt bodies (the
+    sitemaps.org extension every large site uses) → discovery outlink rows
+    in the ``sitemap_outlinks`` shape, so declared sitemaps enter the SAME
+    probe/dedup/politeness plan as every other URL; once fetched, their
+    ``<urlset>`` bodies chain through ``sitemap_outlinks`` naturally.
+    Map-only: one regexp_extract_all + posexplode, no shuffle.
+    """
+    return (
+        fetched.where(F.col(body_col).isNotNull())
+        .select(
+            F.col(seq_col).alias("parent_seq"),
+            F.col(depth_col).alias("parent_depth"),
+            F.col(url_col).alias("referrer"),
+            F.posexplode(
+                F.regexp_extract_all(
+                    F.col(body_col), F.lit(ROBOTS_SITEMAP_RE), F.lit(1)
+                )
+            ).alias("__pos", "dst_url"),
+        )
+        .select(
+            "parent_seq",
+            "parent_depth",
+            (F.lit(ROBOTS_SITEMAP_LINK_IDX_OFFSET) + F.col("__pos"))
+            .cast("int")
+            .alias("link_idx"),
+            "dst_url",
+            "referrer",
+        )
     )

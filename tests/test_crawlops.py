@@ -452,3 +452,56 @@ def test_domain_blocklist_hierarchy(spark):
         F.explode(host_suffixes(F.col("host"))).alias("s")).collect()
     assert [r.s for r in sfx] == [
         "a.b.example.com", "b.example.com", "example.com", "com"]
+
+
+def test_robots_sitemap_directive_discovery(spark, tmp_path):
+    """A `Sitemap:` line in robots.txt leads the crawler to the sitemap,
+    whose <urlset> then surfaces an otherwise-unlinked page — the full
+    robots → sitemap → orphan chain, all through the normal discovery plan."""
+    from httrack2warc_spark.frontier import CrawlConfig, FrontierScheduler
+    from httrack2warc_spark.frontier.synth import SyntheticWeb
+    from httrack2warc_spark.operators.crawlops import robots_sitemap_outlinks
+    from httrack2warc_spark.sinks.tables import TableCatalog
+
+    host = "sm.example.org"
+    robots_body = (
+        "User-agent: *\nDisallow:\n"
+        f"SITEMAP:  http://{host}/sitemap.xml\n"    # case + padding
+    )
+    sitemap_body = (
+        '<?xml version="1.0"?><urlset>'
+        f"<loc>http://{host}/orphan.html</loc></urlset>"
+    )
+    pages = spark.createDataFrame(
+        [(f"{host}/robots.txt", 200, "text/plain", 10, "r", None, robots_body),
+         (f"{host}/", 200, "text/html", 10, "a", None, None),
+         (f"{host}/sitemap.xml", 200, "text/xml", 10, "s", None, sitemap_body),
+         (f"{host}/orphan.html", 200, "text/html", 10, "o", None, None)],
+        "url_key string, status int, mime string, size long, localfile string, "
+        "image_id string, body string",
+    )
+    links = spark.createDataFrame(
+        [], "src_key string, link_idx int, dst_url string"
+    )
+    web = SyntheticWeb(pages, links, broadcast_pages=True)
+    cat = TableCatalog(spark, str(tmp_path / "sm"))
+    log = FrontierScheduler(
+        spark, cat, web,
+        CrawlConfig(num_parts=4, max_rounds=8, discover_sitemaps=True),
+    ).run(seeds=[f"http://{host}/"])
+    visited = {r.url_key for r in log.collect()}
+    assert f"{host}/sitemap.xml" in visited       # declared by robots
+    assert f"{host}/orphan.html" in visited       # declared by the sitemap
+    # extraction unit semantics: case-insensitive, whitespace-tolerant key
+    # (the Google-parser behavior: spaces may surround the colon); a
+    # mid-line "...sitemap:" never matches (line-anchored)
+    rows = robots_sitemap_outlinks(
+        spark.createDataFrame(
+            [(1, 0, "http://h/robots.txt",
+              "User-agent: *\nnot a sitemap: nope\n"
+              "  Sitemap : http://h/a.xml\nsitemap:\thttp://h/b.xml")],
+            "seq long, depth int, url string, body string",
+        )
+    ).collect()
+    assert [(r.dst_url, r.link_idx) for r in rows] == [
+        ("http://h/a.xml", 2_000_000), ("http://h/b.xml", 2_000_001)]
