@@ -20,6 +20,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table + scale-adaptive scan parallelization (operators.dedup
+    ``_parallel_head``): single-row-group parquet inputs scan as ONE task,
+    so queries whose first stage is a CPU-dense per-row text pipeline use
+    this loader to spread the head across the session's task width (no-op
+    when the input already has enough splits — the cluster-scale case)."""
+    from httrack2warc_spark.operators.dedup import _parallel_head
+
+    return _parallel_head(_t(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -1156,16 +1167,24 @@ def clean_corpus_q(spark, sf_dir):
     from httrack2warc_spark.functions.text import lang_id, quality_score, token_count
     from httrack2warc_spark.operators.dedup import exact_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", "text",
         lang_id(F.col("text")).alias("lang"),
         quality_score(F.col("text")).alias("quality"),
         token_count(F.col("text")).alias("n_tokens"),
     )
-    kept = scored.where((F.col("lang") == "en") & (F.col("quality") >= 0.5))
-    deduped = exact_dedup(kept, ["text"], "doc_id")
-    return deduped.select(
+    # dedup BEFORE the gate (bit-identical: lang/quality are pure functions
+    # of text — the dedup group key — so per-group winners and the filter
+    # commute). The old filter-first order let Catalyst push the predicate
+    # below the repartition, SUBSTITUTING the full lang_id+quality trees
+    # into a single-task FilterExec (no subexpression elimination there —
+    # the build-notes FilterExec trap; measured 8.4 s of the query's 11.4 s
+    # at sf1.0). Above the dedup Window the predicate references
+    # materialized attributes and cannot be pushed/substituted.
+    deduped = exact_dedup(scored, ["text"], "doc_id")
+    kept = deduped.where((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    return kept.select(
         "doc_id", F.round("quality", 6).alias("quality"), "n_tokens"
     ).orderBy("doc_id")
 
@@ -3774,7 +3793,7 @@ def ingest_pipeline_q(spark, sf_dir):
     )
     from httrack2warc_spark.operators.dedup import first_occurrence
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     html = F.concat(
         F.lit("<html><head><title>Doc "),
         F.col("doc_id").cast("string"),
@@ -3785,7 +3804,14 @@ def ingest_pipeline_q(spark, sf_dir):
         (F.col("doc_id") % 5).cast("string"),
         F.lit("</div><!-- hidden --></body></html>"),
     )
-    staged = docs.select("doc_id", html_to_text(html).alias("body"))
+    # eager checkpoint: the token_count gate otherwise pushes below the
+    # repartition with the whole html_to_text regexp chain SUBSTITUTED into
+    # a single-task FilterExec (the build-notes FilterExec trap), and the
+    # surviving rows recompute the chain again in the Project. Materializing
+    # (doc_id, body) once runs the chain exactly once, full-width.
+    staged = docs.select(
+        "doc_id", html_to_text(html).alias("body")
+    ).localCheckpoint(eager=True)
     gated = staged.where(token_count(F.col("body")) >= 10)
     deduped = first_occurrence(gated, "body", [F.col("doc_id")])
     sampled = deterministic_sample(deduped, "doc_id", 0.8, seed=11)

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from httrack2warc_spark.functions.text import word_tokens
-from httrack2warc_spark.operators.dedup import md5_prefix_long
+from httrack2warc_spark.operators.dedup import _parallel_head, md5_prefix_long
 
 __all__ = [
     "bm25_topk",
@@ -88,7 +88,7 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    with_words = df.withColumn("__w", word_tokens(F.col(text_col)))
+    with_words = _parallel_head(df).withColumn("__w", word_tokens(F.col(text_col)))
     n = F.size("__w")
     n_chunks = F.when(
         n > 0,
@@ -194,7 +194,10 @@ def decontaminate(
     # Project survives because Generate is not a CollapseProject target)
     # production: wrap both __g in F.xxhash64() for an 8-byte join key
     doc_grams = (
-        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
+        # _parallel_head: corpus-side tokenize + n-gram explode parallelizes
+        # (single-row-group inputs scan as one task; guide §2)
+        _parallel_head(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
         .select(
             F.col(id_col),
             F.explode(F.array_distinct(_shingles_of(F.col("__w"), n))).alias("__g"),
@@ -248,7 +251,7 @@ def dedup_paragraphs(
     """
     import re
 
-    parts = df.select(
+    parts = _parallel_head(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), re.escape(sep), -1)).alias(
             "__i", "__p"
@@ -319,7 +322,7 @@ def pack_sequences(
     """
     from httrack2warc_spark.operators.sequence import with_running_total
 
-    toks = df.select(
+    toks = _parallel_head(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.concat(word_tokens(F.col(text_col)), F.array(F.lit(eos))).alias(
             "__tk"
@@ -435,7 +438,10 @@ def repetition_topgram_stats(
     from httrack2warc_spark.operators.dedup import _shingles_of
 
     base = (
-        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
+        # _parallel_head: tokenize + the n-gram explode head otherwise run
+        # on the scan's (single) task for single-row-group inputs (guide §2)
+        _parallel_head(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
         .withColumn("__n_tok", F.size("__w"))
     )
     tagged = F.concat(
@@ -499,7 +505,7 @@ def tfidf_topk(
     Returns (id, term, score) with score rounded to ``round_digits``.
     """
     n_docs = df.count()
-    terms = df.select(
+    terms = _parallel_head(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
@@ -560,14 +566,18 @@ def bm25_topk(
     Returns (id, score_u) ranked on (score_u desc, id) — the oracle's
     exact ordering key.
     """
-    n_docs, total_tokens = df.select(
+    # _parallel_head: BOTH tokenizing passes (the N/avgdl scalar aggregate
+    # and the posting scan) otherwise run on the scan's single task for
+    # single-row-group inputs (guide §2); no-op at cluster scale.
+    head = _parallel_head(df.select(F.col(id_col), F.col(text_col)))
+    n_docs, total_tokens = head.select(
         F.count(F.lit(1)),
         F.coalesce(F.sum(F.size(word_tokens(F.col(text_col)))), F.lit(0)),
     ).first()
     avgdl = float(total_tokens) / float(n_docs) if n_docs else 1.0
 
     terms = list(query_terms)
-    with_w = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
+    with_w = head.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
     toks = with_w.select(
         F.col(id_col),
         F.size("__w").alias("__dl"),
@@ -642,8 +652,11 @@ def dsir_weights(
         cols = [F.col(id_col)] if keep_id else []
         # tokenize ONCE per row (materialized column), then the shared
         # zip-with-shifted shingle helper — same "a b" space-joined grams,
-        # same empty array for 1-token docs
-        with_w = frame.select(*cols, word_tokens(F.col(col)).alias("__w"))
+        # same empty array for 1-token docs. _parallel_head: the tokenize +
+        # md5-bucket head otherwise runs on the scan's (single) task.
+        with_w = _parallel_head(frame).select(
+            *cols, word_tokens(F.col(col)).alias("__w")
+        )
         out = with_w.select(
             *cols, F.explode(_shingles_of(F.col("__w"), 2)).alias("__g")
         )
@@ -730,7 +743,11 @@ def substring_dup_spans(
         lambda i: F.array_join(F.slice(w, i, window_tokens), " "),
     )
     doc_spans = (
-        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
+        # _parallel_head: tokenize + per-span md5 all run BEFORE the __h
+        # repartition — on a single-row-group input that whole head was one
+        # task (guide §2; measured 9.3 s at sf1.0). No-op at cluster scale.
+        _parallel_head(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
         .where(F.size(w) >= window_tokens)
         .select(F.col(id_col), F.explode(spans).alias("__s"))
         .select(
@@ -796,12 +813,16 @@ def unigram_logprob(
     reference_text_col = reference_text_col or text_col
 
     doc_w = (
-        df.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__t"))
+        # _parallel_head on both tokenizing heads (guide §2; single-row-group
+        # inputs otherwise tokenize on one task)
+        _parallel_head(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__t"))
         .groupBy(id_col, "__t")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     ref_w = (
-        reference.select(
+        _parallel_head(reference.select(F.col(reference_text_col)))
+        .select(
             F.explode(word_tokens(F.col(reference_text_col))).alias("__t")
         )
         .groupBy("__t")
@@ -890,7 +911,9 @@ def hashed_classifier_score(
     """
     bucket = md5_prefix_long(F.col("__t")) % n_buckets
     doc_b = (
-        df.select(
+        # _parallel_head: tokenize + per-token md5 bucket head (guide §2)
+        _parallel_head(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__t")
         )
         .select(id_col, bucket.alias("__b"))
@@ -1137,7 +1160,7 @@ def phrase_search(
             [(j + 1, t) for j, t in enumerate(terms)], "__j int, __t string"
         )
     )
-    postings = df.select(
+    postings = _parallel_head(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.posexplode(word_tokens(F.col(text_col))).alias("__i", "__t"),
     ).where(F.col("__t").isin(list(set(terms))))

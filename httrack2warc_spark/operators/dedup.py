@@ -204,6 +204,37 @@ def _full_width_repartition(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
+def _parallel_head(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan parallelizer for CPU-dense per-row pipelines
+    (tokenize → shingle → per-shingle hash): round-robin repartition to
+    ``spark.sql.shuffle.partitions`` ONLY when the source has fewer
+    partitions. A single-row-group parquet file scans as ONE task no matter
+    what ``maxPartitionBytes`` says (row groups are unsplittable), so the
+    whole tokenize/hash head of a query runs on one core while the rest of
+    the machine idles — the guide-§2 "scale-adaptive partitioning" fix is a
+    cheap shuffle of the raw rows before the expensive projection. At
+    cluster scale the input has >= shuffle-partitions splits and this is a
+    no-op, so the 100 TB path never pays a full-corpus reshuffle.
+
+    Guard: ``df.rdd`` on a frame whose plan already contains an Exchange
+    would force AQE to MATERIALIZE every upstream query stage (run the
+    shuffles as real jobs) just to learn the partition count — and a
+    post-exchange frame is already at session width anyway. Such frames
+    pass through untouched; only exchange-free (scan-rooted) plans are
+    inspected, where ``.rdd`` is a pure-planning no-cost call."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan or "QueryStage" in plan:
+            return df
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive (unresolvable plans)
+        return df
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if cur >= n:
+        return df
+    return df.repartition(n)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -435,29 +466,9 @@ def ngram_jaccard_pairs(
     self-join shuffles on, so it piggybacks on that exchange (the
     minhash_lsh_candidates trick) instead of a separate aggregate+join.
     """
-    sh = (
-        df.withColumn("__words", _word_array(F.col(text_col)))
-        .withColumn("__sh", _shingles_of(F.col("__words"), shingle_n))
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(F.col("__sh"))).alias("sh"),
-        )
-    )
-    if max_shingle_df is not None:
-        wdf = Window.partitionBy("sh")
-        sh = (
-            sh.withColumn("__df", F.count("*").over(wdf))
-            .where(F.col("__df") <= max_shingle_df)
-            .drop("__df")
-        )
+    sh = _exploded_shingle_keys(df, text_col, id_col, shingle_n, max_shingle_df)
+    inter = _shingle_intersections(sh, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("l")
-        .join(sh.alias("r"), on=[F.col("l.sh") == F.col("r.sh"),
-                                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .agg(F.count("*").alias("inter"))
-    )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
     return (
@@ -470,6 +481,73 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def _shingle_intersections(sh: DataFrame, id_col: str) -> DataFrame:
+    """Per-pair shared-shingle counts from a materialized (id, sh) frame:
+    self-join on the 8-byte ``sh`` key → count per (a, b). The SHUFFLE_HASH
+    hint matters: the planner otherwise broadcast-builds the full exploded
+    relation (multi-million rows — a ~100 MB driver collect + hash build
+    per task, measured as the dominant cost at sf1.0), while a shuffled
+    hash join reuses the checkpoint's existing ``sh`` hash-partitioning on
+    both sides — zero new exchange, per-partition builds."""
+    return (
+        sh.alias("l")
+        .join(sh.alias("r").hint("SHUFFLE_HASH"),
+              on=[F.col("l.sh") == F.col("r.sh"),
+                  F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+
+
+def _exploded_shingle_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared prep for the n-gram pair family: one materialized
+    (id, sh: long) frame of per-document DISTINCT shingle keys, DF-capped.
+
+    Three structural optimizations over the lazy string-keyed form, result
+    rows unchanged (verified against the unchanged string-keyed DuckDB
+    oracles at sf0.001/0.01/0.1):
+
+    - ``_parallel_head``: the tokenize + shingle + explode head parallelizes
+      instead of running on the scan's (often single) task.
+    - shingles become 8-byte ``xxhash64`` keys BEFORE the explode — the DF
+      window, the self-join sort/merge and every exchange move longs, not
+      ~25-byte gram strings (guide §2.3 "shuffle keys, not payloads";
+      intersection/df counts are unchanged short of an xxhash64 collision,
+      ~1e-5 for a 10M-shingle universe).
+    - one eager ``localCheckpoint`` AFTER the DF-cap window: the per-doc
+      size aggregate and BOTH self-join sides read the materialized rows.
+      Lazily, Catalyst re-derived the whole tokenize pipeline once per
+      consumer (4 scans in the recorded sf1.0 plan) and — worse — planned
+      the self-join as a BroadcastHashJoin of the multi-million-row exploded
+      side off a stale size estimate. The checkpoint also pins the window's
+      hash-partitioning on ``sh``, so the self-join needs no new exchange.
+    """
+    sh = (
+        _parallel_head(df.select(F.col(id_col), F.col(text_col)))
+        .withColumn("__words", _word_array(F.col(text_col)))
+        .withColumn("__sh", _shingles_of(F.col("__words"), shingle_n))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.col("__sh"))).alias("__s"),
+        )
+        .select(F.col(id_col), F.xxhash64("__s").alias("sh"))
+    )
+    if max_shingle_df is not None:
+        wdf = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(wdf))
+            .where(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
+    return sh.localCheckpoint(eager=True)
 
 
 def ngram_containment_pairs(
@@ -495,29 +573,9 @@ def ngram_containment_pairs(
     piggyback as ``ngram_jaccard_pairs`` (the DF-window count rides the
     same sh partitioning the self-join shuffles on).
     """
-    sh = (
-        df.withColumn("__words", _word_array(F.col(text_col)))
-        .withColumn("__sh", _shingles_of(F.col("__words"), shingle_n))
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(F.col("__sh"))).alias("sh"),
-        )
-    )
-    if max_shingle_df is not None:
-        wdf = Window.partitionBy("sh")
-        sh = (
-            sh.withColumn("__df", F.count("*").over(wdf))
-            .where(F.col("__df") <= max_shingle_df)
-            .drop("__df")
-        )
+    sh = _exploded_shingle_keys(df, text_col, id_col, shingle_n, max_shingle_df)
+    inter = _shingle_intersections(sh, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("l")
-        .join(sh.alias("r"), on=[F.col("l.sh") == F.col("r.sh"),
-                                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .agg(F.count("*").alias("inter"))
-    )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
     c_ab = F.floor(F.col("inter") * F.lit(1000000.0) / F.col("na")).cast("long")
@@ -575,11 +633,28 @@ def allpairs_jaccard_pairs(
     the build-notes floor-micro recipe).
     """
     t_micro = int(round(threshold * 1_000_000))
+    # Structural optimizations (result rows unchanged — the exact-verify step
+    # makes the output independent of the prefix order, see below; verified
+    # against the unchanged string-keyed DuckDB oracle):
+    # - _parallel_head: tokenize head runs wide, not on the scan's one task.
+    # - shingles hash to 8-byte longs BEFORE any exchange: the prefix windows,
+    #   the self-join and the verify array_intersect all move/compare longs
+    #   (guide §2.3). The global rarity order becomes (df, hash) instead of
+    #   (df, string) — a different but equally valid total order, and the
+    #   prefix-filter correctness bound holds for ANY fixed total order, so
+    #   the verified output is identical.
+    # - eager localCheckpoint: `base` feeds the prefix pipeline AND both
+    #   verify sides; lazily each consumer re-derived the tokenize pipeline.
     base = (
-        df.withColumn("__words", _word_array(F.col(text_col)))
+        _parallel_head(df.select(F.col(id_col), F.col(text_col)))
+        .withColumn("__words", _word_array(F.col(text_col)))
         .withColumn("__sh", F.array_distinct(_shingles_of(F.col("__words"), shingle_n)))
         .where(F.size("__sh") > 0)
-        .select(F.col(id_col).alias("id"), F.col("__sh"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh"),
+        )
+        .localCheckpoint(eager=True)
     )
     sh = base.select("id", F.explode("__sh").alias("sh"))
     wdf = Window.partitionBy("sh")
@@ -1183,7 +1258,15 @@ def winnow_fingerprints(
         * F.lit(1 << 24)
         + (F.lit((1 << 24) - 1) - (i + F.lit(1))),
     )
-    base = df.select(F.col(id_col), packed.alias("__pk"))
+    # _parallel_head: the per-shingle md5 chain is the whole cost of this
+    # operator, and a single-row-group input runs it on ONE task (round 6
+    # measured 8.06 s single-core at sf1.0). One cheap round-robin exchange
+    # of the raw rows buys a full-width md5 stage; no-op at cluster scale.
+    # (This trades the round-5 "zero shuffle" plan for a single narrow
+    # exchange of the input rows — still no shuffle of shingles/fingerprints.)
+    base = _parallel_head(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), packed.alias("__pk")
+    )
     # cur[i] = min(pk[i .. i+k]) after the k-th pass; zip_with pads the
     # shorter (shifted) side with null, which the when() treats as +inf, so
     # tail positions hold the min over the suffix that exists.
