@@ -669,7 +669,26 @@ def allpairs_jaccard_pairs(
         .withColumn("__n", F.count("*").over(wid))
         .withColumn("__rk", F.row_number().over(wrank))
         .where(F.col("__rk") <= F.col("__n") - ceil_tn + 1)
-        .select("id", "sh", "__n")
+        .select("id", "sh", "__n", "__rk")
+    )
+    # PPJoin positional filter (Xiao et al.): J ≥ t ⇔ inter ≥
+    # ceil(t·(na+nb)/(1+t)) =: α, and for a match at 1-based rarity ranks
+    # (rk_l, rk_r) the overlap can be at most 1 + min(na−rk_l, nb−rk_r)
+    # (all common shingles sit at ranks ≥ rk on each side). The FIRST common
+    # shingle of any qualifying pair passes this test (its ubound ≥ the true
+    # overlap ≥ α), so recall stays exact while non-viable match rows are
+    # dropped at generation instead of surviving to the verify join
+    # (sf1.0: 26.4M → fewer candidate rows; exact arithmetic — α via
+    # integer ceil-division).
+    alpha = F.floor(
+        (
+            F.lit(t_micro) * (F.col("l.__n") + F.col("r.__n"))
+            + F.lit(1_000_000 + t_micro - 1)
+        )
+        / F.lit(1_000_000 + t_micro)
+    ).cast("long")
+    ubound = F.lit(1) + F.least(
+        F.col("l.__n") - F.col("l.__rk"), F.col("r.__n") - F.col("r.__rk")
     )
     cand = (
         prefix.alias("l")
@@ -681,6 +700,7 @@ def allpairs_jaccard_pairs(
                 # size-ratio filter: t·max ≤ min  ⇔  both directions hold
                 F.col("l.__n") * F.lit(t_micro) <= F.col("r.__n") * F.lit(1_000_000),
                 F.col("r.__n") * F.lit(t_micro) <= F.col("l.__n") * F.lit(1_000_000),
+                ubound >= alpha,
             ],
         )
         .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
@@ -688,6 +708,14 @@ def allpairs_jaccard_pairs(
     )
     arr_a = base.select(F.col("id").alias("a"), F.col("__sh").alias("__sa"))
     arr_b = base.select(F.col("id").alias("b"), F.col("__sh").alias("__sb"))
+    # the shingle-array side table is one row per DOCUMENT (8 B id + the
+    # distinct-shingle longs). When it is broadcast-sized, attaching the
+    # arrays map-side removes BOTH exchanges of the (much larger) candidate
+    # stream — the checkpoint makes the row count a free local metadata
+    # lookup, so the gate is measured, not estimated. Past the gate (true
+    # corpus scale) the planner keeps the shuffle join.
+    if base.count() <= 250_000:
+        arr_a, arr_b = F.broadcast(arr_a), F.broadcast(arr_b)
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long")
     verified = (
         cand.join(arr_a, "a")
