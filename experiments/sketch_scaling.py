@@ -60,23 +60,33 @@ def child(cpus: int) -> None:
         ).write.mode("overwrite").parquet(path)
     ev = spark.read.parquet(path)
 
-    def once() -> float:
-        t0 = time.time()
+    def once() -> dict:
         # production hash family (the graded query keeps md5 for its
         # DuckDB twin; scaling evidence measures the path a cluster runs)
+        per = {}
+        t0 = time.time()
         hll_cardinality(
             ev, "val", ["grp"], p=12, hash_family="xxhash64"
         ).collect()
+        per["hll"] = round(time.time() - t0, 2)
+        t0 = time.time()
         frequent_items(ev, "val", k=64).collect()
+        per["heavy_hitters"] = round(time.time() - t0, 2)
+        t0 = time.time()
         binned_quantiles(ev, "w", [0.5, 0.95, 0.99], ["grp"],
                          bins=256).collect()
-        return time.time() - t0
+        per["quantiles"] = round(time.time() - t0, 2)
+        per["total"] = round(sum(per.values()), 2)
+        return per
 
     once()  # warm codegen
-    runs = [round(once(), 2) for _ in range(3)]
+    runs = [once() for _ in range(3)]
+    best = min(r["total"] for r in runs)
     print(json.dumps({
-        "cpus": cpus, "rows": ROWS, "runs": runs, "sec": min(runs),
-        "rows_per_sec": round(ROWS / min(runs), 1),
+        "cpus": cpus, "rows": ROWS, "runs": runs, "sec": best,
+        "per_op_min": {op: min(r[op] for r in runs)
+                       for op in ("hll", "heavy_hitters", "quantiles")},
+        "rows_per_sec": round(ROWS / best, 1),
         "load": os.getloadavg(),
     }))
     spark.stop()
@@ -92,7 +102,12 @@ def main() -> None:
         out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
         print(json.dumps(out[cpus]), flush=True)
     eff = out[8]["rows_per_sec"] / out[2]["rows_per_sec"] / 4.0
-    print(json.dumps({"efficiency_n_to_4n": round(eff, 3)}))
+    per = {
+        op: round(out[2]["per_op_min"][op] / out[8]["per_op_min"][op] / 4.0, 3)
+        for op in out[2]["per_op_min"]
+    }
+    print(json.dumps({"efficiency_n_to_4n": round(eff, 3),
+                      "per_op_efficiency": per}))
 
 
 if __name__ == "__main__":

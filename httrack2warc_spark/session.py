@@ -52,6 +52,17 @@ def get_spark(
         # tasks, capping N→4N scaling efficiency at 0.77; 8MB restores 0.92,
         # see BENCH/BASELINE.md). Python-UDF stages want fine-grained tasks.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # Scan-split floor: the bench inputs are single files with ~20 MB row
+        # groups, and the 128 MB default packs a whole 6-row-group/126 MB
+        # file into ONE scan task while 31 cores idle. 16 MB splits let every
+        # row group get its own task (row groups are the split atoms, so this
+        # cannot over-split tiny files). Cluster runs with large sequential
+        # scans should raise it back via SPARK_GRAFT_MAX_PARTITION_BYTES
+        # (guide §6 recommends 512m-1g there — the right value tracks row
+        # group size, which on a production table this engine writes is
+        # 128 MB+).
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_MAX_RECORDS_PER_BATCH)
         .config("spark.sql.session.timeZone", "UTC")
