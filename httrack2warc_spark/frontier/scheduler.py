@@ -386,16 +386,27 @@ class FrontierScheduler:
                 )["is_trap"]
             )
         if self.cfg.blocklist:
-            bl = list(self.cfg.blocklist)
+            # normalize entries to match canonicalized hosts (lowercased;
+            # stray dots/whitespace stripped) — 'Example.COM' or
+            # '.example.com' otherwise silently never matches (ADVICE r05)
+            bl = sorted({
+                d.strip().lstrip(".").lower()
+                for d in self.cfg.blocklist
+                if d and d.strip().lstrip(".")
+            })
             if len(bl) <= 32:
                 # fold the hierarchy test into one codegen predicate —
-                # (host == d) | endswith('.' + d) IS the suffix semantics
+                # (host == d) | endswith('.' + d) IS the suffix semantics.
+                # coalesce(pred, False): a NULL host makes pred NULL under
+                # three-valued logic and where(~NULL) would DROP the row,
+                # while the >32-entry left_anti path keeps NULL hosts —
+                # both paths now agree (keep) (ADVICE r05)
                 pred = F.lit(False)
                 for d in bl:
                     pred = pred | (F.col("host") == d) | F.col(
                         "host"
                     ).endswith("." + d)
-                out = out.where(~pred)
+                out = out.where(~F.coalesce(pred, F.lit(False)))
             else:
                 from httrack2warc_spark.operators.crawlops import (
                     domain_blocklist_filter,
@@ -1353,6 +1364,14 @@ class FrontierScheduler:
         if "__robots" in src.columns:
             # __robots == 0 marks the robots.txt fetch rows
             body_rows = body_rows.where(F.col("__robots") != 0)
+        if self.cfg.discover_sitemaps:
+            # sitemap XML is link inventory, not document text: without this
+            # the drain ran tag-stripped URL lists through html_to_text and
+            # committed them as corpus documents (ADVICE r05). Same predicate
+            # the discovery path classifies sitemaps with.
+            from httrack2warc_spark.operators.crawlops import is_sitemap_row
+
+            body_rows = body_rows.where(~is_sitemap_row("url", "body"))
         text = html_to_text(F.col("body"))
         pend["pages"].append(
             body_rows.select(

@@ -251,7 +251,10 @@ def dedup_paragraphs(
     """
     import re
 
-    parts = _parallel_head(df.select(F.col(id_col), F.col(text_col))).select(
+    # no _parallel_head here: the split+posexplode head is cheap relative to
+    # the paragraph-key exchange right below it, and the extra round-robin
+    # exchange of full texts measured as a net loss (r06: 1.6 -> 2.3 s)
+    parts = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), re.escape(sep), -1)).alias(
             "__i", "__p"
@@ -566,23 +569,31 @@ def bm25_topk(
     Returns (id, score_u) ranked on (score_u desc, id) — the oracle's
     exact ordering key.
     """
-    # _parallel_head: BOTH tokenizing passes (the N/avgdl scalar aggregate
-    # and the posting scan) otherwise run on the scan's single task for
-    # single-row-group inputs (guide §2); no-op at cluster scale.
+    # ONE tokenize pass for the whole operator (was two: the N/avgdl scalar
+    # aggregate and the posting scan each re-tokenized the corpus): the
+    # parallel head tokenizes once, keeps only (id, doc length, query-term
+    # hits) — metadata-grade rows — and an eager checkpoint feeds both the
+    # scalar job and the postings. _parallel_head: single-row-group inputs
+    # otherwise tokenize on one task (guide §2); no-op at cluster scale.
+    terms = list(query_terms)
     head = _parallel_head(df.select(F.col(id_col), F.col(text_col)))
-    n_docs, total_tokens = head.select(
+    with_w = head.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
+    pruned = with_w.select(
+        F.col(id_col),
+        F.size("__w").alias("__dl"),
+        F.filter("__w", lambda t: t.isin(list(set(terms)))).alias("__hits"),
+    ).localCheckpoint(eager=True)
+    n_docs, total_tokens = pruned.select(
         F.count(F.lit(1)),
-        F.coalesce(F.sum(F.size(word_tokens(F.col(text_col)))), F.lit(0)),
+        F.coalesce(F.sum("__dl"), F.lit(0)),
     ).first()
     avgdl = float(total_tokens) / float(n_docs) if n_docs else 1.0
 
-    terms = list(query_terms)
-    with_w = head.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
-    toks = with_w.select(
+    toks = pruned.select(
         F.col(id_col),
-        F.size("__w").alias("__dl"),
-        F.explode("__w").alias("__term"),
-    ).where(F.col("__term").isin(terms))
+        F.col("__dl"),
+        F.explode("__hits").alias("__term"),
+    )
     tf = toks.groupBy(id_col, "__term").agg(
         F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
     )

@@ -296,6 +296,18 @@ def sitemap_locs(body: Column) -> Column:
 SITEMAP_LINK_IDX_OFFSET = 1_000_000
 
 
+def is_sitemap_row(url_col: str = "url", body_col: str = "body") -> Column:
+    """THE sitemap-document predicate (shared by ``sitemap_outlinks`` and
+    the scheduler's pages drain, which must exclude exactly the rows the
+    discovery path treats as sitemaps): URL looks like ``sitemap*.xml``
+    (cheap test first) or the body opens a ``<urlset>``/``<sitemapindex>``
+    root."""
+    return F.col(body_col).isNotNull() & (
+        F.col(url_col).rlike(r"(?i)sitemap[^/]*\.xml(\?.*)?$")
+        | F.col(body_col).rlike(r"(?i)<(urlset|sitemapindex)[\s>]")
+    )
+
+
 def sitemap_outlinks(
     fetched: DataFrame,
     body_col: str = "body",
@@ -317,12 +329,8 @@ def sitemap_outlinks(
     keeps the within-parent order deterministic and AFTER real page links.
     Map-only: filter + posexplode, no shuffle.
     """
-    is_sitemap = F.col(body_col).isNotNull() & (
-        F.col(url_col).rlike(r"(?i)sitemap[^/]*\.xml(\?.*)?$")
-        | F.col(body_col).rlike(r"(?i)<(urlset|sitemapindex)[\s>]")
-    )
     return (
-        fetched.where(is_sitemap)
+        fetched.where(is_sitemap_row(url_col, body_col))
         .select(
             F.col(seq_col).alias("parent_seq"),
             F.col(depth_col).alias("parent_depth"),

@@ -403,12 +403,11 @@ def minhash_lsh_dedup(
         sets = base.select(F.col(id_col), F.col("__set"))
         sl = sets.select(F.col(id_col).alias("a"), F.col("__set").alias("set_a"))
         sr = sets.select(F.col(id_col).alias("b"), F.col("__set").alias("set_b"))
-        # broadcast-gate the per-doc set tables: map-side attach keeps the
-        # candidate pair stream in one stage instead of exchanging it twice
-        # (the minhash_cross_pairs rationale; the checkpointed count is a
-        # free local lookup, so the gate is measured, not estimated)
-        if base.count() <= 250_000:
-            sl, sr = F.broadcast(sl), F.broadcast(sr)
+        # (measured r06: broadcast-attaching the set tables here was
+        # neutral-to-slower — the bucket cap keeps the candidate stream
+        # modest, so the shuffle join's exchanges are cheaper than the
+        # broadcast builds; minhash_cross_pairs, whose uncapped cross
+        # candidates run to 68M rows, keeps the broadcast gate)
         inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
         union = F.size("set_a") + F.size("set_b") - inter
         verified = (
@@ -1300,6 +1299,23 @@ def winnow_fingerprints(
     # exchange of the input rows — still no shuffle of shingles/fingerprints.)
     base = _parallel_head(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), packed.alias("__pk")
+    )
+    # position-packing guard (ADVICE r05): pos occupies 24 bits, so a
+    # document with >= 2^24-1 shingles (~16.7M words) would wrap
+    # (2^24-1-pos) negative and bleed into the hash field, silently
+    # corrupting the min/tie selection. Fail loudly instead — assert_true
+    # raises per offending row; on success it is NULL and the when()
+    # passes __pk through (subexpression elimination keeps the packed
+    # array evaluated once even if the projects collapse).
+    guard = F.assert_true(
+        F.size("__pk") < F.lit((1 << 24) - 1),
+        F.lit(
+            "winnow_fingerprints: document has >= 2^24-1 shingles; the "
+            "24-bit position packing cannot represent it"
+        ),
+    )
+    base = base.select(
+        F.col(id_col), F.when(guard.isNull(), F.col("__pk")).alias("__pk")
     )
     # cur[i] = min(pk[i .. i+k]) after the k-th pass; zip_with pads the
     # shorter (shifted) side with null, which the when() treats as +inf, so

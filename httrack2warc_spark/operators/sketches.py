@@ -315,9 +315,14 @@ def frequent_items(
     while the batch row count still includes them in n.
     """
     src = df.select(F.col(value_col).alias("v"))
-    hsrc = src.select(
-        F.when(F.col("v").isNotNull(), F.xxhash64("v")).alias("v")
-    )
+    # xxhash64 is NEVER null (a null input hashes to the seed constant), so
+    # the hashed stream reaches pandas as exact int64 — a nullable long
+    # column would coerce to float64 and silently corrupt hash bits beyond
+    # 2^53. Null source rows thus hash to one constant: they still count in
+    # n (len(batch)), at worst add that one constant as a candidate, and the
+    # confirm pass's isNotNull gate keeps them out of the output — exactly
+    # the old value_counts-dropna contract.
+    hsrc = src.select(F.xxhash64("v").alias("v"))
 
     def mg(batches: Iterator) -> Iterator:
         import pandas as pd

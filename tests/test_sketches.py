@@ -120,6 +120,20 @@ def test_frequent_items_empty_result(spark):
     assert frequent_items(df, "v", k=10).count() == 0
 
 
+def test_frequent_items_nulls_count_in_n_but_never_surface(spark):
+    # the int-keyed MG pass (r06) must keep the original null contract:
+    # null values are never candidates/output (value_counts dropna
+    # semantics), but null rows still count toward n — so a value must
+    # clear n/k INCLUDING the null rows to surface.
+    rows = [("x",)] * 30 + [(None,)] * 60 + [(f"t{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    # n = 100, k = 4 -> threshold 25; "x" (30) passes, nulls never surface
+    out = {(r["v"], r["cnt"]) for r in frequent_items(df, "v", k=4).collect()}
+    assert out == {("x", 30)}
+    # k = 2 -> threshold 50; "x" fails BECAUSE nulls inflate n
+    assert frequent_items(df, "v", k=2).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # Weighted sampling (A-ES)
 # ---------------------------------------------------------------------------
