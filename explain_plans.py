@@ -262,7 +262,10 @@ def main() -> None:
          "ids on the center key; pair aggregate + left_anti adjacency "
          "check + two degree joins, all on int keys — documents never "
          "enter the plan"),
-        ("winnow_fp", "ZERO-shuffle fingerprinting: one WholeStageCodegen "
+        ("winnow_fp", "near-zero-shuffle fingerprinting (r06: one narrow "
+                      "round-robin exchange of the raw rows parallelizes the "
+                      "per-shingle md5 head on single-row-group inputs; "
+                      "no-op at cluster scale): one WholeStageCodegen "
          "Project evaluates the packed-hash array + zip_with window "
          "minima array-side, then Generate explodes the distinct "
          "selections — the only Exchange is the oracle orderBy"),
