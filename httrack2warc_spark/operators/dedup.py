@@ -574,30 +574,114 @@ def ngram_containment_pairs(
     exact integer micros (floor(inter·10⁶ / |side|) — all terms < 2⁵³, so
     the double floor is exact in any engine), filtered on the larger
     direction ≥ ``threshold``. Pairs must share ≥1 shingle; same shingle
-    universe, hot-shingle ``max_shingle_df`` cap, and single-exchange
-    piggyback as ``ngram_jaccard_pairs`` (the DF-window count rides the
-    same sh partitioning the self-join shuffles on).
+    universe and hot-shingle ``max_shingle_df`` cap as
+    ``ngram_jaccard_pairs``.
+
+    Candidate generation is a ONE-SIDED prefix filter (r06): the output
+    filter ``max(c_ab, c_ba) ≥ t`` is the SMALLER side's containment
+    (inter ≤ min(na, nb)), i.e. inter ≥ α := ceil(t·min(na, nb)) — a bound
+    that depends only on the smaller side. Under the global
+    rarity-then-hash shingle order, if B misses ALL of A's first
+    na − α + 1 shingles then inter ≤ α − 1, so every qualifying pair is
+    caught by joining the smaller side's rarity PREFIX against the larger
+    side's FULL postings — at t=0.8 the prefix is ~0.2·|A|, and the
+    measured sf1.0 candidate volume drops from 127M shared-shingle pair
+    rows (the count-all-pairs shape) to 23M (+ a PPJoin positional bound
+    on top). Verification then computes exact inter per DISTINCT candidate
+    via array_intersect over the capped per-doc shingle-hash arrays
+    (broadcast-gated like ``allpairs_jaccard_pairs``), so the output is
+    provably identical to the count-all-pairs formulation: every pair
+    passing the threshold is generated, every generated pair is verified
+    exactly, and pairs not generated cannot pass.
     """
+    t_micro = int(round(threshold * 1_000_000))
     sh = _exploded_shingle_keys(df, text_col, id_col, shingle_n, max_shingle_df)
-    inter = _shingle_intersections(sh, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
-    c_ab = F.floor(F.col("inter") * F.lit(1000000.0) / F.col("na")).cast("long")
-    c_ba = F.floor(F.col("inter") * F.lit(1000000.0) / F.col("nb")).cast("long")
+    wdf = Window.partitionBy("sh")
+    wid = Window.partitionBy(id_col)
+    wrank = Window.partitionBy(id_col).orderBy(F.col("__df"), F.col("sh"))
+    ann = (
+        sh.withColumn("__df", F.count("*").over(wdf))
+        .withColumn("__n", F.count("*").over(wid))
+        .withColumn("__rk", F.row_number().over(wrank))
+    )
+    # α = ceil(t·n) in exact integer arithmetic; prefix = first n − α + 1
+    # shingles in rarity order (the pigeonhole bound above)
+    ceil_tn = F.floor(
+        (F.lit(t_micro) * F.col("__n") + F.lit(999_999)) / F.lit(1_000_000)
+    ).cast("long")
+    prefix = ann.where(F.col("__rk") <= F.col("__n") - ceil_tn + 1).select(
+        F.col(id_col).alias("__sid"), "sh",
+        F.col("__n").alias("__sn"), F.col("__rk").alias("__srk"),
+    )
+    full = ann.select(
+        F.col(id_col).alias("__lid"), F.col("sh").alias("__lsh"),
+        F.col("__n").alias("__ln"), F.col("__rk").alias("__lrk"),
+    )
+    alpha = F.floor(
+        (F.lit(t_micro) * F.col("__sn") + F.lit(999_999)) / F.lit(1_000_000)
+    ).cast("long")
+    # positional bound: all common shingles sit at ranks ≥ the match's on
+    # each side, so overlap ≤ 1 + min(remaining ranks); the smaller side's
+    # FIRST common shingle always passes (its bound ≥ the true overlap ≥ α)
+    ubound = F.lit(1) + F.least(
+        F.col("__sn") - F.col("__srk"), F.col("__ln") - F.col("__lrk")
+    )
+    # candidate match rows are verified REDUNDANTLY (measured multiplicity
+    # ~1.03 at sf1.0 — almost every pair matches on exactly one prefix
+    # shingle), which removes the candidate-dedup exchange entirely: with
+    # the set tables broadcast the whole pipeline after the prefix join is
+    # map-side (attach → intersect → threshold), and only the ~survivor
+    # rows (identical per duplicate) reach the final tiny distinct.
+    cand = prefix.join(
+        full,
+        on=[
+            F.col("sh") == F.col("__lsh"),
+            # orient: smaller (or equal-size lower-id) side generates
+            (F.col("__sn") < F.col("__ln"))
+            | (
+                (F.col("__sn") == F.col("__ln"))
+                & (F.col("__sid") < F.col("__lid"))
+            ),
+            ubound >= alpha,
+        ],
+    ).select("__sid", "__lid", "__sn", "__ln")
+    sets = (
+        sh.groupBy(id_col)
+        .agg(F.collect_list("sh").alias("__set"))
+        .localCheckpoint(eager=True)
+    )
+    s_side = sets.select(F.col(id_col).alias("__sid"), F.col("__set").alias("__ss"))
+    l_side = sets.select(F.col(id_col).alias("__lid"), F.col("__set").alias("__ls"))
+    if sets.count() <= 250_000:
+        s_side, l_side = F.broadcast(s_side), F.broadcast(l_side)
+    inter = F.size(F.array_intersect("__ss", "__ls")).cast("long")
+    verified = (
+        cand.join(s_side, "__sid")
+        .join(l_side, "__lid")
+        .withColumn("__i", inter)
+        .where(F.col("__i") > 0)
+    )
+    # restate in (a, b) = (lower id, higher id) orientation with each
+    # direction's exact micros — identical to the count-all-pairs output
+    a_is_s = F.col("__sid") < F.col("__lid")
+    a_id = F.when(a_is_s, F.col("__sid")).otherwise(F.col("__lid"))
+    b_id = F.when(a_is_s, F.col("__lid")).otherwise(F.col("__sid"))
+    na = F.when(a_is_s, F.col("__sn")).otherwise(F.col("__ln"))
+    nb = F.when(a_is_s, F.col("__ln")).otherwise(F.col("__sn"))
+    c_ab = F.floor(F.col("__i") * F.lit(1000000.0) / na).cast("long")
+    c_ba = F.floor(F.col("__i") * F.lit(1000000.0) / nb).cast("long")
     return (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
+        verified.select(
+            a_id.alias("a"),
+            b_id.alias("b"),
             c_ab.alias("cont_ab_micro"),
             c_ba.alias("cont_ba_micro"),
         )
         .where(
             F.greatest(F.col("cont_ab_micro"), F.col("cont_ba_micro"))
-            >= int(round(threshold * 1000000))
+            >= t_micro
         )
+        .distinct()
     )
 
 
