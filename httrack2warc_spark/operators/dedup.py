@@ -1606,16 +1606,31 @@ def minhash_cross_pairs(
     # exchanging it twice (sf1.0: 68M candidate rows vs 100k docs). The
     # checkpoint makes the doc count a free local lookup — a measured gate,
     # not an estimate; past it (true corpus scale) the shuffle joins stand.
+    small = base.count() <= 250_000
+    # sound size prune BEFORE the arrays attach: J ≤ min/max, so J ≥ t
+    # requires min(|A|,|B|) ≥ t·max(|A|,|B|). Attaching just the 8-byte
+    # sizes first (broadcast) and filtering kills the non-viable pairs
+    # (measured ~41% of the random band collisions at sf1.0) before they
+    # pay the array probe + per-pair hash-set intersect.
+    zn = nb.select("new_id", F.size("set_n").alias("__zn"))
+    zr = rb.select("ref_id", F.size("set_r").alias("__zr"))
+    if small:
+        zn, zr = F.broadcast(zn), F.broadcast(zr)
+    cand = (
+        cand.join(zn, "new_id")
+        .join(zr, "ref_id")
+        .where(
+            F.least(F.col("__zn"), F.col("__zr"))
+            >= threshold * F.greatest(F.col("__zn"), F.col("__zr"))
+        )
+        .select("new_id", "ref_id")
+    )
     sl, sr = nb.select("new_id", "set_n"), rb.select("ref_id", "set_r")
-    if base.count() <= 250_000:
+    if small:
         sl, sr = F.broadcast(sl), F.broadcast(sr)
     return (
         cand.join(sl, "new_id")
         .join(sr, "ref_id")
-        .where(
-            F.least(F.size("set_n"), F.size("set_r"))
-            >= threshold * F.greatest(F.size("set_n"), F.size("set_r"))
-        )
         .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "ref_id", "jaccard")
