@@ -408,18 +408,32 @@ def minhash_lsh_dedup(
         # modest, so the shuffle join's exchanges are cheaper than the
         # broadcast builds; minhash_cross_pairs, whose uncapped cross
         # candidates run to 68M rows, keeps the broadcast gate)
+        #
+        # sound size prune BEFORE the array joins: J ≤ min/max, so J ≥ t
+        # requires min(|A|,|B|) ≥ t·max(|A|,|B|). Broadcasting just the
+        # 8-byte sizes and filtering first keeps non-viable pairs (and
+        # their shingle arrays) out of the verify exchanges entirely
+        # (the minhash_cross_pairs pattern).
+        za = F.broadcast(
+            base.select(F.col(id_col).alias("a"), F.size("__set").alias("__za"))
+        )
+        zb = F.broadcast(
+            base.select(F.col(id_col).alias("b"), F.size("__set").alias("__zb"))
+        )
+        cand = (
+            cand.join(za, "a")
+            .join(zb, "b")
+            .where(
+                F.least(F.col("__za"), F.col("__zb"))
+                >= threshold * F.greatest(F.col("__za"), F.col("__zb"))
+            )
+            .select("a", "b")
+        )
         inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
         union = F.size("set_a") + F.size("set_b") - inter
         verified = (
             cand.join(sl, "a")
             .join(sr, "b")
-            # sound size prune before the per-pair intersect: J ≤ min/max,
-            # so J ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|) — the filter
-            # is two size() calls, the intersect it skips builds a hash set
-            .where(
-                F.least(F.size("set_a"), F.size("set_b"))
-                >= threshold * F.greatest(F.size("set_a"), F.size("set_b"))
-            )
             .withColumn("jaccard", inter / union)
             .where(F.col("jaccard") >= threshold)
         )
